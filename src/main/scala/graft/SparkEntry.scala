@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ccf.CCF
+import graft.graph.GraphBuilders
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Aggregates every operator family's queries + DuckDB oracles. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship (SURVEY.md §7.2): CCF connected components over the co-purchase
+    * part graph at sf0.001 — scan → self-join → CCF fixpoint → membership
+    * rollup. Non-empty by construction. */
+  def entry(spark: SparkSession): DataFrame = {
+    val edges = GraphBuilders.copurchaseEdges(spark, "/root/testdata/sf0.001")
+    val result = CCF.run(edges)
+    CCF.membership(result.assignments)
+      .select(col("component"), size(col("members")).as("n_members"), col("members"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.GraphQueries.defs ++
+      graft.queries.RelationalQueries.defs
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.queries.GraphQueries.oracles ++
+      graft.queries.RelationalQueries.oracles
 }

@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.ccf.{CCF, Generators}
+import graft.graph.GraphBuilders
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver-facing queries for the CCF operator family (SURVEY.md §2a), run over
+ * the co-purchase part graph derived from `lineitem` (FIXTURES.md §B) so every
+ * result is DuckDB-oracle-checkable. Keys here are `l_partkey` LONGs (numeric
+ * ordering); reference string semantics are exercised by `ccf_chain` (string
+ * ids) and by the ScalaTest golden suites.
+ *
+ * The CCF fixpoint itself is oracle-checked with a DuckDB recursive CTE that
+ * computes, for every node, the minimum over its reachability set — the
+ * textbook declarative definition of "smallest node id in the component".
+ */
+object GraphQueries {
+
+  /** Shared DuckDB CTE: canonical distinct co-purchase edges. Must stay in
+    * lockstep with [[GraphBuilders.copurchaseEdges]]. */
+  private val edgesCte =
+    """e AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |)""".stripMargin
+
+  private val reachCte =
+    s"""WITH RECURSIVE $edgesCte,
+       |bi AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e),
+       |reach(node, r) AS (
+       |  SELECT a, b FROM bi
+       |  UNION
+       |  SELECT reach.node, bi.b FROM reach JOIN bi ON bi.a = reach.r WHERE bi.b <> reach.node
+       |),
+       |asgn AS (
+       |  SELECT node, MIN(r) AS component FROM reach GROUP BY node HAVING MIN(r) < node
+       |)""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O8 full pipeline: (node, component), representative has no self-row.
+    "ccf_components" -> ((s, dir) =>
+      CCF.run(GraphBuilders.copurchaseEdges(s, dir)).assignments),
+
+    // Variant agreement (O5): SecondarySort kernel, identical output.
+    "ccf_components_secondary_sort" -> ((s, dir) =>
+      CCF.run(GraphBuilders.copurchaseEdges(s, dir), CCF.SecondarySort).assignments),
+
+    // O10: number of connected components.
+    "ccf_component_count" -> ((s, dir) => {
+      val asgn = CCF.run(GraphBuilders.copurchaseEdges(s, dir)).assignments
+      asgn.agg(countDistinct(col("component")).as("n_components"))
+    }),
+
+    // O11: component -> sorted member list (rep re-added), CSV-joined so the
+    // oracle compare is a plain string column.
+    "ccf_membership" -> ((s, dir) => {
+      val asgn = CCF.run(GraphBuilders.copurchaseEdges(s, dir)).assignments
+      CCF.membership(asgn).select(
+        col("component"),
+        concat_ws(",", transform(col("members"), _.cast("string"))).as("members_csv"))
+    }),
+
+    // O2: bidirectional edge emit.
+    "edge_bidirect" -> ((s, dir) =>
+      CCF.bidirect(GraphBuilders.copurchaseEdges(s, dir))),
+
+    // O4 inner step: per-node min neighbor over the bidirected graph.
+    "min_neighbor" -> ((s, dir) =>
+      CCF.bidirect(GraphBuilders.copurchaseEdges(s, dir))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("min_nbr"))
+        .select(col("node"), col("min_nbr"))),
+
+    // O7: dedup — the canonical distinct pair set itself.
+    "dedup_pairs" -> ((s, dir) => GraphBuilders.copurchaseEdges(s, dir)),
+
+    // O14 + O8 over string ids: chain graph, lexicographic semantics, scales
+    // via the distributed generator. Every node but "0" maps to "0".
+    "ccf_chain" -> ((s, _) =>
+      CCF.run(Generators.chainDF(s, 1000)).assignments)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ccf_components" ->
+      s"$reachCte SELECT node, component FROM asgn",
+
+    "ccf_components_secondary_sort" ->
+      s"$reachCte SELECT node, component FROM asgn",
+
+    "ccf_component_count" ->
+      s"$reachCte SELECT COUNT(DISTINCT component) AS n_components FROM asgn",
+
+    "ccf_membership" ->
+      s"""$reachCte,
+         |mem AS (
+         |  SELECT component, node FROM asgn
+         |  UNION
+         |  SELECT component, component FROM asgn
+         |)
+         |SELECT component,
+         |       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members_csv
+         |FROM mem GROUP BY component""".stripMargin,
+
+    "edge_bidirect" ->
+      s"""WITH $edgesCte
+         |SELECT src, dst FROM e
+         |UNION ALL
+         |SELECT dst AS src, src AS dst FROM e""".stripMargin,
+
+    "min_neighbor" ->
+      s"""WITH $edgesCte,
+         |bi AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e)
+         |SELECT a AS node, MIN(b) AS min_nbr FROM bi GROUP BY a""".stripMargin,
+
+    "dedup_pairs" ->
+      s"WITH $edgesCte SELECT src, dst FROM e",
+
+    "ccf_chain" ->
+      """SELECT CAST(i + 1 AS VARCHAR) AS node, '0' AS component
+        |FROM range(999) t(i)""".stripMargin
+  )
+}

@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational core over the TPC-H-ish tables (SURVEY.md §2c "relational core
+ * demos"): scan, filter+project, hash/broadcast join, aggregation, rollup,
+ * window, top-k, semi/anti join, outer join, set ops, scalar functions,
+ * conditional aggregation.
+ *
+ * Oracle-parity rules used throughout (driver hashes values column-sorted):
+ *  - every computed column is aliased identically in Spark and SQL;
+ *  - double aggregation goes through DECIMAL(12,2) casts so the arithmetic is
+ *    exact and order-independent, then back to DOUBLE (identical bits on both
+ *    engines); plain doubles are only compared when no re-association happens
+ *    (min/max/passthrough);
+ *  - averages are written as sum/count of exact decimals, not AVG(double);
+ *  - every LIMIT has a total tie-break order.
+ *
+ * Scale notes: filters/projections sit directly on the parquet scan (pushed
+ * filters + pruned ReadSchema); small dimensions (nation, region, supplier)
+ * are broadcast; fact-fact joins shuffle on their join key and AQE handles
+ * post-shuffle coalescing and skew.
+ */
+object RelationalQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def sup(s: SparkSession, d: String) = Tables.supplier(s, d)
+  private def prt(s: SparkSession, d: String) = Tables.part(s, d)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: full-scan aggregation with exact decimal arithmetic.
+    "q1_agg" -> ((s, d) =>
+      li(s, d).groupBy("l_returnflag", "l_linestatus").agg(
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").as("sum_qty"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").as("sum_base_price"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)").as("sum_disc_price"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)").as("avg_qty"),
+        count(lit(1)).as("count_order"))),
+
+    // Filter + projection pushed into the parquet scan.
+    "q2_filter_project" -> ((s, d) =>
+      li(s, d)
+        .where(col("l_shipdate") >= expr("TIMESTAMP '1999-01-01 00:00:00'") &&
+               col("l_shipdate") <  expr("TIMESTAMP '2000-01-01 00:00:00'") &&
+               col("l_discount") > lit(0.05))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")),
+
+    // 4-way join: two broadcast dims + one fact-fact shuffle join.
+    "q3_join_agg" -> ((s, d) => {
+      val c = cust(s, d); val o = ord(s, d); val l = li(s, d); val n = nat(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Top-k with total order (value DESC, key ASC tie-break).
+    "q4_topk" -> ((s, d) =>
+      ord(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)),
+
+    // Ranking window: top-3 orders per customer.
+    "q5_window" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      ord(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // Semi join: customers having at least one big order.
+    "q6_semi_join" -> ((s, d) => {
+      val c = cust(s, d)
+      val bigOrders = ord(s, d).where(col("o_totalprice") > 400000.0)
+      c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // Anti join: customers with no orders at all.
+    "q7_anti_join" -> ((s, d) => {
+      val c = cust(s, d)
+      val o = ord(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // ROLLUP grouping sets; NULL grouping slots coalesced to a sentinel so the
+    // hash compare is null-free.
+    "q8_rollup" -> ((s, d) => {
+      val c = cust(s, d); val n = nat(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup("c_mktsegment", "n_name")
+        .agg(count(lit(1)).as("n_cust"),
+             expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)").as("sum_acctbal"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_cust"), col("sum_acctbal"))
+    }),
+
+    // DISTINCT projection.
+    "q9_distinct" -> ((s, d) =>
+      li(s, d).select("l_returnflag", "l_linestatus").distinct()),
+
+    // String / math scalar functions.
+    "q10_scalar_string" -> ((s, d) =>
+      prt(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_type"), 1, 4).as("type_prefix"),
+        length(col("p_name")).as("name_len"),
+        (col("p_size") % 7).as("size_mod"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))),
+
+    // Date/time scalar functions.
+    "q11_scalar_date" -> ((s, d) =>
+      ord(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))),
+
+    // Set op: UNION (distinct) of customer and supplier nation keys.
+    "q12_union" -> ((s, d) =>
+      cust(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(sup(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()),
+
+    // Conditional aggregation (FILTER/CASE semantics).
+    "q13_cond_agg" -> ((s, d) =>
+      li(s, d).groupBy("l_returnflag").agg(
+        sum(when(col("l_quantity") > 25, lit(1)).otherwise(lit(0))).as("n_big"),
+        sum(when(col("l_linestatus") === "F", lit(1)).otherwise(lit(0))).as("n_f"),
+        count(lit(1)).as("n_all"))),
+
+    // Outer join + count of non-null keys (customers with zero orders -> 0).
+    "q14_outer_join" -> ((s, d) => {
+      val c = cust(s, d); val o = ord(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_discount > 0.05""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q4_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin,
+
+    "q6_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+
+    "q7_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q8_rollup" ->
+      """SELECT COALESCE(c_mktsegment, 'ALL') AS mktsegment,
+        |       COALESCE(n_name, 'ALL') AS nation,
+        |       COUNT(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (c_mktsegment, n_name)""".stripMargin,
+
+    "q9_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q10_scalar_string" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS name_upper,
+        |  SUBSTRING(p_type, 1, 4) AS type_prefix,
+        |  CAST(LENGTH(p_name) AS INT) AS name_len,
+        |  p_size % 7 AS size_mod,
+        |  p_brand || '|' || p_type AS brand_type
+        |FROM part""".stripMargin,
+
+    "q11_scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS o_day,
+        |  strftime(o_orderdate, '%Y-%m') AS o_ym
+        |FROM orders""".stripMargin,
+
+    "q12_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q13_cond_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  COUNT(*) AS n_all
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q14_outer_join" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin
+  )
+}
