@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Spark 4.1 false-positive: any join -> rollup trips
+      // DetectAmbiguousSelfJoin even with no self join (q8_rollup)
+      .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -94,15 +94,27 @@ object CCF {
    *              both columns the same type. Column names are irrelevant.
    */
   // Freeing a local checkpoint that is never re-read is intentional; silence
-  // Spark's per-RDD "cannot be recomputed after unpersisting" warning.
-  private lazy val muteCheckpointWarns: Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () }
+  // Spark's per-RDD "cannot be recomputed after unpersisting" warning for the
+  // duration of the run only, restoring the previous effective level after
+  // (the mutation would otherwise leak to every MapPartitionsRDD in the app).
+  private def withMutedCheckpointWarns[T](body: => T): T = {
+    val logger = "org.apache.spark.rdd.MapPartitionsRDD"
+    val prev =
+      try Some(org.apache.logging.log4j.LogManager.getLogger(logger).getLevel)
+      catch { case _: Throwable => None }
+    try {
+      try org.apache.logging.log4j.core.config.Configurator.setLevel(
+        logger, org.apache.logging.log4j.Level.ERROR)
+      catch { case _: Throwable => () }
+      body
+    } finally prev.foreach { l =>
+      try org.apache.logging.log4j.core.config.Configurator.setLevel(logger, l)
+      catch { case _: Throwable => () }
+    }
+  }
 
-  def run(edges: DataFrame, variant: Variant = Basic, maxIterations: Int = 100): CCFResult = {
+  def run(edges: DataFrame, variant: Variant = Basic, maxIterations: Int = 100): CCFResult = withMutedCheckpointWarns {
     require(edges.columns.length == 2, s"edge list must have 2 columns, got ${edges.columns.length}")
-    muteCheckpointWarns
 
     var pairs = edges.toDF("src", "dst").localCheckpoint(true)
     var prevPairs: DataFrame = null
@@ -161,9 +173,17 @@ object CCF {
    */
   private[ccf] def iterateSecondarySort(pairs: DataFrame): DataFrame =
     pairs.schema.fields(0).dataType.typeName match {
-      case "string"           => secondarySortString(pairs)
-      case "long" | "integer" => secondarySortLong(pairs)
-      case _                  => iterateBasic(pairs) // equivalent declarative plan
+      case "string" => secondarySortString(pairs)
+      case "long"   => secondarySortLong(pairs)
+      case "integer" =>
+        // Run the long kernel, then cast back so both variants return the
+        // input's column type (int32-keyed graphs would otherwise diverge
+        // from the Basic variant's schema).
+        secondarySortLong(pairs).select(
+          col("src").cast("int").as("src"),
+          col("dst").cast("int").as("dst"),
+          col("isNew"))
+      case _ => iterateBasic(pairs) // equivalent declarative plan
     }
 
   /** Explicitly free the block-manager storage behind an eager

@@ -99,14 +99,21 @@ object RelationalQueries {
     // ROLLUP grouping sets; NULL grouping slots coalesced to a sentinel so the
     // hash compare is null-free.
     "q8_rollup" -> ((s, d) => {
+      // Spark 4.1 false-positive: any join -> rollup trips
+      // DetectAmbiguousSelfJoin with no self join present; the check adds no
+      // safety here, so disable it (idempotent, also set in Verify/Bench)
+      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
       val c = cust(s, d); val n = nat(s, d)
-      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .rollup("c_mktsegment", "n_name")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_mktsegment").as("mktseg"),
+                col("n_name").as("natname"),
+                col("c_acctbal").as("acctbal"))
+        .rollup("mktseg", "natname")
         .agg(count(lit(1)).as("n_cust"),
-             expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)").as("sum_acctbal"))
+             expr("CAST(SUM(CAST(acctbal AS DECIMAL(12,2))) AS DOUBLE)").as("sum_acctbal"))
         .select(
-          coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
-          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("mktseg"), lit("ALL")).as("mktsegment"),
+          coalesce(col("natname"), lit("ALL")).as("nation"),
           col("n_cust"), col("sum_acctbal"))
     }),
 
