@@ -22,11 +22,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.GraphQueries.defs ++
-      graft.queries.RelationalQueries.defs
+      graft.queries.RelationalQueries.defs ++
+      graft.queries.TextQueries.defs ++
+      graft.queries.DedupQueries.defs ++
+      graft.queries.SimilarityQueries.defs ++
+      graft.queries.EventQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.GraphQueries.oracles ++
-      graft.queries.RelationalQueries.oracles
+      graft.queries.RelationalQueries.oracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.DedupQueries.oracles ++
+      graft.queries.SimilarityQueries.oracles ++
+      graft.queries.EventQueries.oracles
 }

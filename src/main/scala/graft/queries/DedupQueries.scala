@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.text.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operator family over `documents` / `embeddings` (driver
+ * north-star): exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine
+ * near-dup. Every pipeline is the scalable formulation — inverted-index
+ * (shingle/band/bucket) joins with map-side-combinable aggregations, never an
+ * O(n²) cross join (the one brute-force variant, d5, is label-free and exists
+ * as the exactness baseline; its LSH-bucketed sibling is s2 in
+ * [[SimilarityQueries]]).
+ *
+ * 100 TB notes: the shingle inverted index shuffles O(total shingles) rows
+ * keyed by shingle; hot shingles (stop-phrases) would skew — mitigated
+ * upstream by `array_distinct` per doc and at scale by dropping
+ * above-frequency shingles (same as the classic MapReduce dedup pipelines).
+ * MinHash keeps per-doc state at NumHashes longs regardless of doc size, so
+ * the candidate join shuffles O(docs x bands) tiny rows — the scale path.
+ */
+object DedupQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def embs(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** Jaccard threshold for near-dup (calibrated: planted dups sit at ≥0.9,
+    * the background at ≤0.2 — clean separation at sf0.01/sf0.1). */
+  private val JaccardT = 0.5
+
+  private val ShingleK = 3
+
+  /** (doc_id, sh) with non-empty distinct word-3-gram shingle sets. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), shingles(tokens(col("text")), ShingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+
+  /** Exact-Jaccard on a pair of shingle-set columns (distinct sets). */
+  private def jaccard(sa: Column, sb: Column): Column =
+    size(array_intersect(sa, sb)).cast("double") /
+      (size(sa) + size(sb) - size(array_intersect(sa, sb)))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group identical text, keep the smallest doc_id. The
+    // hash-groupBy pattern (shuffle by text) — at scale one groups by
+    // sha2(text) to shrink shuffle keys; here text itself keeps the oracle
+    // trivially equivalent.
+    "d1_exact_dedup" -> ((s, d) => {
+      val w = Window.partitionBy("text")
+      docs(s, d).select(
+        col("doc_id"),
+        min("doc_id").over(w).as("keeper_id"),
+        (col("doc_id") =!= min("doc_id").over(w)).as("is_dup"))
+    }),
+
+    // n-gram Jaccard near-dup via shingle inverted index: explode shingles,
+    // self-join on shingle, count common shingles per pair, exact Jaccard
+    // filter. No cross
+    // join — candidate pairs only exist where at least one shingle collides.
+    "d2_ngram_jaccard" -> ((s, d) => {
+      val ds = shingleSets(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("s"), size(col("sh")).as("n"))
+      ds.as("a").join(ds.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+                 col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("common"))
+        .where(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= JaccardT)
+        .select(col("doc_a"), col("doc_b"),
+          (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+    }),
+
+    // MinHash + LSH banding: constant-size signatures, band-bucket join for
+    // candidates, exact-Jaccard verification. 8 bands x 4 rows: P(candidate)
+    // = 1-(1-j^4)^8 — near-certain recall at the ≥0.9 planted dups.
+    "d3_minhash_lsh" -> ((s, d) => {
+      val sh = shingleSets(s, d)
+      val sig = sh.select(
+        col("doc_id"),
+        minhashSignature(transform(col("sh"), polyHash(_))).as("sig"))
+      val bands = sig.select(
+        col("doc_id"),
+        explode(sequence(lit(0), lit(NumBands - 1))).as("band"),
+        col("sig"))
+        .select(col("doc_id"),
+          concat_ws(":", col("band"),
+            array_join(transform(
+              slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand)),
+              _.cast("string")), "-")).as("bkey"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+        .where(jaccard(col("sa"), col("sb")) >= JaccardT)
+        .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+    }),
+
+    // SimHash document fingerprint (32-bit): token-hash bit votes → sign bits.
+    // On this shared-vocabulary synthetic corpus SimHash has poor precision
+    // (distinct docs collide at hamming 0) — kept as the fingerprint operator
+    // it is; Jaccard/MinHash are the precise near-dup paths here.
+    "d4_simhash" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .select(col("doc_id"), polyHash(col("w")).as("h"))
+        .groupBy("doc_id")
+        .agg(simhashBitSums(col("h")).head, simhashBitSums(col("h")).tail: _*)
+        .select(col("doc_id"), simhashFromBitSums.as("simhash"))),
+
+    // SimHash near-dup pairs: hamming distance via bit_count(xor) ≤ 1.
+    "d4_simhash_pairs" -> ((s, d) => {
+      val sh = defs("d4_simhash")(s, d)
+      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .where(col("hamming") <= 1)
+    }),
+
+    // Embedding-cosine near-dup, brute-force exactness baseline. Sequential
+    // left-fold dot products in double — bit-identical to the oracle. The
+    // LSH-bucketed scale path is SimilarityQueries.s2_knn_lsh.
+    "d5_embedding_neardup" -> ((s, d) => {
+      val e = embs(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(dotSelf(col("embedding"))).as("nrm"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          (dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .where(col("cos") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+    })
+  )
+
+  /** Sequential left-fold dot product (double) — identical op order to the
+    * DuckDB oracle, so results are bit-identical. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def dotSelf(a: Column): Column = dot(a, a)
+
+  // ------------------------------------------------------------- oracles
+
+  private val toks = tokensSql("text")
+
+  /** Shared CTE fragments (WITH bodies) mirroring the Spark pipelines. */
+  private val shCte =
+    s"""sgl AS (
+       |  SELECT doc_id, ${shinglesSql("t", ShingleK)} AS sh
+       |  FROM (SELECT doc_id, $toks AS t FROM documents)
+       |), shf AS (SELECT doc_id, sh FROM sgl WHERE len(sh) > 0)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(0, 64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))), " +
+      s"(acc, v) -> acc + v)"
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT doc_id,
+        |  MIN(doc_id) OVER (PARTITION BY text) AS keeper_id,
+        |  doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_dup
+        |FROM documents""".stripMargin,
+
+    "d2_ngram_jaccard" ->
+      s"""WITH $shCte,
+         |ds AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shf),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         COUNT(*) AS common, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+         |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/(na + nb - common) AS jaccard
+         |FROM pairs WHERE CAST(common AS DOUBLE)/(na + nb - common) >= $JaccardT""".stripMargin,
+
+    "d3_minhash_lsh" ->
+      s"""WITH $shCte,
+         |sig AS (SELECT doc_id, sh, ${minhashSignatureSql(s"list_transform(sh, x -> ${polyHashSql("x")})")} AS sig FROM shf),
+         |bands AS (
+         |  SELECT doc_id,
+         |         CAST(band AS VARCHAR) || ':' ||
+         |           array_to_string(sig[band*$RowsPerBand+1 : band*$RowsPerBand+$RowsPerBand], '-') AS bkey
+         |  FROM sig, range($NumBands) r(band)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+         |  FROM cand
+         |  JOIN shf sa ON sa.doc_id = cand.doc_a
+         |  JOIN shf sb ON sb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= $JaccardT""".stripMargin,
+
+    "d4_simhash" -> simhashSql(toks),
+
+    "d4_simhash_pairs" ->
+      s"""WITH sh AS (${simhashSql(toks)})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin,
+
+    "d5_embedding_neardup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
+  )
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-stream analytics over the `events` table (SURVEY.md §2c): tumbling
+ * windows, gap sessionization, JSON prop extraction, daily actives. These are
+ * the batch twins of the Structured Streaming pipelines in
+ * [[graft.streaming.Streams]] — identical logical shape, so results agree
+ * (tested in StreamingSpec).
+ *
+ * Oracle-parity: sums over `value` go through DECIMAL(12,2) so the
+ * aggregation is order-independent and exact; timestamps stay at native
+ * microsecond precision in both engines (session TZ pinned UTC).
+ */
+object EventQueries {
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour windows per event type — the streaming-window shape
+    // (window() produces the same buckets Structured Streaming would).
+    "e1_hourly_agg" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+        .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))),
+
+    // Gap-based sessionization (30-min inactivity): lag + cumulative sum —
+    // the classic batch formulation of session windows.
+    "e2_sessions" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // integer microsecond arithmetic: exact on both engines (no float gap)
+      val newSession = when(
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser) > 1800L * 1000000L, 1)
+        .otherwise(when(lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
+      ev(s, d)
+        .withColumn("new_s", newSession)
+        .withColumn("session_id", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min("ts").as("session_start"),
+             max("ts").as("session_end"))
+    }),
+
+    // JSON prop extraction + rollup per event type.
+    "e3_json_stats" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))),
+
+    // Daily active users + event volume.
+    "e4_daily_users" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             count(lit(1)).as("n_events")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e1_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "e2_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "e3_json_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "e4_daily_users" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |       COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over the `embeddings` table (driver north-star):
+ * brute-force cosine top-k as the exactness baseline, and a random-hyperplane
+ * LSH-bucketed variant as the scale path (candidates restricted to one
+ * hash bucket — the join fans out by bucket key, not O(n²)).
+ *
+ * Determinism: dot products are sequential left-folds in double (identical
+ * op order to the DuckDB oracle → bit-identical cosines); ties broken by
+ * vec_id so rankings are total.
+ *
+ * 100 TB notes: brute-force top-k shuffles queries×corpus — fine for a
+ * bounded query set against a broadcast/bucketed corpus, not for all-pairs.
+ * The LSH variant shuffles O(n) rows keyed by an 8-bit bucket; at real scale
+ * one uses more planes (wider buckets), multi-probe, or an IVF coarse
+ * quantizer — same plan shape, different bucket fn.
+ */
+object SimilarityQueries {
+
+  private def embs(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  val Dim = 64
+  val NumPlanes = 8
+  val TopK = 5
+
+  /** Sequential left-fold dot product (double), bit-identical to the oracle. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Deterministic pseudo-random hyperplane component p(j,d) in [-1, 1]:
+    * shared formula with the oracle (Knuth multiplicative scramble, mod to
+    * [-1000,1000], scaled). */
+  private def planeVal(j: Int, d: Int): Double =
+    (((j * Dim + d + 1) * 2654435761L) % 2001L - 1000L) / 1000.0
+
+  private def planeValSql(j: Int): String =
+    s"((($j * $Dim + i + 1) * 2654435761) % 2001 - 1000) / 1000.0"
+
+  /** Signed-projection LSH bucket: bit j = sign(v · plane_j). */
+  private def bucket(v: Column): Column =
+    (0 until NumPlanes).map { j =>
+      val plane = array((0 until Dim).map(d => lit(planeVal(j, d))): _*)
+      when(dot(v, plane) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def bucketSql(v: String): String =
+    (0 until NumPlanes).map { j =>
+      val dotJ = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(0, $Dim), i -> CAST($v[i+1] AS DOUBLE) * (${planeValSql(j)}))), " +
+        s"(acc, x) -> acc + x)"
+      s"CASE WHEN $dotJ >= 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private def withNorm(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-k for a bounded query set (vec_id < 10) against
+    // the full corpus; ranking window per query.
+    "s1_knn_brute" -> ((s, d) => {
+      val e = withNorm(embs(s, d))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val scored = q.join(e, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    }),
+
+    // LSH-bucketed ANN: candidates share the query's 8-bit hyperplane-sign
+    // bucket; top-k within bucket. Approximate by construction, but
+    // deterministic — the oracle replicates the bucketing exactly.
+    "s2_knn_lsh" -> ((s, d) => {
+      val e = withNorm(embs(s, d)).withColumn("bkt", bucket(col("embedding")))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("bkt").as("qbkt"))
+      val scored = q.join(e, col("qbkt") === col("bkt") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    })
+  )
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(0, $Dim), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))), " +
+      s"(acc, v) -> acc + v)"
+
+  val oracles: Map[String, String] = Map(
+    "s1_knn_brute" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos
+         |  FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored) WHERE rank <= $TopK""".stripMargin,
+
+    "s2_knn_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+         |         ${bucketSql("embedding")} AS bkt
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos
+         |  FROM e q JOIN e ON q.vec_id < 10 AND e.bkt = q.bkt AND e.vec_id <> q.vec_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored) WHERE rank <= $TopK""".stripMargin
+  )
+}
