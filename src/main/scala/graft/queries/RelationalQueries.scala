@@ -159,7 +159,109 @@ object RelationalQueries {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("n_orders"))
-    })
+    }),
+
+    // CUBE grouping sets with grouping() indicators.
+    "q15_cube" -> ((s, d) =>
+      ord(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             grouping(col("o_orderstatus")).as("g_status"),
+             grouping(col("o_orderpriority")).as("g_prio"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("g_status"), col("g_prio"))),
+
+    // IN-subquery (Catalyst rewrites IN to exactly this left-semi plan).
+    "q16_in_subquery" -> ((s, d) => {
+      val bigParts = li(s, d).where(col("l_quantity") >= 49).select("l_partkey")
+      prt(s, d)
+        .join(bigParts, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name", "p_retailprice")
+    }),
+
+    // Scalar subquery: orders above the global average price.
+    "q17_scalar_subquery" -> ((s, d) => {
+      val avgPrice = ord(s, d).agg(
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)").as("ap"))
+      ord(s, d).join(broadcast(avgPrice))
+        .where(col("o_totalprice") > col("ap"))
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // EXCEPT: nations with customers but no suppliers.
+    "q18_except" -> ((s, d) =>
+      cust(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(sup(s, d).select(col("s_nationkey").as("nationkey")))),
+
+    // INTERSECT: nations with both customers and suppliers.
+    "q19_intersect" -> ((s, d) =>
+      cust(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(sup(s, d).select(col("s_nationkey").as("nationkey")))),
+
+    // Array aggregation: per-order sorted distinct part list + array ops.
+    "q20_array_agg" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .select(
+          col("l_orderkey"),
+          col("parts"),
+          size(col("parts")).as("n_parts"),
+          element_at(col("parts"), 1).as("first_part"))),
+
+    // min_by/max_by: cheapest and priciest part per brand.
+    "q21_argminmax" -> ((s, d) =>
+      prt(s, d).groupBy("p_brand").agg(
+        min_by(col("p_partkey"), struct(col("p_retailprice"), col("p_partkey"))).as("cheapest_part"),
+        max_by(col("p_partkey"), struct(col("p_retailprice"), col("p_partkey"))).as("priciest_part"),
+        count(lit(1)).as("n"))),
+
+    // More string functions: regexp extraction, padding, replacement.
+    "q22_string_funcs" -> ((s, d) =>
+      prt(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([0-9]+)", 1).as("first_num"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        reverse(col("p_brand")).as("brand_rev"),
+        trim(col("p_name")).as("name_trim"))),
+
+    // NULL-handling scalars over the outer-join result: nullif/ifnull/
+    // greatest/least.
+    "q23_null_scalars" -> ((s, d) => {
+      val c = cust(s, d); val o = ord(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(max(col("o_totalprice")).as("max_price"),
+             count(col("o_orderkey")).as("n_orders"))
+        .select(
+          col("c_custkey"),
+          coalesce(col("max_price"), lit(0.0)).as("max_price_or_0"),
+          nullif(col("n_orders"), lit(0L)).as("n_orders_or_null"),
+          greatest(col("n_orders"), lit(1L)).as("at_least_1"),
+          least(col("n_orders"), lit(5L)).as("at_most_5"))
+    }),
+
+    // Frame windows: running revenue + 3-row moving average per customer.
+    "q24_window_frames" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val priceDec = expr("CAST(o_totalprice AS DECIMAL(14,2))")
+      ord(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)").as("running_rev"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)").as("moving_sum3"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"))
+    }),
+
+    // Exact percentiles (Spark `percentile` == DuckDB `quantile_cont`).
+    "q25_percentiles" -> ((s, d) =>
+      ord(s, d).groupBy("o_orderpriority").agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -251,6 +353,90 @@ object RelationalQueries {
     "q14_outer_join" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey""".stripMargin
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q15_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q16_in_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)""".stripMargin,
+
+    "q17_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders)""".stripMargin,
+
+    "q18_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q19_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q20_array_agg" ->
+      """SELECT l_orderkey,
+        |       list_sort(list_distinct(list(l_partkey))) AS parts,
+        |       CAST(len(list_sort(list_distinct(list(l_partkey)))) AS INT) AS n_parts,
+        |       list_sort(list_distinct(list(l_partkey)))[1] AS first_part
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    // DuckDB 1.0 arg_min/arg_max lack struct keys — equivalent via ranked
+    // windows with the same (price, partkey) total order.
+    "q21_argminmax" ->
+      """SELECT p_brand,
+        |       MAX(CASE WHEN rn_asc = 1 THEN p_partkey END) AS cheapest_part,
+        |       MAX(CASE WHEN rn_desc = 1 THEN p_partkey END) AS priciest_part,
+        |       COUNT(*) AS n
+        |FROM (
+        |  SELECT p_brand, p_partkey,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice ASC, p_partkey ASC) AS rn_asc,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey DESC) AS rn_desc
+        |  FROM part)
+        |GROUP BY p_brand""".stripMargin,
+
+    "q22_string_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([0-9]+)', 1) AS first_num,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+        |  replace(p_type, ' ', '_') AS type_snake,
+        |  reverse(p_brand) AS brand_rev,
+        |  trim(p_name) AS name_trim
+        |FROM part""".stripMargin,
+
+    "q23_null_scalars" ->
+      """SELECT c_custkey,
+        |  COALESCE(max_price, 0.0) AS max_price_or_0,
+        |  NULLIF(n_orders, 0) AS n_orders_or_null,
+        |  GREATEST(n_orders, 1) AS at_least_1,
+        |  LEAST(n_orders, 5) AS at_most_5
+        |FROM (
+        |  SELECT c_custkey, MAX(o_totalprice) AS max_price, COUNT(o_orderkey) AS n_orders
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)""".stripMargin,
+
+    "q24_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
+        |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_order,
+        |  lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_order
+        |FROM orders""".stripMargin,
+
+    "q25_percentiles" ->
+      """SELECT o_orderpriority,
+        |       quantile_cont(o_totalprice, 0.5) AS p50,
+        |       quantile_cont(o_totalprice, 0.9) AS p90,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
   )
 }
