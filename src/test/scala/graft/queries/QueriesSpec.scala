@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+import org.apache.spark.sql.functions._
+
+/** Cross-family invariants for the SparkEntry query surface (the DuckDB
+  * value-equality gate runs driver-side; these are the structural/semantic
+  * checks that don't need an oracle). */
+class QueriesSpec extends SparkSpec {
+
+  test("every query has an oracle, runs, and returns consistent schema") {
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+  }
+
+  test("flagship entry returns non-empty membership rollup") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSeq === Seq("component", "n_members", "members"))
+  }
+
+  test("minhash-LSH pair set equals exact n-gram Jaccard pair set") {
+    // LSH banding at 8x4 has ~certain recall at the planted >=0.9 dups and
+    // the verification step removes false candidates, so the two operators
+    // must agree exactly on this corpus.
+    val exact = DedupQueries.defs("d2_ngram_jaccard")(spark, sf())
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupQueries.defs("d3_minhash_lsh")(spark, sf())
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === lsh)
+    assert(exact.nonEmpty)
+  }
+
+  test("exact dedup marks no false duplicates (texts are unique at sf0.001)") {
+    val d = DedupQueries.defs("d1_exact_dedup")(spark, sf())
+    assert(d.where(col("is_dup")).count() === 0)
+  }
+
+  test("knn: LSH results are a subset-ranking of brute-force candidates") {
+    val brute = SimilarityQueries.defs("s1_knn_brute")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = SimilarityQueries.defs("s2_knn_lsh")(spark, sf()).collect()
+    assert(lsh.nonEmpty)
+    // every LSH rank-1 neighbor that shares the query bucket scores no higher
+    // than the brute-force rank-1 (sanity: LSH cannot beat exact search)
+    val bruteTop = SimilarityQueries.defs("s1_knn_brute")(spark, sf())
+      .where(col("rank") === 1).collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val lshTop = SimilarityQueries.defs("s2_knn_lsh")(spark, sf())
+      .where(col("rank") === 1).collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(lshTop.forall { case (q, cos) => cos <= bruteTop(q) + 1e-12 })
+  }
+
+  test("sessions: per-user session ids are dense from 1 and ordered by time") {
+    val s = EventQueries.defs("e2_sessions")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = s.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList)
+    assert(byUser.values.forall(ids => ids === (1L to ids.length).toList))
+  }
+
+  test("simhash: identical texts get identical simhash; near-identical close") {
+    val sh = DedupQueries.defs("d4_simhash")(spark, sf())
+    assert(sh.count() === graft.sources.Tables.documents(spark, sf()).count())
+    // near-dup pairs (jaccard >= 0.9) must sit within small hamming distance
+    val dupPairs = DedupQueries.defs("d2_ngram_jaccard")(spark, sf())
+      .where(col("jaccard") >= 0.9)
+    val shA = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    val joined = dupPairs.join(shA, "doc_a").join(shB, "doc_b")
+      .select(bit_count(col("ha").bitwiseXOR(col("hb"))).as("hm"))
+      .collect().map(_.getInt(0))
+    assert(joined.forall(_ <= 4))
+  }
+}
