@@ -116,8 +116,16 @@ object CCF {
   def run(edges: DataFrame, variant: Variant = Basic, maxIterations: Int = 100): CCFResult = withMutedCheckpointWarns {
     require(edges.columns.length == 2, s"edge list must have 2 columns, got ${edges.columns.length}")
 
+    // One materialization per round: the round's tagged emits are eagerly
+    // localCheckpoint'ed (truncating lineage), while the CCF-Dedup `distinct`
+    // stays LAZY — it fuses into the next round's plan (its exchange pipelines
+    // with the next aggregation), halving the per-round job count vs
+    // checkpointing both. Lineage depth stays O(1): at most one distinct on
+    // top of a checkpoint. Semantics identical — the next round still sees
+    // fully deduped pairs.
     var pairs = edges.toDF("src", "dst").localCheckpoint(true)
-    var prevPairs: DataFrame = null
+    var prevCkpt: DataFrame = pairs // checkpoint backing `pairs`
+    var olderCkpt: DataFrame = null // checkpoint 2 rounds back (freeable)
     var iteration = 0
     var converged = false
     val history = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -131,17 +139,17 @@ object CCF {
         case SecondarySort => iterateSecondarySort(pairs)
       }
       val emitted = tagged.localCheckpoint(true) // materialize once, truncate lineage
+      // the previous round's checkpoint is no longer referenced (this round's
+      // lazy distinct has been evaluated into `emitted`)
+      if (olderCkpt != null) freeCheckpoint(olderCkpt)
+      olderCkpt = prevCkpt
+      prevCkpt = emitted
       val newPairs = emitted.where(col("isNew")).count() // cheap: reads the checkpoint
       history += newPairs
-
-      val next = emitted.select("src", "dst").distinct().localCheckpoint(true)
-      freeCheckpoint(emitted)
-      if (prevPairs != null) freeCheckpoint(prevPairs)
-      prevPairs = pairs
-      pairs = next
+      pairs = emitted.select("src", "dst").distinct() // CCF-Dedup, lazy
       converged = newPairs == 0L
     }
-    if (prevPairs != null) freeCheckpoint(prevPairs)
+    if (olderCkpt != null) freeCheckpoint(olderCkpt)
 
     CCFResult(pairs.toDF("node", "component"), iteration, converged, history.toSeq)
   }

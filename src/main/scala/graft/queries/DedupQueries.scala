@@ -77,11 +77,14 @@ object DedupQueries {
     // MinHash + LSH banding: constant-size signatures, band-bucket join for
     // candidates, exact-Jaccard verification. 8 bands x 4 rows: P(candidate)
     // = 1-(1-j^4)^8 — near-certain recall at the ≥0.9 planted dups.
+    // Staged projections matter: shingle hashes and the signature are bound
+    // columns of their own Project steps, so the (interpreted, non-CSE'd)
+    // higher-order hash folds run once per doc instead of 32x inlined —
+    // CollapseProject keeps non-cheap producer exprs staged.
     "d3_minhash_lsh" -> ((s, d) => {
       val sh = shingleSets(s, d)
-      val sig = sh.select(
-        col("doc_id"),
-        minhashSignature(transform(col("sh"), polyHash(_))).as("sig"))
+      val hs = sh.select(col("doc_id"), transform(col("sh"), polyHash(_)).as("hs"))
+      val sig = hs.select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
       val bands = sig.select(
         col("doc_id"),
         explode(sequence(lit(0), lit(NumBands - 1))).as("band"),
@@ -128,22 +131,15 @@ object DedupQueries {
     // LSH-bucketed scale path is SimilarityQueries.s2_knn_lsh.
     "d5_embedding_neardup" -> ((s, d) => {
       val e = embs(s, d).select(col("vec_id"), col("embedding"),
-        sqrt(dotSelf(col("embedding"))).as("nrm"))
+        graft.functions.VectorFunctions.norm(col("embedding")).as("nrm"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          (dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+          (graft.functions.VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
         .where(col("cos") >= 0.4)
         .select(col("vec_a"), col("vec_b"), col("cos"))
     })
   )
-
-  /** Sequential left-fold dot product (double) — identical op order to the
-    * DuckDB oracle, so results are bit-identical. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  private def dotSelf(a: Column): Column = dot(a, a)
 
   // ------------------------------------------------------------- oracles
 

@@ -29,7 +29,9 @@ object GraphQueries {
   private def assignments(s: SparkSession, dir: String, variant: CCF.Variant = CCF.Basic): DataFrame =
     asgnCache.getOrElseUpdate(
       (System.identityHashCode(s), dir, variant.toString),
-      CCF.run(GraphBuilders.copurchaseEdges(s, dir), variant).assignments)
+      // eager checkpoint so every reuse reads materialized blocks (CCF.run
+      // returns a lazy final dedup over its last checkpoint)
+      CCF.run(GraphBuilders.copurchaseEdges(s, dir), variant).assignments.localCheckpoint(true))
 
   /** Shared DuckDB CTE: canonical distinct co-purchase edges. Must stay in
     * lockstep with [[GraphBuilders.copurchaseEdges]]. */

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Column <-> Catalyst Expression bridge. Spark 4 hides the expression
+ * constructor of `Column` behind `private[sql]`; placing this one-file shim
+ * inside the `org.apache.spark.sql` namespace is the standard pattern for
+ * libraries that ship custom codegen expressions without forking Spark
+ * (no Spark internals are modified — we only call two utility methods).
+ */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
