@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.graph.GraphBuilders
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions (the "would this survive a 100× scale-up" gate):
+  * filters/projections reach the parquet scan, small dims broadcast, partial
+  * aggregation is map-side, the hot path stays in whole-stage codegen, and no
+  * operator falls back to a cartesian product. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** AQE finalizes the plan only on execution — and only of THIS
+    * QueryExecution (count() would plan a different query). */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2 filter+project: predicates pushed, columns pruned at the scan") {
+    val p = plan(RelationalQueries.defs("q2_filter_project")(spark, sf()))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // pruned read schema: none of the unused wide columns
+    assert(!p.contains("l_comment") && !p.contains("l_returnflag"), p)
+  }
+
+  test("q3 4-way join: dimension sides broadcast, whole-stage codegen present") {
+    val p = finalPlan(RelationalQueries.defs("q3_join_agg")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // whole-stage codegen spans render as "*(n)" in the compact plan string
+    assert(p.contains("*("), p)
+  }
+
+  test("q1 scan-agg: two-phase hash aggregation (map-side partial)") {
+    val p = plan(RelationalQueries.defs("q1_agg")(spark, sf()))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("copurchase edges: self-join reuses the lineitem exchange (no-broadcast path)") {
+    // at test scale lineitem broadcasts; the shuffle-reuse claim is about the
+    // big-data path, so pin it by disabling broadcast for this check
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = GraphBuilders.copurchaseEdges(spark, sf())
+      val p = finalPlan(df)
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+        p.contains("ShuffleQueryStage") && p.contains("reuse"), p)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("dedup/similarity joins never degrade to cartesian products") {
+    for (name <- Seq("d2_ngram_jaccard", "d3_minhash_lsh", "s2_knn_lsh")) {
+      val p = plan(graft.SparkEntry.queries(name)(spark, sf()))
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
+  test("vector ops use the codegen DotProduct expression") {
+    val p = plan(DedupQueries.defs("d5_embedding_neardup")(spark, sf()))
+    assert(p.contains("graft_dot"), p)
+    // and no interpreted higher-order aggregate left in the hot path
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
+}
