@@ -65,8 +65,17 @@ import org.apache.spark.sql.functions._
  * 100 TB notes: each round shuffles O(|pairs|) rows hash-partitioned by node
  * id — the same distribution as the reference's MapReduce jobs, which the CCF
  * paper scaled to 6B nodes / 92B edges. Iteration count is O(log d) in the
- * component diameter. Old checkpoint blocks are dropped explicitly each round
- * (`cleanOld`), so peak storage is 2 rounds of pairs.
+ * component diameter. Old checkpoint blocks are dropped explicitly each round,
+ * so peak storage is ~2 rounds of pairs.
+ *
+ * Intermediate-data caveat (measured, intrinsic to CCF — not this port): on
+ * LONG-DIAMETER graphs the per-round pair set grows ~2x per round until
+ * stars collapse (each chain node's degree doubles while its running min
+ * keeps improving), peaking near n x 2^rounds — a 20k-node path peaks at
+ * ~40M pairs. This is why the reference benchmarks chains only to n=500.
+ * Real large graphs (web/social/co-purchase) have small effective diameter
+ * and collapse fast; genuinely long paths call for a pointer-jumping
+ * variant, which is outside the reference's surface.
  */
 object CCF {
 

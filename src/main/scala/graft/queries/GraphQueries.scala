@@ -87,10 +87,13 @@ object GraphQueries {
     // O7: dedup — the canonical distinct pair set itself.
     "dedup_pairs" -> ((s, dir) => GraphBuilders.copurchaseEdges(s, dir)),
 
-    // O14 + O8 over string ids: chain graph, lexicographic semantics, scales
-    // via the distributed generator. Every node but "0" maps to "0".
+    // O14 + O8 over string ids: chain graph, lexicographic semantics, via the
+    // distributed generator. Every node but "0" maps to "0". n=500 = the
+    // reference's largest chain config (string ordering scatters intermediate
+    // minima, so larger string chains inflate intermediate pair sets —
+    // Generators.chainDF scaladoc; numeric-key scale is covered by ScaleSpec).
     "ccf_chain" -> ((s, _) =>
-      CCF.run(Generators.chainDF(s, 1000)).assignments)
+      CCF.run(Generators.chainDF(s, 500)).assignments)
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,6 +139,6 @@ object GraphQueries {
 
     "ccf_chain" ->
       """SELECT CAST(i + 1 AS VARCHAR) AS node, '0' AS component
-        |FROM range(999) t(i)""".stripMargin
+        |FROM range(499) t(i)""".stripMargin
   )
 }
