@@ -126,6 +126,16 @@ object DedupQueries {
         .where(col("hamming") <= 1)
     }),
 
+    // Near-dup CLUSTERS: CCF connected components over the similarity-pair
+    // graph (SURVEY.md §2c: near-dup clustering IS connected components — the
+    // one extension that genuinely reuses the reference's core). Each doc in
+    // a duplicate cluster is labeled with the smallest doc_id in its cluster;
+    // singletons (no near-dup) have no row (the rep-has-no-row invariant).
+    "d6_dup_clusters" -> ((s, d) => {
+      val pairs = defs("d2_ngram_jaccard")(s, d).select("doc_a", "doc_b")
+      graft.ccf.CCF.run(pairs).assignments.toDF("doc_id", "cluster_rep")
+    }),
+
     // Embedding-cosine near-dup, brute-force exactness baseline. Sequential
     // left-fold dot products in double — bit-identical to the oracle. The
     // LSH-bucketed scale path is SimilarityQueries.s2_knn_lsh.
@@ -194,6 +204,22 @@ object DedupQueries {
          |  JOIN shf sa ON sa.doc_id = cand.doc_a
          |  JOIN shf sb ON sb.doc_id = cand.doc_b)
          |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= $JaccardT""".stripMargin,
+
+    "d6_dup_clusters" ->
+      s"""WITH RECURSIVE $shCte,
+         |ds AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shf),
+         |e AS (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst
+         |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING CAST(COUNT(*) AS DOUBLE)/(ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= $JaccardT),
+         |bi AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e),
+         |reach(node, r) AS (
+         |  SELECT a, b FROM bi
+         |  UNION
+         |  SELECT reach.node, bi.b FROM reach JOIN bi ON bi.a = reach.r WHERE bi.b <> reach.node),
+         |asgn AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node HAVING MIN(r) < node)
+         |SELECT node AS doc_id, component AS cluster_rep FROM asgn""".stripMargin,
 
     "d4_simhash" -> simhashSql(toks),
 

@@ -56,6 +56,15 @@ object EventQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))),
 
+    // Typed JSON parsing with an explicit schema (from_json -> struct),
+    // complementing e3's path-based get_json_object.
+    "e5_from_json" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+        .select(col("event_id"), col("p.k").as("k"))
+        .where(col("k") >= 50)),
+
     // Daily active users + event volume.
     "e4_daily_users" -> ((s, d) =>
       ev(s, d)
@@ -92,6 +101,11 @@ object EventQueries {
         |       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
         |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "e5_from_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50""".stripMargin,
 
     "e4_daily_users" ->
       """SELECT CAST(ts AS DATE) AS day,
