@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -79,6 +80,227 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Native Catalyst expression for the polynomial rolling string hash
+ * h = fold over code points: (h*31 + cp) % mod — semantically identical to
+ * the `aggregate(transform(split(s,''), ascii), ...)` higher-order pipeline
+ * (each 1-char split produces its code point) and to the DuckDB oracle, but
+ * codegen'd: one loop instead of materializing a per-char string array and
+ * interpreting a fold over Literal-wrapped steps.
+ */
+case class PolyHash(child: Expression, mod: Long) extends Expression {
+
+  override def prettyName: String = "graft_polyhash"
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+  override def foldable: Boolean = child.foldable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+
+  /** Shared by eval and the generated code (static call keeps codegen tiny). */
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else PolyHash.hash(v.toString, mod)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+         |${c.code}
+         |boolean ${ev.isNull} = ${c.isNull};
+         |long ${ev.value} = -1L;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.functions.PolyHash.hash(${c.value}.toString(), ${mod}L);
+         |}
+       """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object PolyHash {
+  /** Code-point left fold, mod every step (positive, < mod). */
+  def hash(s: String, mod: Long): Long = {
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/**
+ * Native Catalyst expression producing the DISTINCT hashed word-k-gram
+ * shingles of a text in one pass: tokenize on single spaces, fold the
+ * polynomial hash over each k-gram's exact character sequence (words joined
+ * by ' '), and dedup. Equivalent to
+ * `list_distinct(list_transform(<k-gram strings>, polyhash))` in the DuckDB
+ * oracle — but never materializes a shingle string. The interpreted
+ * transform/slice/concat_ws pipeline it replaces was the dedup family's
+ * dominant cost at sf0.1 (0.8 ms/doc just to build shingle arrays).
+ */
+case class ShingleHashes(child: Expression, k: Int, mod: Long) extends Expression {
+
+  override def prettyName: String = "graft_shingle_hashes"
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else ShingleHashes.compute(v.toString, k, mod)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+         |${c.code}
+         |boolean ${ev.isNull} = ${c.isNull};
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.functions.ShingleHashes.compute(${c.value}.toString(), $k, ${mod}L);
+         |}
+       """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object ShingleHashes {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** Distinct k-gram hashes in first-occurrence order. */
+  def compute(text: String, k: Int, mod: Long): ArrayData = {
+    val words = text.split(" ", -1)
+    val n = words.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var w = 0
+      while (w < k) {
+        if (w > 0) h = (h * 31L + ' '.toInt) % mod
+        val word = words(i + w)
+        var j = 0
+        val len = word.length
+        while (j < len) {
+          val cp = word.codePointAt(j)
+          h = (h * 31L + cp) % mod
+          j += Character.charCount(cp)
+        }
+        w += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/**
+ * Random-hyperplane LSH bucket as a single compact expression: bit j of the
+ * result is sign(v · plane_j) for `numPlanes` deterministic pseudo-random
+ * planes. Replaces an 8-plane × 64-literal expression tree whose analysis +
+ * Janino compilation alone cost ~6 s per query plan; the semantics (fold
+ * order, plane formula) are bit-identical to that tree and to the DuckDB
+ * oracle's replication of the same integer formula.
+ */
+case class LshBucket(child: Expression, numPlanes: Int, dim: Int) extends Expression {
+
+  override def prettyName: String = "graft_lsh_bucket"
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${t.catalogString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else LshBucket.bucket(v.asInstanceOf[ArrayData], isFloat, numPlanes, dim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+         |${c.code}
+         |boolean ${ev.isNull} = ${c.isNull};
+         |int ${ev.value} = -1;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.functions.LshBucket.bucket(${c.value}, $isFloat, $numPlanes, $dim);
+         |}
+       """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object LshBucket {
+  /** plane(j,d) = (((j*dim + d + 1) * 2654435761) % 2001 - 1000) / 1000.0 —
+    * the shared deterministic formula (also inlined in the DuckDB oracles). */
+  def planeVal(j: Int, d: Int, dim: Int): Double =
+    (((j.toLong * dim + d + 1) * 2654435761L) % 2001L - 1000L) / 1000.0
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((numPlanes, dim), { case (np, dm) =>
+      Array.tabulate(np, dm)((j, d) => planeVal(j, d, dm))
+    })
+
+  def bucket(v: ArrayData, isFloat: Boolean, numPlanes: Int, dim: Int): Int = {
+    val ps = planes(numPlanes, dim)
+    val n = math.min(v.numElements(), dim)
+    var b = 0
+    var j = 0
+    while (j < numPlanes) {
+      val p = ps(j)
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+        acc += x * p(d)
+        d += 1
+      }
+      if (acc >= 0) b |= 1 << j
+      j += 1
+    }
+    b
+  }
+}
+
 /** Public column API for the custom vector expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.functions.sqrt
@@ -89,4 +311,16 @@ object VectorFunctions {
 
   /** L2 norm via the same fold. */
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Codegen'd polynomial rolling hash (see [[PolyHash]]). */
+  def polyHash(s: Column, mod: Long): Column =
+    Bridge.column(PolyHash(Bridge.expression(s), mod))
+
+  /** Codegen'd distinct hashed word-k-gram shingles (see [[ShingleHashes]]). */
+  def shingleHashes(text: Column, k: Int, mod: Long): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(text), k, mod))
+
+  /** Codegen'd random-hyperplane LSH bucket (see [[LshBucket]]). */
+  def lshBucket(v: Column, numPlanes: Int, dim: Int): Column =
+    Bridge.column(LshBucket(Bridge.expression(v), numPlanes, dim))
 }

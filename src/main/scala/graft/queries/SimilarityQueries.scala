@@ -35,21 +35,14 @@ object SimilarityQueries {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot(a, b)
 
-  /** Deterministic pseudo-random hyperplane component p(j,d) in [-1, 1]:
-    * shared formula with the oracle (Knuth multiplicative scramble, mod to
-    * [-1000,1000], scaled). */
-  private def planeVal(j: Int, d: Int): Double =
-    (((j * Dim + d + 1) * 2654435761L) % 2001L - 1000L) / 1000.0
-
   private def planeValSql(j: Int): String =
     s"((($j * $Dim + i + 1) * 2654435761) % 2001 - 1000) / 1000.0"
 
-  /** Signed-projection LSH bucket: bit j = sign(v · plane_j). */
+  /** Signed-projection LSH bucket: bit j = sign(v · plane_j) — the compact
+    * codegen'd [[graft.functions.LshBucket]] (an 8-plane literal-array
+    * expression tree costs ~6 s of analysis+compile per plan). */
   private def bucket(v: Column): Column =
-    (0 until NumPlanes).map { j =>
-      val plane = array((0 until Dim).map(d => lit(planeVal(j, d))): _*)
-      when(dot(v, plane) >= 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+    graft.functions.VectorFunctions.lshBucket(v, NumPlanes, Dim)
 
   private def bucketSql(v: String): String =
     (0 until NumPlanes).map { j =>

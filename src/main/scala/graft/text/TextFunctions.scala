@@ -52,13 +52,13 @@ object TextFunctions {
 
   // ------------------------------------------------------------- poly hash
 
-  /** Polynomial rolling hash of a string: fold chars c: h = (h*31 + ascii(c)) % P.
-    * Left-to-right, mod every step — bit-identical in DuckDB. */
+  /** Polynomial rolling hash of a string: fold code points c:
+    * h = (h*31 + c) % P. Left-to-right, mod every step — bit-identical in
+    * DuckDB. Backed by the codegen'd [[graft.functions.PolyHash]] expression
+    * (the equivalent aggregate/transform/split higher-order pipeline is
+    * interpreted and ~20x slower on hash-heavy dedup paths). */
   def polyHash(s: Column): Column =
-    aggregate(
-      transform(split(s, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31L + x) % HashP)
+    graft.functions.VectorFunctions.polyHash(s, HashP)
 
   def polyHashSql(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
