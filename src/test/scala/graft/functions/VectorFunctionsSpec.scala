@@ -1,0 +1,88 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** The hand-written codegen expressions vs their built-in higher-order
+  * formulations: results must be bit-identical (same fold order) in both
+  * eval modes. Each test runs the comparison through a real plan, so the
+  * generated-code path is what executes. */
+class VectorFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("DotProduct == aggregate/zip_with left fold, bit-identical") {
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.75f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.9f, 0.8f, 0.7f)),
+      (Array.empty[Float], Array.empty[Float])
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("ref")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("PolyHash == split/ascii/fold pipeline on real document text") {
+    val docs = graft.sources.Tables.documents(spark, sf()).limit(50)
+    val P = TextFunctions.HashP
+    val rows = docs.select(
+      VectorFunctions.polyHash(col("text"), P).as("fast"),
+      aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, x) => (acc * 31L + x) % P).as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("ShingleHashes == distinct(hash(string shingles))") {
+    val docs = graft.sources.Tables.documents(spark, sf()).limit(50)
+    val P = TextFunctions.HashP
+    val toks = TextFunctions.tokens(col("text"))
+    val stringShingles = TextFunctions.shingles(toks, 3)
+    val rows = docs.select(
+      VectorFunctions.shingleHashes(col("text"), 3, P).as("fast"),
+      array_distinct(transform(stringShingles, s => VectorFunctions.polyHash(s, P))).as("ref")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).toSet === r.getSeq[Long](1).toSet)
+      assert(r.getSeq[Long](0).length === r.getSeq[Long](1).length) // both distinct
+    }
+  }
+
+  test("ShingleHashes edge cases: short text, empty string") {
+    val df = Seq("one two", "", "a b c", "a b c d").toDF("text")
+    val rows = df.select(VectorFunctions.shingleHashes(col("text"), 3, 1000003L)).collect()
+    assert(rows(0).getSeq[Long](0).isEmpty) // 2 tokens < k
+    assert(rows(1).getSeq[Long](0).isEmpty)
+    assert(rows(2).getSeq[Long](0).length === 1)
+    assert(rows(3).getSeq[Long](0).length === 2)
+  }
+
+  test("LshBucket == per-plane sign-of-dot with the shared formula") {
+    val embs = graft.sources.Tables.embeddings(spark, sf()).limit(50)
+    val ref = (0 until 8).map { j =>
+      val plane = array((0 until 64).map(d => lit(LshBucket.planeVal(j, d, 64))): _*)
+      when(VectorFunctions.dot(col("embedding"), plane) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val rows = embs.select(
+      VectorFunctions.lshBucket(col("embedding"), 8, 64).as("fast"),
+      ref.as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("null propagation") {
+    val df = Seq((Option.empty[String], Option.empty[Seq[Float]])).toDF("s", "v")
+    val r = df.select(
+      VectorFunctions.polyHash(col("s"), 97L),
+      VectorFunctions.shingleHashes(col("s"), 3, 97L),
+      VectorFunctions.lshBucket(col("v").cast("array<float>"), 8, 64),
+      VectorFunctions.dot(col("v").cast("array<float>"), col("v").cast("array<float>"))).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+}
