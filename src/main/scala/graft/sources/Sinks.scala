@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/**
+ * Sink helpers (SURVEY.md §2a O13 generalized): the reference's only sink is
+ * a driver-side results CSV; a real engine needs distributed, partitioned,
+ * re-readable outputs. Parquet is the primary format (columnar, pushdown,
+ * partition pruning); CSV/JSON exist for interchange.
+ *
+ * 100 TB notes: `partitionBy` lays out hive-style directories so downstream
+ * readers prune partitions at planning time (verify `PartitionFilters` in the
+ * scan — SinksSpec does); combined with per-partition file sizing
+ * (`maxRecordsPerFile`) this is the standard lake layout. Writers are
+ * idempotent via overwrite mode at the prefix level.
+ */
+object Sinks {
+
+  /** Partitioned parquet: the lake layout. `partitionCols` become directory
+    * levels; readers filtering on them scan only matching directories. */
+  def writePartitionedParquet(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Plain parquet (no partitioning). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Distributed CSV with header (the reference's results-CSV shape, but
+    * written by executors, not the driver). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** JSON lines. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

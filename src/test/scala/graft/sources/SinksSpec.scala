@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Sinks + re-read: partition pruning reaches the plan, values round-trip
+  * across parquet/CSV/JSON. */
+class SinksSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-sinks").toString
+
+  test("partitioned parquet: hive layout + partition pruning at the scan") {
+    val orders = Tables.orders(spark, sf())
+      .withColumn("o_year", year(col("o_orderdate")))
+    Sinks.writePartitionedParquet(orders, s"$tmp/orders_by_year", "o_year")
+
+    // hive-style directories exist
+    val dirs = new java.io.File(s"$tmp/orders_by_year").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("o_year=")))
+
+    // a filter on the partition column becomes a PartitionFilter, and the
+    // pruned read returns exactly the partition's rows
+    val back = spark.read.parquet(s"$tmp/orders_by_year")
+    val y = dirs.head.stripPrefix("o_year=").toInt
+    val pruned = back.where(col("o_year") === y)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"), plan)
+    assert(pruned.count() === orders.where(col("o_year") === y).count())
+  }
+
+  test("csv round-trip preserves values (schema re-inferred)") {
+    val df = Tables.nation(spark, sf()).select("n_nationkey", "n_name")
+    Sinks.writeCsv(df, s"$tmp/nation_csv")
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$tmp/nation_csv")
+    assert(back.count() === df.count())
+    assert(back.select("n_name").collect().map(_.getString(0)).toSet ===
+      df.select("n_name").collect().map(_.getString(0)).toSet)
+  }
+
+  test("json round-trip preserves values and types") {
+    val df = Tables.region(spark, sf())
+    Sinks.writeJson(df, s"$tmp/region_json")
+    val back = spark.read.json(s"$tmp/region_json")
+    assert(back.count() === df.count())
+    assert(back.select("r_name").collect().map(_.getString(0)).toSet ===
+      df.select("r_name").collect().map(_.getString(0)).toSet)
+  }
+}
