@@ -65,6 +65,37 @@ object EventQueries {
         .select(col("event_id"), col("p.k").as("k"))
         .where(col("k") >= 50)),
 
+    // Native session windows (Spark's session_window) — same 30-min gap
+    // semantics as e2's lag/cumsum formulation, structured-streaming-ready.
+    "e6_session_window" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"), max("ts").as("session_end"))
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))),
+
+    // AS-OF JOIN (operator Spark lacks natively): each event matched to the
+    // user's latest order at-or-before the event time. The scalable
+    // formulation — tag + UNION both sides, one shuffle+sort per user,
+    // last-non-null carry-forward over the time-ordered window — instead of
+    // a skew-prone range join (no per-key cross product anywhere).
+    "a1_asof_join" -> ((s, d) => {
+      val events = ev(s, d).select(
+        col("user_id"), col("ts"),
+        col("event_id"), lit(null).cast("long").as("o_orderkey"), lit(1).as("kind"))
+      val orders = Tables.orders(s, d).select(
+        col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey"), lit(0).as("kind"))
+      // ties: an order exactly at the event time counts (kind 0 sorts first);
+      // equal-time orders resolve to the max o_orderkey (last in sort order)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("kind").asc, col("o_orderkey").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events.unionByName(orders)
+        .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("asof_orderkey"))
+    }),
+
     // Daily active users + event volume.
     "e4_daily_users" -> ((s, d) =>
       ev(s, d)
@@ -106,6 +137,40 @@ object EventQueries {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50""".stripMargin,
+
+    "e6_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "a1_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS o_orderkey, 1 AS kind
+        |  FROM events
+        |  UNION ALL
+        |  SELECT o_custkey AS user_id, o_orderdate AS ts,
+        |         CAST(NULL AS BIGINT) AS event_id, o_orderkey, 0 AS kind
+        |  FROM orders)
+        |SELECT event_id, user_id, ts, asof_orderkey FROM (
+        |  SELECT user_id, ts, event_id, kind,
+        |    last_value(o_orderkey IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts ASC, kind ASC, o_orderkey ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+        |  FROM u)
+        |WHERE kind = 1""".stripMargin,
 
     "e4_daily_users" ->
       """SELECT CAST(ts AS DATE) AS day,
