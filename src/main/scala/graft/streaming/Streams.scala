@@ -118,6 +118,29 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup: watermarked dropDuplicates — state holds one key
+    * per event inside the watermark horizon and is evicted past it (the
+    * streaming twin of the batch d1 exact-dedup; at 100 TB/day the watermark
+    * bound is what keeps state finite). */
+  def dedupStream(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates(keys)
+
+  /** Run streaming dedup over the events file UNIONed with itself (so every
+    * row is duplicated) — output must equal the distinct input. */
+  def runDedupOnce(spark: SparkSession, dir: String, queryName: String = "dedup"): DataFrame = {
+    val s = eventStream(spark, dir)
+    val doubled = s.unionByName(eventStream(spark, dir))
+    val q = dedupStream(doubled, Seq("event_id"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Run sessionization end-to-end (AvailableNow, memory sink); returns the
     * CLOSED sessions emitted by the stream (open sessions remain in state —
     * the streaming contract). */

@@ -19,6 +19,13 @@ class StreamingSpec extends SparkSpec {
     assert(sorted(streamed.collect()) === sorted(batch.collect()))
   }
 
+  test("streaming dedup on a doubled stream returns exactly the distinct events") {
+    val deduped = Streams.runDedupOnce(spark, sf(), "dedup_spec")
+    val batch = graft.sources.Tables.events(spark, sf())
+    assert(deduped.count() === batch.count())
+    assert(deduped.select("event_id").distinct().count() === batch.count())
+  }
+
   test("streaming sessionization equals batch e2_sessions minus open sessions") {
     val streamed = Streams.runSessionizeOnce(spark, sf(), "sessions_spec")
     // the stream only emits CLOSED sessions; each user's last (max session_id)
