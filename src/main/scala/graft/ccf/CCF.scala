@@ -139,6 +139,17 @@ object CCF {
     var converged = false
     val history = scala.collection.mutable.ArrayBuffer.empty[Long]
 
+    // Right-size the per-round shuffles: small graphs at the session default
+    // (e.g. 32+) are task-scheduling-bound, ~1 s/fixpoint of pure overhead.
+    // Target ~100k pairs/partition, clamped to [4, session default]; restored
+    // after the loop (the loop's jobs are all eager, so scoping is exact).
+    // Intermediate growth beyond the estimate is handled by AQE skew/coalesce.
+    val spark = edges.sparkSession
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val origShuffle = spark.conf.get(shuffleKey)
+    val sized = math.max(4L, math.min(origShuffle.toLong, pairs.count() / 100000L + 1L))
+    spark.conf.set(shuffleKey, sized.toString)
+    try {
     while (iteration < maxIterations && !converged) {
       iteration += 1
       // tagged = (src, dst, isNew); isNew marks the (value, min) emits that the
@@ -158,6 +169,7 @@ object CCF {
       pairs = emitted.select("src", "dst").distinct() // CCF-Dedup, lazy
       converged = newPairs == 0L
     }
+    } finally spark.conf.set(shuffleKey, origShuffle)
     if (olderCkpt != null) freeCheckpoint(olderCkpt)
 
     CCFResult(pairs.toDF("node", "component"), iteration, converged, history.toSeq)
