@@ -262,6 +262,20 @@ object RelationalQueries {
         expr("percentile(o_totalprice, 0.5)").as("p50"),
         expr("percentile(o_totalprice, 0.9)").as("p90"),
         count(lit(1)).as("n")))
+    ,
+
+    // PIVOT: order counts per customer-segment x order-status (explicit value
+    // list so the plan is a single pass, no distinct-values pre-query).
+    "q26_pivot" -> ((s, d) => {
+      val c = cust(s, d); val o = ord(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .select("c_mktsegment", "o_orderstatus")
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("c_mktsegment"), col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -437,6 +451,14 @@ object RelationalQueries {
         |       quantile_cont(o_totalprice, 0.5) AS p50,
         |       quantile_cont(o_totalprice, 0.9) AS p90,
         |       COUNT(*) AS n
-        |FROM orders GROUP BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q26_pivot" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }
