@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Salted equi-join for skewed keys (SURVEY.md §7.4: hub-vertex skew is the
+ * reference's own open weakness, `RESULTS.md:119`). AQE's skew-join split
+ * handles most cases at runtime; explicit salting remains the tool when one
+ * key dominates so badly that even split partitions bottleneck, or when the
+ * join is not a sort-merge join AQE can split.
+ *
+ * Mechanics: the left (large, skewed) side gets a random salt in [0, n);
+ * the right side is exploded n× with every salt value; the join key becomes
+ * (key, salt), spreading each hot key over n reducers. Row multiplicity is
+ * preserved exactly — the explode side meets each left row at exactly one
+ * salt value.
+ */
+object SkewJoin {
+
+  /** Inner equi-join `left.key == right.key` with `salt`-way key spreading.
+    * Column name sets of the two sides must be disjoint apart from the key
+    * (standard join hygiene). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val l = left
+      .withColumn("__salt", (rand(seed = 42) * salt).cast("int"))
+    val r = right
+      .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, l(key) === r(key) && l("__salt") === r("__salt"))
+      .drop(r(key)).drop(l("__salt")).drop(r("__salt"))
+  }
+}

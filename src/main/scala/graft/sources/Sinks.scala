@@ -36,4 +36,18 @@ object Sinks {
   /** JSON lines. */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Bucketed + sorted managed table: rows are hash-partitioned into
+    * `buckets` files by `bucketCol` at write time, so an equi-join of two
+    * tables bucketed the same way needs NO shuffle at read time — the
+    * co-located join layout for repeated fact-fact joins at scale
+    * (SinksSpec asserts the exchange-free plan). Requires a catalog
+    * (saveAsTable); bucket metadata lives in the metastore. */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

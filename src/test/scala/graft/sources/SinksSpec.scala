@@ -40,6 +40,30 @@ class SinksSpec extends SparkSpec {
       df.select("n_name").collect().map(_.getString(0)).toSet)
   }
 
+  test("bucketed tables join without a shuffle") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // force the join to show its shuffle needs
+      val o = Tables.orders(spark, sf()).select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(spark, sf()).select("l_orderkey", "l_quantity")
+      Sinks.writeBucketedTable(o, "graft_orders_b", "o_orderkey", 4)
+      Sinks.writeBucketedTable(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "graft_lineitem_b", "o_orderkey", 4)
+      val joined = spark.table("graft_lineitem_b")
+        .join(spark.table("graft_orders_b"), "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucket co-location: no shuffle exchange anywhere in the join plan
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() === Tables.lineitem(spark, sf()).count())
+    } finally {
+      spark.conf.set(key, prev)
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    }
+  }
+
   test("json round-trip preserves values and types") {
     val df = Tables.region(spark, sf())
     Sinks.writeJson(df, s"$tmp/region_json")
