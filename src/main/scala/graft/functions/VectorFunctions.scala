@@ -273,6 +273,17 @@ object LshBucket {
   def planeVal(j: Int, d: Int, dim: Int): Double =
     (((j.toLong * dim + d + 1) * 2654435761L) % 2001L - 1000L) / 1000.0
 
+  /** DuckDB SQL replicating [[bucket]] exactly (same plane formula, same
+    * ascending fold per plane). */
+  def sql(v: String, numPlanes: Int, dim: Int): String =
+    (0 until numPlanes).map { j =>
+      val planeVal = s"((($j * $dim + i + 1) * 2654435761) % 2001 - 1000) / 1000.0"
+      val dotJ = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(0, $dim), i -> CAST($v[i+1] AS DOUBLE) * ($planeVal))), " +
+        s"(acc, x) -> acc + x)"
+      s"CASE WHEN $dotJ >= 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
   private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
 
   private def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =

@@ -152,9 +152,27 @@ object DedupQueries {
       graft.ccf.CCF.run(pairs).assignments.toDF("doc_id", "cluster_rep")
     }),
 
+    // Embedding near-dup, LSH-bucketed scale path: candidate pairs share a
+    // hyperplane-sign bucket (O(n) shuffle keyed by bucket, no all-pairs),
+    // then exact cosine verification. Approximate by construction (pairs
+    // crossing a bucket boundary are missed) but fully deterministic — the
+    // oracle replicates the bucketing bit for bit. At 100 TB this shape,
+    // with more planes + multi-probe, is the production near-dup join.
+    "d7_embedding_neardup_lsh" -> ((s, d) => {
+      val e = embs(s, d).select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.norm(col("embedding")).as("nrm"),
+        graft.functions.VectorFunctions.lshBucket(col("embedding"), 8, 64).as("bkt"))
+      e.as("a").join(e.as("b"),
+          col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          (graft.functions.VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .where(col("cos") >= 0.4)
+    }),
+
     // Embedding-cosine near-dup, brute-force exactness baseline. Sequential
     // left-fold dot products in double — bit-identical to the oracle. The
-    // LSH-bucketed scale path is SimilarityQueries.s2_knn_lsh.
+    // pair-generation scale path is d7 (LSH-bucketed).
     "d5_embedding_neardup" -> ((s, d) => {
       val e = embs(s, d).select(col("vec_id"), col("embedding"),
         graft.functions.VectorFunctions.norm(col("embedding")).as("nrm"))
@@ -251,6 +269,17 @@ object DedupQueries {
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin,
+
+    "d7_embedding_neardup_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+         |         ${graft.functions.LshBucket.sql("embedding", 8, 64)} AS bkt
+         |  FROM embeddings)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+         |WHERE cos >= 0.4""".stripMargin,
 
     "d5_embedding_neardup" ->
       s"""WITH e AS (

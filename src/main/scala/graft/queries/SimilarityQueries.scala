@@ -35,9 +35,6 @@ object SimilarityQueries {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot(a, b)
 
-  private def planeValSql(j: Int): String =
-    s"((($j * $Dim + i + 1) * 2654435761) % 2001 - 1000) / 1000.0"
-
   /** Signed-projection LSH bucket: bit j = sign(v · plane_j) — the compact
     * codegen'd [[graft.functions.LshBucket]] (an 8-plane literal-array
     * expression tree costs ~6 s of analysis+compile per plan). */
@@ -45,12 +42,7 @@ object SimilarityQueries {
     graft.functions.VectorFunctions.lshBucket(v, NumPlanes, Dim)
 
   private def bucketSql(v: String): String =
-    (0 until NumPlanes).map { j =>
-      val dotJ = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        s"list_transform(range(0, $Dim), i -> CAST($v[i+1] AS DOUBLE) * (${planeValSql(j)}))), " +
-        s"(acc, x) -> acc + x)"
-      s"CASE WHEN $dotJ >= 0 THEN ${1 << j} ELSE 0 END"
-    }.mkString("(", " + ", ")")
+    graft.functions.LshBucket.sql(v, NumPlanes, Dim)
 
   private def withNorm(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"),

@@ -118,6 +118,38 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Stream-stream inner join with event-time bounds: each purchase joined
+    * to the same user's clicks in the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event time on both ends, so
+    * state on each side is evicted once the watermark passes the bound —
+    * the canonical bounded-state stream-stream join. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_event"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_event"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("p_event"), col("c_event"), col("p_ts"), col("c_ts"))
+  }
+
+  /** Run the purchase↔click stream-stream join end-to-end. */
+  def runStreamJoinOnce(spark: SparkSession, dir: String, queryName: String = "pcjoin"): DataFrame = {
+    val q = purchaseClickJoin(eventStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming exact dedup: watermarked dropDuplicates — state holds one key
     * per event inside the watermark horizon and is evicted past it (the
     * streaming twin of the batch d1 exact-dedup; at 100 TB/day the watermark

@@ -26,6 +26,22 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.select("event_id").distinct().count() === batch.count())
   }
 
+  test("stream-stream join equals the batch time-bounded join") {
+    val streamed = Streams.runStreamJoinOnce(spark, sf(), "pcjoin_spec")
+    val ev = graft.sources.Tables.events(spark, sf())
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_event"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_event"))
+    val batch = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("p_event"), col("c_event"), col("p_ts"), col("c_ts"))
+    assert(streamed.count() > 0)
+    assert(sorted(streamed.collect()) === sorted(batch.collect()))
+  }
+
   test("streaming sessionization equals batch e2_sessions minus open sessions") {
     val streamed = Streams.runSessionizeOnce(spark, sf(), "sessions_spec")
     // the stream only emits CLOSED sessions; each user's last (max session_id)
