@@ -26,12 +26,22 @@ object GraphQueries {
   private val asgnCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
 
+  /** Memoized canonical co-purchase edge set (the lineitem self-join), shared
+    * by edge_bidirect / min_neighbor / dedup_pairs and the CCF fixpoint —
+    * derived once per (session, dir), reused from materialized blocks. */
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      GraphBuilders.copurchaseEdges(s, dir).localCheckpoint(true))
+
   private def assignments(s: SparkSession, dir: String, variant: CCF.Variant = CCF.Basic): DataFrame =
     asgnCache.getOrElseUpdate(
       (System.identityHashCode(s), dir, variant.toString),
       // eager checkpoint so every reuse reads materialized blocks (CCF.run
       // returns a lazy final dedup over its last checkpoint)
-      CCF.run(GraphBuilders.copurchaseEdges(s, dir), variant).assignments.localCheckpoint(true))
+      CCF.run(edges(s, dir), variant).assignments.localCheckpoint(true))
 
   /** Shared DuckDB CTE: canonical distinct co-purchase edges. Must stay in
     * lockstep with [[GraphBuilders.copurchaseEdges]]. */
@@ -75,17 +85,17 @@ object GraphQueries {
 
     // O2: bidirectional edge emit.
     "edge_bidirect" -> ((s, dir) =>
-      CCF.bidirect(GraphBuilders.copurchaseEdges(s, dir))),
+      CCF.bidirect(edges(s, dir))),
 
     // O4 inner step: per-node min neighbor over the bidirected graph.
     "min_neighbor" -> ((s, dir) =>
-      CCF.bidirect(GraphBuilders.copurchaseEdges(s, dir))
+      CCF.bidirect(edges(s, dir))
         .groupBy(col("src").as("node"))
         .agg(min(col("dst")).as("min_nbr"))
         .select(col("node"), col("min_nbr"))),
 
     // O7: dedup — the canonical distinct pair set itself.
-    "dedup_pairs" -> ((s, dir) => GraphBuilders.copurchaseEdges(s, dir)),
+    "dedup_pairs" -> ((s, dir) => edges(s, dir)),
 
     // O14 + O8 over string ids: chain graph, lexicographic semantics, via the
     // distributed generator. Every node but "0" maps to "0". n=500 = the
