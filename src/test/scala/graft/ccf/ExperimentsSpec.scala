@@ -29,6 +29,31 @@ class ExperimentsSpec extends SparkSpec {
     assert(CCF.componentCount(r2.assignments) < 5L)
   }
 
+  test("seeded families reproduce the reference CSV's iterations + components row for row") {
+    // parse the reference's own results (read-only fixture) and check one
+    // config per family — including the RNG-dependent ones, which only match
+    // because Generators reproduces the reference's scala.util.Random stream
+    val refCsv = java.nio.file.Paths.get("/root/reference/experiment_results_scala.csv")
+    assume(java.nio.file.Files.exists(refCsv))
+    val rows = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(refCsv)).asScala.drop(1)
+      .map(_.split(",")).map(f => (f(0), f(1).toInt, f(3), f(4).toInt, f(6).toInt))
+    def ref(exp: String, nodes: Int, algo: String): (Int, Int) =
+      rows.collectFirst { case (e, n, a, it, comps) if e == exp && n == nodes && a == algo =>
+        (it, comps) }.get
+
+    val cases = Seq(
+      ("random_graph", Generators.randomGraph(2000, 6000), 2000),
+      ("cluster_graph", Generators.clusterGraph(10, 50, 9), 500),
+      ("cluster_graph", Generators.clusterGraph(20, 50, 19), 1000))
+    for ((exp, graph, nodes) <- cases) {
+      val r = CCF.run(Generators.toDF(spark, graph))
+      val comps = CCF.componentCount(r.assignments).toInt
+      val (refIters, refComps) = ref(exp, nodes, "Basic")
+      assert((r.iterations, comps) === ((refIters, refComps)), s"$exp n=$nodes")
+    }
+  }
+
   test("results CSV has the reference's 9-column shape") {
     val row = Experiments.Result("chain", 10, 9, "basic", 6, 0.1, 1, 0, 0)
     val csv = Experiments.toCsv(Seq(row))
