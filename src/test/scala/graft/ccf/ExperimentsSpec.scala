@@ -37,20 +37,22 @@ class ExperimentsSpec extends SparkSpec {
     assume(java.nio.file.Files.exists(refCsv))
     val rows = scala.jdk.CollectionConverters.ListHasAsScala(
       java.nio.file.Files.readAllLines(refCsv)).asScala.drop(1)
-      .map(_.split(",")).map(f => (f(0), f(1).toInt, f(3), f(4).toInt, f(6).toInt))
-    def ref(exp: String, nodes: Int, algo: String): (Int, Int) =
-      rows.collectFirst { case (e, n, a, it, comps) if e == exp && n == nodes && a == algo =>
-        (it, comps) }.get
+      .map(_.split(",")).map(f => (f(0), f(1).toInt, f(8).toInt, f(3), f(4).toInt, f(6).toInt))
+    def ref(exp: String, nodes: Int, inter: Int): (Int, Int) =
+      rows.collectFirst {
+        case (e, n, ie, a, it, comps)
+          if e == exp && n == nodes && ie == inter && a == "Basic" => (it, comps)
+      }.get
 
     val cases = Seq(
-      ("random_graph", Generators.randomGraph(2000, 6000), 2000),
-      ("cluster_graph", Generators.clusterGraph(10, 50, 9), 500),
-      ("cluster_graph", Generators.clusterGraph(20, 50, 19), 1000))
-    for ((exp, graph, nodes) <- cases) {
+      ("random_graph", Generators.randomGraph(2000, 6000), 2000, 0),
+      ("cluster_graph", Generators.clusterGraph(10, 50, 9), 500, 9),
+      ("cluster_graph", Generators.clusterGraph(20, 50, 19), 1000, 19))
+    for ((exp, graph, nodes, inter) <- cases) {
       val r = CCF.run(Generators.toDF(spark, graph))
       val comps = CCF.componentCount(r.assignments).toInt
-      val (refIters, refComps) = ref(exp, nodes, "Basic")
-      assert((r.iterations, comps) === ((refIters, refComps)), s"$exp n=$nodes")
+      val (refIters, refComps) = ref(exp, nodes, inter)
+      assert((r.iterations, comps) === ((refIters, refComps)), s"$exp n=$nodes inter=$inter")
     }
   }
 
