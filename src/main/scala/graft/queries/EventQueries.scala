@@ -119,9 +119,11 @@ object EventQueries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
+        |  -- CAST: DuckDB SUM(int) is HUGEINT, which renders as float through
+        |  -- the comparator; BIGINT matches Spark's window-sum type exactly.
         |  SELECT user_id, ts,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -129,7 +131,7 @@ object EventQueries {
 
     "e3_json_stats" ->
       """SELECT event_type, COUNT(*) AS n,
-        |       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
 
@@ -140,9 +142,13 @@ object EventQueries {
 
     "e6_session_window" ->
       """WITH flagged AS (
+        |  -- >= (not >): Spark's session_window end is EXCLUSIVE — an event at
+        |  -- exactly lastTs + 30min starts a new session. e2's lag/cumsum
+        |  -- formulation intentionally keeps the strict-> boundary on both
+        |  -- engines; only this native-session-window twin uses >=.
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
-        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000 THEN 1
         |         ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -201,13 +201,17 @@ object RelationalQueries {
         .intersect(sup(s, d).select(col("s_nationkey").as("nationkey")))),
 
     // Array aggregation: per-order sorted distinct part list + array ops.
+    // The array itself is serialized to CSV for the gate: the driver's
+    // pandas-based comparator cannot hash a raw array column, and the CSV
+    // keeps value-level checking of every element (members_csv pattern,
+    // GraphQueries).
     "q20_array_agg" -> ((s, d) =>
       li(s, d)
         .groupBy("l_orderkey")
         .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
         .select(
           col("l_orderkey"),
-          col("parts"),
+          array_join(col("parts"), ",").as("parts_csv"),
           size(col("parts")).as("n_parts"),
           element_at(col("parts"), 1).as("first_part"))),
 
@@ -399,7 +403,7 @@ object RelationalQueries {
 
     "q20_array_agg" ->
       """SELECT l_orderkey,
-        |       list_sort(list_distinct(list(l_partkey))) AS parts,
+        |       array_to_string(list_sort(list_distinct(list(l_partkey))), ',') AS parts_csv,
         |       CAST(len(list_sort(list_distinct(list(l_partkey)))) AS INT) AS n_parts,
         |       list_sort(list_distinct(list(l_partkey)))[1] AS first_part
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
