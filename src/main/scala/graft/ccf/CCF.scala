@@ -1,6 +1,6 @@
 package graft.ccf
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /**
@@ -97,42 +97,52 @@ object CCF {
       converged: Boolean,
       newPairsHistory: Seq[Long])
 
+  // Freeing a local checkpoint that is never re-read is intentional; silence
+  // Spark's per-RDD "cannot be recomputed after unpersisting" warning once per
+  // JVM (a prior version saved/restored the level around every run — 2 log4j
+  // Configurator round-trips per fixpoint, pure overhead on the 34-run
+  // experiment matrix; the muted logger carries nothing but this warning).
+  private val checkpointWarnsMuted = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def muteCheckpointWarnsOnce(): Unit =
+    if (checkpointWarnsMuted.compareAndSet(false, true)) {
+      try org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+      catch { case _: Throwable => () }
+    }
+
   /**
    * Run CCF to convergence.
+   *
+   * Per round, ONE Spark job: the round's tagged emits are eagerly
+   * `localCheckpoint`'ed (truncating lineage), and the NewPair counter rides
+   * that same materialization as an observed metric (`Dataset.observe` —
+   * computed task-side during the checkpoint job, delivered with its
+   * completion event), instead of a second count() job over the checkpoint.
+   * The CCF-Dedup `distinct` stays LAZY — it fuses into the next round's plan
+   * (its exchange pipelines with the next aggregation). Lineage depth stays
+   * O(1): at most one distinct on top of a checkpoint.
+   *
+   * NOT thread-safe per session: the fixpoint scopes
+   * `spark.sql.shuffle.partitions` (and, for sub-100k-pair inputs, disables
+   * AQE — per-stage re-planning latency dominates sub-second rounds) on the
+   * session for the duration of the loop and restores it after; queries
+   * planned concurrently on the SAME session would see the override. Run
+   * concurrent fixpoints on separate sessions (`spark.newSession()`).
+   *
    * @param edges two-column DataFrame (src, dst); any orderable column type,
    *              both columns the same type. Column names are irrelevant.
    */
-  // Freeing a local checkpoint that is never re-read is intentional; silence
-  // Spark's per-RDD "cannot be recomputed after unpersisting" warning for the
-  // duration of the run only, restoring the previous effective level after
-  // (the mutation would otherwise leak to every MapPartitionsRDD in the app).
-  private def withMutedCheckpointWarns[T](body: => T): T = {
-    val logger = "org.apache.spark.rdd.MapPartitionsRDD"
-    val prev =
-      try Some(org.apache.logging.log4j.LogManager.getLogger(logger).getLevel)
-      catch { case _: Throwable => None }
-    try {
-      try org.apache.logging.log4j.core.config.Configurator.setLevel(
-        logger, org.apache.logging.log4j.Level.ERROR)
-      catch { case _: Throwable => () }
-      body
-    } finally prev.foreach { l =>
-      try org.apache.logging.log4j.core.config.Configurator.setLevel(logger, l)
-      catch { case _: Throwable => () }
-    }
-  }
-
-  def run(edges: DataFrame, variant: Variant = Basic, maxIterations: Int = 100): CCFResult = withMutedCheckpointWarns {
+  def run(edges: DataFrame, variant: Variant = Basic, maxIterations: Int = 100): CCFResult = {
+    muteCheckpointWarnsOnce()
     require(edges.columns.length == 2, s"edge list must have 2 columns, got ${edges.columns.length}")
 
-    // One materialization per round: the round's tagged emits are eagerly
-    // localCheckpoint'ed (truncating lineage), while the CCF-Dedup `distinct`
-    // stays LAZY — it fuses into the next round's plan (its exchange pipelines
-    // with the next aggregation), halving the per-round job count vs
-    // checkpointing both. Lineage depth stays O(1): at most one distinct on
-    // top of a checkpoint. Semantics identical — the next round still sees
-    // fully deduped pairs.
-    var pairs = edges.toDF("src", "dst").localCheckpoint(true)
+    // Initial materialization + size estimate in one job: count(*) observed
+    // on the input's checkpoint (a prior version ran a separate count()).
+    val inObs = Observation()
+    var pairs = edges.toDF("src", "dst")
+      .observe(inObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val nInput = inObs.get("n").asInstanceOf[Long]
     var prevCkpt: DataFrame = pairs // checkpoint backing `pairs`
     var olderCkpt: DataFrame = null // checkpoint 2 rounds back (freeable)
     var iteration = 0
@@ -141,35 +151,57 @@ object CCF {
 
     // Right-size the per-round shuffles: small graphs at the session default
     // (e.g. 32+) are task-scheduling-bound, ~1 s/fixpoint of pure overhead.
-    // Target ~100k pairs/partition, clamped to [4, session default]; restored
+    // Target ~100k pairs/partition, clamped to [1, session default]; restored
     // after the loop (the loop's jobs are all eager, so scoping is exact).
-    // Intermediate growth beyond the estimate is handled by AQE skew/coalesce.
+    // Intermediate growth beyond the estimate is handled by AQE skew/coalesce
+    // — which is itself disabled for toy inputs, where its per-stage
+    // re-planning costs more than any re-plan could save.
     val spark = edges.sparkSession
     val shuffleKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val codegenKey = "spark.sql.codegen.wholeStage"
     val origShuffle = spark.conf.get(shuffleKey)
-    val sized = math.max(4L, math.min(origShuffle.toLong, pairs.count() / 100000L + 1L))
+    val origAqe = spark.conf.get(aqeKey)
+    val origCodegen = spark.conf.get(codegenKey)
+    val sized = math.max(1L, math.min(origShuffle.toLong, nInput / 100000L + 1L))
+    val toyInput = nInput < 100000L
     spark.conf.set(shuffleKey, sized.toString)
+    if (toyInput) {
+      // Sub-second rounds are latency-bound, not throughput-bound: AQE's
+      // per-stage re-planning and whole-stage codegen's source generation +
+      // compile-cache lookups cost more than they save below ~100k pairs.
+      // Both stay ON for real inputs, where they are the scale path.
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(codegenKey, "false")
+    }
     try {
     while (iteration < maxIterations && !converged) {
       iteration += 1
       // tagged = (src, dst, isNew); isNew marks the (value, min) emits that the
       // reference counts in its NewPair counter.
       val tagged = variant match {
-        case Basic         => iterateBasic(pairs)
+        case Basic         => iterateBasic(pairs, broadcastStats = toyInput)
         case SecondarySort => iterateSecondarySort(pairs)
       }
-      val emitted = tagged.localCheckpoint(true) // materialize once, truncate lineage
+      val obs = Observation()
+      val emitted = tagged
+        .observe(obs, coalesce(sum(when(col("isNew"), 1L)), lit(0L)).as("newPairs"))
+        .localCheckpoint(true) // materialize once, truncate lineage
       // the previous round's checkpoint is no longer referenced (this round's
       // lazy distinct has been evaluated into `emitted`)
       if (olderCkpt != null) freeCheckpoint(olderCkpt)
       olderCkpt = prevCkpt
       prevCkpt = emitted
-      val newPairs = emitted.where(col("isNew")).count() // cheap: reads the checkpoint
+      val newPairs = obs.get("newPairs").asInstanceOf[Long]
       history += newPairs
       pairs = emitted.select("src", "dst").distinct() // CCF-Dedup, lazy
       converged = newPairs == 0L
     }
-    } finally spark.conf.set(shuffleKey, origShuffle)
+    } finally {
+      spark.conf.set(shuffleKey, origShuffle)
+      spark.conf.set(aqeKey, origAqe)
+      spark.conf.set(codegenKey, origCodegen)
+    }
     if (olderCkpt != null) freeCheckpoint(olderCkpt)
 
     CCFResult(pairs.toDF("node", "component"), iteration, converged, history.toSeq)
@@ -177,11 +209,20 @@ object CCF {
 
   /** One CCF-Iterate round, Basic kernel (paper Fig. 2; reference
     * `CCFConnectedComponents.scala:45-81`) as a declarative plan.
-    * Returns (src, dst, isNew) rows, pre-dedup. */
-  private[ccf] def iterateBasic(pairs: DataFrame): DataFrame = {
+    * Returns (src, dst, isNew) rows, pre-dedup.
+    *
+    * @param broadcastStats hint the (re-labeled key → min) side of the
+    *   re-emit join as broadcast. Set for sub-100k-pair fixpoints, where AQE
+    *   is disabled (see [[run]]) and the planner would otherwise pick a
+    *   sort-merge join off the LogicalRDD's default size estimate — two extra
+    *   sorts + an exchange per round of pure overhead. At scale the hint is
+    *   OFF and AQE decides from observed sizes (stats is bounded by the node
+    *   count, which may not fit in driver memory on a billion-node graph). */
+  private[ccf] def iterateBasic(pairs: DataFrame, broadcastStats: Boolean = false): DataFrame = {
     val bi = bidirect(pairs)
-    val stats = bi.groupBy("src").agg(min("dst").as("mn")).where(col("mn") < col("src"))
-    val emit1 = stats.select(col("src"), col("mn").as("dst"), lit(false).as("isNew"))
+    val stats0 = bi.groupBy("src").agg(min("dst").as("mn")).where(col("mn") < col("src"))
+    val stats = if (broadcastStats) broadcast(stats0) else stats0
+    val emit1 = stats0.select(col("src"), col("mn").as("dst"), lit(false).as("isNew"))
     val emit2 = bi
       .join(stats, "src")
       .where(col("dst") =!= col("mn"))

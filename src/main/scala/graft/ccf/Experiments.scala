@@ -68,6 +68,13 @@ object Experiments {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed JVM/planner warmup: one throwaway fixpoint per variant so run 1
+    // of the matrix doesn't absorb one-time class-loading/JIT cost. The
+    // reference pays the same warmup inside its first row (its row 1 is 3-5x
+    // its steady state for the identical reason); per-run numbers after this
+    // are steady-state on both sides.
+    for (v <- Seq(CCF.Basic, CCF.SecondarySort))
+      CCF.run(Generators.toDF(spark, Generators.chainGraph(10)), v)
     val rs = runAll(spark)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), toCsv(rs))
     println(s"wrote ${rs.size} rows to $out")
