@@ -148,6 +148,11 @@ object CCF {
     var iteration = 0
     var converged = false
     val history = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // true iff the SecondarySort variant uses a streaming kernel for this key
+    // type (string/long/int) — the types whose between-round dedup can ride
+    // the kernel's sort shuffle instead of a separate distinct.
+    val ssStreams = Set("string", "long", "integer")
+      .contains(pairs.schema.fields(0).dataType.typeName)
 
     // Right-size the per-round shuffles: small graphs at the session default
     // (e.g. 32+) are task-scheduling-bound, ~1 s/fixpoint of pure overhead.
@@ -181,7 +186,7 @@ object CCF {
       // reference counts in its NewPair counter.
       val tagged = variant match {
         case Basic         => iterateBasic(pairs, broadcastStats = toyInput)
-        case SecondarySort => iterateSecondarySort(pairs)
+        case SecondarySort => iterateSecondarySort(pairs, dedupAdjacent = iteration > 1)
       }
       val obs = Observation()
       val emitted = tagged
@@ -194,7 +199,17 @@ object CCF {
       prevCkpt = emitted
       val newPairs = obs.get("newPairs").asInstanceOf[Long]
       history += newPairs
-      pairs = emitted.select("src", "dst").distinct() // CCF-Dedup, lazy
+      // CCF-Dedup. Basic: a lazy distinct that fuses into the next round's
+      // plan. SecondarySort: the dedup RIDES the kernel's own sort shuffle —
+      // round-2+ emits are single-orientation (src > dst always), so after
+      // repartition-by-key + sort-within-partitions duplicates are adjacent
+      // and the streaming reducer skips them (dedupAdjacent above), which is
+      // exactly distinct-then-shuffle semantics minus one full shuffle per
+      // round. The final result is distinct-ed below.
+      pairs = variant match {
+        case SecondarySort if ssStreams => emitted.select("src", "dst")
+        case _ => emitted.select("src", "dst").distinct()
+      }
       converged = newPairs == 0L
     }
     } finally {
@@ -204,7 +219,14 @@ object CCF {
     }
     if (olderCkpt != null) freeCheckpoint(olderCkpt)
 
-    CCFResult(pairs.toDF("node", "component"), iteration, converged, history.toSeq)
+    // SS's between-round pairs are pre-dedup (see above); the converged final
+    // emit set is one (key, min) row per key — already distinct — but dedup
+    // defensively for the maxIterations-without-convergence path.
+    val assignments = variant match {
+      case SecondarySort if ssStreams => pairs.distinct()
+      case _ => pairs
+    }
+    CCFResult(assignments.toDF("node", "component"), iteration, converged, history.toSeq)
   }
 
   /** One CCF-Iterate round, Basic kernel (paper Fig. 2; reference
@@ -240,16 +262,24 @@ object CCF {
    * justified here (SURVEY.md §7.3 escape hatch): the semantics are genuinely
    * per-group imperative streaming, and this variant exists precisely to
    * demonstrate the O(1)-memory shape.
+   *
+   * @param dedupAdjacent CCF-Dedup fused into the streaming reducer: the
+   *   caller passes PRE-dedup pairs (skipping the separate distinct shuffle)
+   *   and the reducer drops duplicate values, which the sort has made
+   *   adjacent — the MapReduce-combiner move, one full shuffle per round
+   *   cheaper. Only valid from round 2 on (emits are single-orientation
+   *   src > dst, so ordered-pair dedup == pair dedup); round 1 must count
+   *   per-occurrence on raw input exactly like the reference's first iterate.
    */
-  private[ccf] def iterateSecondarySort(pairs: DataFrame): DataFrame =
+  private[ccf] def iterateSecondarySort(pairs: DataFrame, dedupAdjacent: Boolean = false): DataFrame =
     pairs.schema.fields(0).dataType.typeName match {
-      case "string" => secondarySortString(pairs)
-      case "long"   => secondarySortLong(pairs)
+      case "string" => secondarySortString(pairs, dedupAdjacent)
+      case "long"   => secondarySortLong(pairs, dedupAdjacent)
       case "integer" =>
         // Run the long kernel, then cast back so both variants return the
         // input's column type (int32-keyed graphs would otherwise diverge
         // from the Basic variant's schema).
-        secondarySortLong(pairs).select(
+        secondarySortLong(pairs, dedupAdjacent).select(
           col("src").cast("int").as("src"),
           col("dst").cast("int").as("dst"),
           col("isNew"))
@@ -269,7 +299,7 @@ object CCF {
       }
     } catch { case _: Throwable => () } // best-effort; ContextCleaner is the backstop
 
-  private def secondarySortString(pairs: DataFrame): DataFrame = {
+  private def secondarySortString(pairs: DataFrame, dedupAdjacent: Boolean): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val bi = bidirect(pairs).as[(String, String)]
@@ -278,12 +308,12 @@ object CCF {
       .sortWithinPartitions(col("src"), col("dst"))
       .as[(String, String)]
     val out = sorted.mapPartitions { it =>
-      streamGroups[String](it)(Ordering.String)
+      streamGroups[String](it, dedupAdjacent)(Ordering.String)
     }
     out.toDF("src", "dst", "isNew")
   }
 
-  private def secondarySortLong(pairs: DataFrame): DataFrame = {
+  private def secondarySortLong(pairs: DataFrame, dedupAdjacent: Boolean): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val bi = bidirect(pairs.select(col("src").cast("long"), col("dst").cast("long"))).as[(Long, Long)]
@@ -292,20 +322,23 @@ object CCF {
       .sortWithinPartitions(col("src"), col("dst"))
       .as[(Long, Long)]
     val out = sorted.mapPartitions { it =>
-      streamGroups[Long](it)(Ordering.Long)
+      streamGroups[Long](it, dedupAdjacent)(Ordering.Long)
     }
     out.toDF("src", "dst", "isNew")
   }
 
   /** Stream a (key, value) iterator sorted by (key, value): per group, head
     * value is the min; emit (key, min) then (value, min) for the rest — exactly
-    * the paper's Fig. 3 reducer, O(1) memory. */
-  private def streamGroups[K](it: Iterator[(K, K)])(implicit ord: Ordering[K]): Iterator[(K, K, Boolean)] = {
+    * the paper's Fig. 3 reducer, O(1) memory. With `dedupAdjacent`, duplicate
+    * values within a group (adjacent after the sort) are emitted once — the
+    * fused CCF-Dedup (see [[iterateSecondarySort]]). */
+  private def streamGroups[K](it: Iterator[(K, K)], dedupAdjacent: Boolean = false)(implicit ord: Ordering[K]): Iterator[(K, K, Boolean)] = {
     new Iterator[(K, K, Boolean)] {
       private var nextRow: (K, K, Boolean) = _
       private var cur: Option[(K, K)] = if (it.hasNext) Some(it.next()) else None
       private var groupKey: K = _
       private var groupMin: K = _
+      private var prevVal: K = _ // last value seen in the group (sorted: dups adjacent)
       private var inGroup = false // emitting (value, min) tail of a re-labeled group
 
       private def advance(): Boolean = {
@@ -314,7 +347,9 @@ object CCF {
             cur match {
               case Some((k, v)) if k == groupKey =>
                 cur = if (it.hasNext) Some(it.next()) else None
-                if (!ord.equiv(v, groupMin)) { nextRow = (v, groupMin, true); return true }
+                val dup = dedupAdjacent && ord.equiv(v, prevVal)
+                prevVal = v
+                if (!dup && !ord.equiv(v, groupMin)) { nextRow = (v, groupMin, true); return true }
               case _ => inGroup = false
             }
           } else {
@@ -322,7 +357,7 @@ object CCF {
               case None => return false
               case Some((k, v)) =>
                 // start of a new group; v is the min (sorted within key)
-                groupKey = k; groupMin = v
+                groupKey = k; groupMin = v; prevVal = v
                 cur = if (it.hasNext) Some(it.next()) else None
                 if (ord.lt(groupMin, k)) {
                   inGroup = true

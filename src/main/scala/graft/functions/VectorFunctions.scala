@@ -312,6 +312,98 @@ object LshBucket {
   }
 }
 
+/**
+ * Native Catalyst expression computing the full MinHash signature in ONE pass
+ * over the shingle-hash array: for each input hash h, update all `numHashes`
+ * running minima of (a_j*h + b_j) % mod. Replaces `numHashes` interpreted
+ * `array_min(transform(...))` passes (Spark HOFs are CodegenFallback), which
+ * made the MinHash+LSH pipeline the dedup family's bench bottleneck — 32
+ * array materializations + interpreted folds per document vs one tight loop.
+ *
+ * The affine coefficients are derived HERE (companion `coeffA`/`coeffB`) and
+ * consumed by both engines: the Spark expression and the DuckDB oracle SQL
+ * generator (`TextFunctions.HashA/HashB` delegate to the same formulas), so
+ * cross-engine results stay bit-identical by construction.
+ *
+ * Semantics match the replaced pipeline exactly: an empty input array yields
+ * an all-null signature (array_min of an empty array is null); a_j*h + b_j
+ * stays < 2^63 because mod < 2^30.
+ */
+case class MinHashSignature(child: Expression, numHashes: Int, mod: Long) extends Expression {
+
+  override def prettyName: String = "graft_minhash_sig"
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MinHashSignature.compute(v.asInstanceOf[ArrayData], numHashes, mod)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+         |${c.code}
+         |boolean ${ev.isNull} = ${c.isNull};
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.functions.MinHashSignature.compute(${c.value}, $numHashes, ${mod}L);
+         |}
+       """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object MinHashSignature {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Deterministic per-hash affine params (a_i odd, both < mod), from Knuth's
+    * multiplicative constant — the single source for both engines. */
+  def coeffA(i: Int, mod: Long): Long = ((2L * i + 1L) * 2654435761L) % mod
+  def coeffB(i: Int, mod: Long): Long = ((i + 1L) * 40503L * 65537L) % mod
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+
+  private def coeffs(numHashes: Int, mod: Long): (Array[Long], Array[Long]) =
+    cache.computeIfAbsent((numHashes, mod), { case (n, m) =>
+      (Array.tabulate(n)(coeffA(_, m)), Array.tabulate(n)(coeffB(_, m)))
+    })
+
+  def compute(sh: ArrayData, numHashes: Int, mod: Long): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill[Any](numHashes)(null))
+    val (a, b) = coeffs(numHashes, mod)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = sh.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = (a(j) * h + b(j)) % mod
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
 /** Public column API for the custom vector expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.functions.sqrt
@@ -334,4 +426,8 @@ object VectorFunctions {
   /** Codegen'd random-hyperplane LSH bucket (see [[LshBucket]]). */
   def lshBucket(v: Column, numPlanes: Int, dim: Int): Column =
     Bridge.column(LshBucket(Bridge.expression(v), numPlanes, dim))
+
+  /** Codegen'd one-pass MinHash signature (see [[MinHashSignature]]). */
+  def minhashSig(sh: Column, numHashes: Int, mod: Long): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(sh), numHashes, mod))
 }

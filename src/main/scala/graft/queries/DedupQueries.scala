@@ -94,10 +94,9 @@ object DedupQueries {
     // MinHash + LSH banding: constant-size signatures, band-bucket join for
     // candidates, exact-Jaccard verification. 8 bands x 4 rows: P(candidate)
     // = 1-(1-j^4)^8 — near-certain recall at the ≥0.9 planted dups.
-    // Staged projections matter: shingle hashes and the signature are bound
-    // columns of their own Project steps, so the (interpreted, non-CSE'd)
-    // higher-order hash folds run once per doc instead of 32x inlined —
-    // CollapseProject keeps non-cheap producer exprs staged.
+    // Signature = one codegen'd pass (graft.functions.MinHashSignature)
+    // updating 32 running minima per doc; staged in its own Project so the
+    // band slices below reference the bound column, not 8 recomputations.
     "d3_minhash_lsh" -> ((s, d) => {
       val sh = shingleSets(s, d) // already hashed shingles
       val sig = sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
@@ -133,13 +132,29 @@ object DedupQueries {
         .agg(simhashBitSums(col("h")).head, simhashBitSums(col("h")).tail: _*)
         .select(col("doc_id"), simhashFromBitSums.as("simhash"))),
 
-    // SimHash near-dup pairs: hamming distance via bit_count(xor) ≤ 1.
+    // SimHash near-dup pairs: hamming distance via bit_count(xor) ≤ 1,
+    // found by hamming-banding (pigeonhole): split the 32-bit fingerprint
+    // into two 16-bit chunks — any pair at hamming ≤ 1 differs in at most
+    // one chunk, so it agrees EXACTLY on the other. Equi-join on
+    // (chunk_idx, chunk_value) yields every qualifying pair (this is exact
+    // recall, not approximate), then verify the full distance. Shuffles
+    // O(docs x 2) rows keyed by chunk instead of the n²/2 nested-loop the
+    // pair predicate alone would plan — the scale path at 100 TB. Pairs at
+    // hamming 0 match on both chunks, hence the final distinct.
     "d4_simhash_pairs" -> ((s, d) => {
       val sh = defs("d4_simhash")(s, d)
-      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      val chunks = sh.select(col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("ci"), col("simhash").bitwiseAND(lit(65535L)).as("cv")),
+          struct(lit(1).as("ci"), shiftright(col("simhash"), 16).as("cv")))).as("c"))
+        .select(col("doc_id"), col("simhash"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+      chunks.as("a").join(chunks.as("b"),
+          col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+            col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
         .where(col("hamming") <= 1)
+        .distinct()
     }),
 
     // Near-dup CLUSTERS: CCF connected components over the similarity-pair

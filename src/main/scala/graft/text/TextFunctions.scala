@@ -34,10 +34,13 @@ object TextFunctions {
   val NumBands = 8
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** Deterministic per-hash affine params (a_i odd, both < HashP), derived
-    * from Knuth's multiplicative constant — shared verbatim by both engines. */
-  val HashA: IndexedSeq[Long] = (0 until NumHashes).map(i => ((2 * i + 1) * 2654435761L) % HashP)
-  val HashB: IndexedSeq[Long] = (0 until NumHashes).map(i => ((i + 1) * 40503L * 65537L) % HashP)
+  /** Deterministic per-hash affine params (a_i odd, both < HashP) — derived in
+    * [[graft.functions.MinHashSignature]] (Knuth's multiplicative constant),
+    * the single source shared by the codegen expression and the oracle SQL. */
+  val HashA: IndexedSeq[Long] =
+    (0 until NumHashes).map(graft.functions.MinHashSignature.coeffA(_, HashP))
+  val HashB: IndexedSeq[Long] =
+    (0 until NumHashes).map(graft.functions.MinHashSignature.coeffB(_, HashP))
 
   /** SimHash width (bits). 32 keeps every intermediate in safe BIGINT range
     * on both engines. */
@@ -83,11 +86,13 @@ object TextFunctions {
 
   // ---------------------------------------------------------------- minhash
 
-  /** MinHash signature (array of NumHashes longs) over a shingle-hash array. */
+  /** MinHash signature (array of NumHashes longs) over a shingle-hash array.
+    * One codegen'd pass ([[graft.functions.MinHashSignature]]) — the
+    * equivalent NumHashes x `array_min(transform(...))` higher-order pipeline
+    * is CodegenFallback (interpreted) and was the dedup family's bench
+    * bottleneck (~10x slower). */
   def minhashSignature(shingleHashes: Column): Column =
-    array((0 until NumHashes).map { j =>
-      array_min(transform(shingleHashes, h => (lit(HashA(j)) * h + lit(HashB(j))) % HashP))
-    }: _*)
+    graft.functions.VectorFunctions.minhashSig(shingleHashes, NumHashes, HashP)
 
   def minhashSignatureSql(shingleHashes: String): String =
     (0 until NumHashes).map { j =>

@@ -76,6 +76,29 @@ class VectorFunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
+  test("MinHashSignature == NumHashes x array_min(transform(...)) passes") {
+    val P = TextFunctions.HashP
+    val n = TextFunctions.NumHashes
+    val docs = graft.sources.Tables.documents(spark, sf()).limit(50)
+    val sh = docs.select(VectorFunctions.shingleHashes(col("text"), 3, P).as("sh"))
+      .where(size(col("sh")) > 0)
+    val ref = array((0 until n).map { j =>
+      array_min(transform(col("sh"),
+        h => (lit(TextFunctions.HashA(j)) * h + lit(TextFunctions.HashB(j))) % P))
+    }: _*)
+    val rows = sh.select(
+      VectorFunctions.minhashSig(col("sh"), n, P).as("fast"), ref.as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("MinHashSignature edge cases: empty array -> all-null signature, null -> null") {
+    val df = Seq(Some(Seq.empty[Long]), None).toDF("sh")
+    val rows = df.select(VectorFunctions.minhashSig(col("sh"), 4, 1000003L)).collect()
+    assert(rows(0).getSeq[Any](0) === Seq(null, null, null, null))
+    assert(rows(1).isNullAt(0))
+  }
+
   test("null propagation") {
     val df = Seq((Option.empty[String], Option.empty[Seq[Float]])).toDF("s", "v")
     val r = df.select(

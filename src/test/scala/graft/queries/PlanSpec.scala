@@ -61,6 +61,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d4_simhash_pairs: hamming-banded equi-join, no nested-loop all-pairs") {
+    val p = plan(graft.SparkEntry.queries("d4_simhash_pairs")(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("vector ops use the codegen DotProduct expression") {
     val p = plan(DedupQueries.defs("d5_embedding_neardup")(spark, sf()))
     assert(p.contains("graft_dot"), p)
