@@ -139,10 +139,15 @@ object CCF {
     // Initial materialization + size estimate in one job: count(*) observed
     // on the input's checkpoint (a prior version ran a separate count()).
     val inObs = Observation()
-    var pairs = edges.toDF("src", "dst")
+    val inCkpt = edges.toDF("src", "dst")
       .observe(inObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
     val nInput = inObs.get("n").asInstanceOf[Long]
+    // Reset the checkpoint's carried-over Statistics to the observed truth —
+    // localCheckpoint copies the origin plan's ESTIMATE, and per-round join
+    // estimates compound (square) across checkpoints until planning time
+    // drowns in BigInteger arithmetic (see Bridge.withStats).
+    var pairs = org.apache.spark.sql.graft.Bridge.withStats(inCkpt, nInput)
     var prevCkpt: DataFrame = pairs // checkpoint backing `pairs`
     var olderCkpt: DataFrame = null // checkpoint 2 rounds back (freeable)
     var iteration = 0
@@ -165,9 +170,13 @@ object CCF {
     val shuffleKey = "spark.sql.shuffle.partitions"
     val aqeKey = "spark.sql.adaptive.enabled"
     val codegenKey = "spark.sql.codegen.wholeStage"
+    val broadcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val preferSmjKey = "spark.sql.join.preferSortMergeJoin"
     val origShuffle = spark.conf.get(shuffleKey)
     val origAqe = spark.conf.get(aqeKey)
     val origCodegen = spark.conf.get(codegenKey)
+    val origBroadcast = spark.conf.get(broadcastKey)
+    val origPreferSmj = spark.conf.get(preferSmjKey)
     val sized = math.max(1L, math.min(origShuffle.toLong, nInput / 100000L + 1L))
     val toyInput = nInput < 100000L
     spark.conf.set(shuffleKey, sized.toString)
@@ -178,6 +187,13 @@ object CCF {
       // Both stay ON for real inputs, where they are the scale path.
       spark.conf.set(aqeKey, "false")
       spark.conf.set(codegenKey, "false")
+      // Prefer a shuffled-hash join over broadcast for the re-emit join: at
+      // toy scale the broadcast's driver collect+publish round-trip per round
+      // costs more than the 1-partition hash join, whose probe-side exchange
+      // is REUSED from the min-aggregation's shuffle (same key) — the round
+      // collapses to one map + one reduce stage, the reference's MR shape.
+      spark.conf.set(broadcastKey, "-1")
+      spark.conf.set(preferSmjKey, "false")
     }
     try {
     while (iteration < maxIterations && !converged) {
@@ -185,20 +201,33 @@ object CCF {
       // tagged = (src, dst, isNew); isNew marks the (value, min) emits that the
       // reference counts in its NewPair counter.
       val tagged = variant match {
-        case Basic         => iterateBasic(pairs, broadcastStats = toyInput)
+        case Basic         => iterateBasic(pairs)
         case SecondarySort => iterateSecondarySort(pairs, dedupAdjacent = iteration > 1)
       }
       val obs = Observation()
-      val emitted = tagged
-        .observe(obs, coalesce(sum(when(col("isNew"), 1L)), lit(0L)).as("newPairs"))
+      val emitted0 = tagged
+        .observe(obs, coalesce(sum(when(col("isNew"), 1L)), lit(0L)).as("newPairs"),
+          count(lit(1)).as("rows"))
         .localCheckpoint(true) // materialize once, truncate lineage
       // the previous round's checkpoint is no longer referenced (this round's
       // lazy distinct has been evaluated into `emitted`)
       if (olderCkpt != null) freeCheckpoint(olderCkpt)
       olderCkpt = prevCkpt
-      prevCkpt = emitted
+      prevCkpt = emitted0
       val newPairs = obs.get("newPairs").asInstanceOf[Long]
+      val rows = obs.get("rows").asInstanceOf[Long]
+      // observed row count → exact leaf stats (anti-compounding, see above)
+      val emitted = org.apache.spark.sql.graft.Bridge.withStats(emitted0, rows)
       history += newPairs
+      // Re-size next round's shuffles from the OBSERVED pair count: the
+      // intermediate pair set can blow up orders of magnitude past the input
+      // (string-keyed chains — see the class scaladoc), and a partition count
+      // sized once from the input would serialize those rounds. This is the
+      // latency path's stand-in for AQE (disabled for toy inputs above); with
+      // AQE on, its coalescing does the same from runtime stats.
+      val resized = math.max(1L, math.min(origShuffle.toLong, rows / 32000L + 1L))
+      if (resized != spark.conf.get(shuffleKey).toLong)
+        spark.conf.set(shuffleKey, resized.toString)
       // CCF-Dedup. Basic: a lazy distinct that fuses into the next round's
       // plan. SecondarySort: the dedup RIDES the kernel's own sort shuffle —
       // round-2+ emits are single-orientation (src > dst always), so after
@@ -216,6 +245,8 @@ object CCF {
       spark.conf.set(shuffleKey, origShuffle)
       spark.conf.set(aqeKey, origAqe)
       spark.conf.set(codegenKey, origCodegen)
+      spark.conf.set(broadcastKey, origBroadcast)
+      spark.conf.set(preferSmjKey, origPreferSmj)
     }
     if (olderCkpt != null) freeCheckpoint(olderCkpt)
 
@@ -233,18 +264,17 @@ object CCF {
     * `CCFConnectedComponents.scala:45-81`) as a declarative plan.
     * Returns (src, dst, isNew) rows, pre-dedup.
     *
-    * @param broadcastStats hint the (re-labeled key → min) side of the
-    *   re-emit join as broadcast. Set for sub-100k-pair fixpoints, where AQE
-    *   is disabled (see [[run]]) and the planner would otherwise pick a
-    *   sort-merge join off the LogicalRDD's default size estimate — two extra
-    *   sorts + an exchange per round of pure overhead. At scale the hint is
-    *   OFF and AQE decides from observed sizes (stats is bounded by the node
-    *   count, which may not fit in driver memory on a billion-node graph). */
-  private[ccf] def iterateBasic(pairs: DataFrame, broadcastStats: Boolean = false): DataFrame = {
+    * Join strategy for the re-emit join (bi ⋈ stats on src) is left to the
+    * planner: at scale, AQE picks from observed sizes (stats is bounded by
+    * the node count — broadcast only if it truly fits); on sub-100k-pair
+    * fixpoints [[run]] steers it to a shuffled-hash join whose probe-side
+    * exchange is reused from the aggregation's shuffle (both hash by src),
+    * so a round is one map + one reduce stage — at toy scale a broadcast's
+    * driver collect+publish round-trip per round costs more than the join. */
+  private[ccf] def iterateBasic(pairs: DataFrame): DataFrame = {
     val bi = bidirect(pairs)
-    val stats0 = bi.groupBy("src").agg(min("dst").as("mn")).where(col("mn") < col("src"))
-    val stats = if (broadcastStats) broadcast(stats0) else stats0
-    val emit1 = stats0.select(col("src"), col("mn").as("dst"), lit(false).as("isNew"))
+    val stats = bi.groupBy("src").agg(min("dst").as("mn")).where(col("mn") < col("src"))
+    val emit1 = stats.select(col("src"), col("mn").as("dst"), lit(false).as("isNew"))
     val emit2 = bi
       .join(stats, "src")
       .where(col("dst") =!= col("mn"))
@@ -291,7 +321,7 @@ object CCF {
     * checkpointed RDD sits behind a `LogicalRDD` plan leaf; `Dataset.unpersist`
     * only knows cacheManager entries, so unpersist the RDD directly. Safe
     * because the DataFrame is never used again after this call. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[ccf] def freeCheckpoint(df: DataFrame): Unit =
     try {
       df.queryExecution.analyzed.collectLeaves().foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)

@@ -33,8 +33,11 @@ object Experiments {
         val df = Generators.toDF(spark, edges)
         val t0 = System.nanoTime()
         val r = CCF.run(df, variant)
-        val comps = CCF.componentCount(r.assignments)
+        // reference parity: the component count is computed AFTER the timer
+        // stops (`CCFExperiments.scala:128-130` — elapsed is taken before
+        // nComponents), so it is not part of the measured fixpoint either
         val secs = (System.nanoTime() - t0) / 1e9
+        val comps = CCF.componentCount(r.assignments)
         results += Result(name, nodes, edges.size, label, r.iterations, secs, comps, clusters, inter)
       }
     }

@@ -1,0 +1,134 @@
+package graft.ccf
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/**
+ * Pointer-jumping connected components — the long-diameter complement to
+ * [[CCF]], outside the reference's surface (SURVEY.md §2c; VERDICT r02 gap #3).
+ *
+ * CCF rewrites the EDGE SET each round: on long-diameter graphs the
+ * intermediate pair set doubles per round until stars collapse, peaking near
+ * n x 2^rounds (`CCF` scaladoc caveat — a 20k-node path peaks at ~40M pairs).
+ * This variant instead keeps the topology STATIC and iterates a per-node
+ * LABEL TABLE (exactly n rows, forever):
+ *
+ *   init       lab(u) = min(u, min neighbors(u))
+ *   per round  lab'(u) = min over t in N(u) ∪ {lab(u), u} of lab(t)
+ *              -- neighbor-min AND the pointer jump lab(lab(u)), one join
+ *   stop when no label changed (observed metric, same one-job-per-round
+ *   shape as CCF.run).
+ *
+ * Neighbor-min alone is hash-to-min (O(diameter) rounds); the lab(lab(u))
+ * term is path-halving — it doubles the effective propagation distance per
+ * round, giving O(log d)-ish convergence with per-round work bounded by
+ * O(|E| + |V|) — no intermediate blowup, the standard trade (pointer
+ * jumping, cf. the "Connected Components in MapReduce and Beyond" family).
+ * The price vs CCF: a per-round join of the label table against the static
+ * bidirected edge set, which CCF's self-rewriting pair set avoids on
+ * SHORT-diameter graphs. Use CCF for web/social-shaped graphs, this for
+ * paths/meshes/grid-shaped ones.
+ *
+ * Semantics match [[CCF.run]] exactly: any orderable key type, lexicographic
+ * minima for strings, representative has no output row. Fixpoint correctness:
+ * labels only decrease and stay within the component; at a fixpoint the
+ * neighbor-min condition forces lab constant across every edge, and the
+ * component minimum m keeps lab(m) = m throughout, so the constant is m.
+ *
+ * 100 TB notes: both joins hash-partition by node id; the label table is
+ * n rows regardless of round; the static bidirected edge set is checkpointed
+ * once and re-read each round (on a cluster: reliable-checkpoint / cache it).
+ * newPairsHistory reports the per-round CHANGED-LABEL count (this algorithm
+ * has no NewPair notion; the count is 0 exactly at convergence, same
+ * contract).
+ */
+object PointerJump {
+
+  def run(edges: DataFrame, maxIterations: Int = 100): CCF.CCFResult = {
+    require(edges.columns.length == 2, s"edge list must have 2 columns, got ${edges.columns.length}")
+    val spark = edges.sparkSession
+
+    // Static topology: canonical bidirected distinct edges, materialized once.
+    // withStats: reset each checkpoint's carried-over Statistics to observed
+    // truth — estimates otherwise compound (square) through the per-round
+    // joins until planning drowns in BigInteger arithmetic (Bridge.withStats).
+    val inObs = Observation()
+    val bi0 = CCF.bidirect(edges.toDF("src", "dst")).distinct()
+      .observe(inObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val nBi = inObs.get("n").asInstanceOf[Long]
+    val bi = org.apache.spark.sql.graft.Bridge.withStats(bi0, nBi)
+
+    // Same toy-input tuning as CCF.run: sub-100k-pair fixpoints are
+    // latency-bound — AQE's per-stage re-planning and codegen compile-cache
+    // lookups dominate sub-second rounds (measured: 1.7 s/round with AQE on
+    // vs ~0.2 s without, at n=5k). Scale-path defaults stay on otherwise.
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val codegenKey = "spark.sql.codegen.wholeStage"
+    val origShuffle = spark.conf.get(shuffleKey)
+    val origAqe = spark.conf.get(aqeKey)
+    val origCodegen = spark.conf.get(codegenKey)
+    val sized = math.max(1L, math.min(origShuffle.toLong, nBi / 100000L + 1L))
+    spark.conf.set(shuffleKey, sized.toString)
+    if (nBi < 100000L) {
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(codegenKey, "false")
+    }
+
+    val lblObs = Observation()
+    var lbl = org.apache.spark.sql.graft.Bridge.withStats(
+      bi.groupBy(col("src").as("node"))
+        .agg(least(col("src"), min(col("dst"))).as("lab"))
+        .observe(lblObs, count(lit(1)).as("n"))
+        .localCheckpoint(true),
+      lblObs.get("n").asInstanceOf[Long])
+    // the label table is exactly one row per node, every round
+    val nNodes = lblObs.get("n").asInstanceOf[Long]
+    var olderCkpt: DataFrame = null
+    var iteration = 0
+    var converged = false
+    val history = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    try {
+      while (iteration < maxIterations && !converged) {
+        iteration += 1
+        // ONE lookup join serves both steps: look up the labels of
+        // N(u) ∪ {lab(u)} — the neighbor-min AND the pointer jump
+        // (lab(lab(u))) — then take the running min. Fixpoint condition is
+        // identical to applying the two steps separately: lab(u) ≤ lab(v)
+        // for every neighbor v and lab(u) ≤ lab(lab(u)).
+        val targets = bi.unionAll(lbl.select(col("node").as("src"), col("lab").as("dst")))
+        val lt = lbl.select(col("node").as("_t"), col("lab").as("_tl"))
+        // inner joins are total: every target is a node id, every node has a row
+        val looked = targets.join(lt, col("dst") === col("_t"))
+          .groupBy(col("src"))
+          .agg(min(col("_tl")).as("nm"))
+        val obs = Observation()
+        val next = org.apache.spark.sql.graft.Bridge.withStats(
+          lbl.join(looked, col("node") === col("src"))
+            .select(col("node"), col("lab"), least(col("lab"), col("nm")).as("newlab"))
+            .observe(obs, coalesce(sum(when(col("newlab") =!= col("lab"), 1L)), lit(0L)).as("changed"))
+            .select(col("node"), col("newlab").as("lab"))
+            .localCheckpoint(true),
+          nNodes)
+        if (olderCkpt != null) CCF.freeCheckpoint(olderCkpt)
+        olderCkpt = lbl
+        lbl = next
+        val changed = obs.get("changed").asInstanceOf[Long]
+        history += changed
+        converged = changed == 0L
+      }
+    } finally {
+      spark.conf.set(shuffleKey, origShuffle)
+      spark.conf.set(aqeKey, origAqe)
+      spark.conf.set(codegenKey, origCodegen)
+    }
+    if (olderCkpt != null) CCF.freeCheckpoint(olderCkpt)
+    CCF.freeCheckpoint(bi)
+
+    val assignments = lbl.where(col("lab") =!= col("node"))
+      .select(col("node"), col("lab").as("component"))
+    CCF.CCFResult(assignments, iteration, converged, history.toSeq)
+  }
+}

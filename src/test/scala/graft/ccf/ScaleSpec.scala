@@ -1,6 +1,7 @@
 package graft.ccf
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Scale-shape smoke tests: the distributed generators + CCF on graphs well
   * past the reference's sizes (its largest run is 15k edges, driver-side).
@@ -27,5 +28,28 @@ class ScaleSpec extends SparkSpec {
     assert(r.converged)
     // at density ~5 edges/node a random graph is 1 giant component whp
     assert(CCF.componentCount(r.assignments) === 1L)
+  }
+
+  test("pointer jumping agrees with CCF (fig5 + random graph)") {
+    val fig5 = Generators.toDF(spark, Seq(
+      "A" -> "B", "B" -> "D", "D" -> "E", "A" -> "C", "A" -> "E", "F" -> "G", "F" -> "H"))
+    assert(PointerJump.run(fig5).assignments.collect().toSet ===
+      CCF.run(fig5).assignments.collect().toSet)
+    val g = Generators.toDF(spark, Generators.randomGraph(500, 600, seed = 7))
+    assert(PointerJump.run(g).assignments.collect().toSet ===
+      CCF.run(g).assignments.collect().toSet)
+  }
+
+  test("pointer jumping: 20k-node STRING chain (CCF's blowup case) converges fast") {
+    // CCF on this graph peaks at ~40M intermediate pairs (scaladoc caveat);
+    // pointer jumping keeps per-round state at exactly n label rows.
+    val t0 = System.nanoTime()
+    val r = PointerJump.run(Generators.chainDF(spark, 20000))
+    assert(r.converged)
+    // lexicographic min of "0".."19999" is "0"; every other node maps to it
+    assert(r.assignments.where(col("component") === "0").count() === 19999L)
+    assert(r.assignments.count() === 19999L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, f"took $secs%.1f s")
   }
 }
