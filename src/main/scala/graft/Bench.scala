@@ -10,7 +10,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // Spark 4.1 false-positive: join -> rollup trips DetectAmbiguousSelfJoin
-      .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
       // events.ts is TIMESTAMP(NANOS): read as Long, converted in Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -14,7 +14,6 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // Spark 4.1 false-positive: any join -> rollup trips
       // DetectAmbiguousSelfJoin even with no self join (q8_rollup)
-      .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
       // events.ts is TIMESTAMP(NANOS): read as Long, converted in Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

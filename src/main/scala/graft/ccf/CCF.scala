@@ -321,7 +321,7 @@ object CCF {
     * checkpointed RDD sits behind a `LogicalRDD` plan leaf; `Dataset.unpersist`
     * only knows cacheManager entries, so unpersist the RDD directly. Safe
     * because the DataFrame is never used again after this call. */
-  private[ccf] def freeCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     try {
       df.queryExecution.analyzed.collectLeaves().foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)

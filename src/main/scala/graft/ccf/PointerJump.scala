@@ -35,6 +35,11 @@ import org.apache.spark.sql.functions._
  * neighbor-min condition forces lab constant across every edge, and the
  * component minimum m keeps lab(m) = m throughout, so the constant is m.
  *
+ * NOT thread-safe per session (same contract as [[CCF.run]]): the fixpoint
+ * scopes shuffle-partition / AQE / codegen settings on the session for the
+ * loop's duration; run concurrent fixpoints on separate sessions
+ * (`spark.newSession()`).
+ *
  * 100 TB notes: both joins hash-partition by node id; the label table is
  * n rows regardless of round; the static bidirected edge set is checkpointed
  * once and re-read each round (on a cluster: reliable-checkpoint / cache it).

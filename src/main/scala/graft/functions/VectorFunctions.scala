@@ -27,6 +27,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override def prettyName: String = "graft_dot"
   override def dataType: DataType = DoubleType
+  // null on mismatched lengths (below), regardless of child nullability
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -42,10 +44,15 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // Mismatched lengths → null, never a silent truncation: the DuckDB oracle's
+  // fixed-range fold yields NULL for a short array, and a quietly-truncated
+  // dot product would diverge across engines exactly on malformed embeddings
+  // (ADVICE r02). Null surfaces the bad row loudly in any downstream compare.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var acc = 0.0
     var i = 0
@@ -66,12 +73,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }
@@ -232,7 +243,8 @@ case class LshBucket(child: Expression, numPlanes: Int, dim: Int) extends Expres
   override def prettyName: String = "graft_lsh_bucket"
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
-  override def nullable: Boolean = child.nullable
+  // null for vectors shorter than `dim` (see eval), regardless of child
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -243,10 +255,17 @@ case class LshBucket(child: Expression, numPlanes: Int, dim: Int) extends Expres
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // Vectors shorter than `dim` → null, not a truncated-plane bucket: silent
+  // truncation would scatter malformed embeddings into valid-looking buckets
+  // and diverge from the oracle's fixed-range fold (ADVICE r02).
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else LshBucket.bucket(v.asInstanceOf[ArrayData], isFloat, numPlanes, dim)
+    else {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() < dim) null
+      else LshBucket.bucket(a, isFloat, numPlanes, dim)
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -254,7 +273,7 @@ case class LshBucket(child: Expression, numPlanes: Int, dim: Int) extends Expres
     val code =
       code"""
          |${c.code}
-         |boolean ${ev.isNull} = ${c.isNull};
+         |boolean ${ev.isNull} = ${c.isNull} || ${c.value}.numElements() < $dim;
          |int ${ev.value} = -1;
          |if (!${ev.isNull}) {
          |  ${ev.value} = graft.functions.LshBucket.bucket(${c.value}, $isFloat, $numPlanes, $dim);

@@ -48,12 +48,17 @@ object DedupQueries {
 
   /** Memoized jaccard-qualified pair set per (session, dir): d2 defines it,
     * d6 clusters it — same engine-level reuse as the CCF assignments cache
-    * (ADVICE r01). Eager checkpoint so reuse reads materialized blocks. */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    * (ADVICE r01). Eager checkpoint so reuse reads materialized blocks.
+    * Session lifecycle handled by [[SessionCache]]. */
+  private val pairsCache = new SessionCache[String]
+
+  /** Evict this session's memoized pair-set checkpoint (long-lived services). */
+  def clearCaches(s: SparkSession): Unit = pairsCache.clear(s)
+
+  private[queries] def cachedEntryCount: Int = pairsCache.size
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    pairsCache.getOrElseUpdate(s, d)({
       val ds = shingleSets(s, d)
         .select(col("doc_id"), explode(col("sh")).as("s"), size(col("sh")).as("n"))
       ds.as("a").join(ds.as("b"),

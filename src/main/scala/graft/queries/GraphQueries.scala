@@ -22,26 +22,30 @@ object GraphQueries {
     * the queries below share the same fixpoint, and re-running the iterative
     * job for each would cost 4x the round's dominant bench time (ADVICE r01).
     * The cached DataFrame is backed by an eager localCheckpoint, so reuse
-    * reads materialized blocks, not lineage. */
-  private val asgnCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    * reads materialized blocks, not lineage. Session lifecycle handled by
+    * [[SessionCache]] (UUID keys, stopped-context purge, explicit eviction). */
+  private val asgnCache = new SessionCache[(String, String)]
 
   /** Memoized canonical co-purchase edge set (the lineitem self-join), shared
     * by edge_bidirect / min_neighbor / dedup_pairs and the CCF fixpoint —
     * derived once per (session, dir), reused from materialized blocks. */
-  private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val edgeCache = new SessionCache[String]
 
   private def edges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.getOrElseUpdate((System.identityHashCode(s), dir),
+    edgeCache.getOrElseUpdate(s, dir)(
       GraphBuilders.copurchaseEdges(s, dir).localCheckpoint(true))
 
   private def assignments(s: SparkSession, dir: String, variant: CCF.Variant = CCF.Basic): DataFrame =
-    asgnCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir, variant.toString),
+    asgnCache.getOrElseUpdate(s, (dir, variant.toString))(
       // eager checkpoint so every reuse reads materialized blocks (CCF.run
       // returns a lazy final dedup over its last checkpoint)
       CCF.run(edges(s, dir), variant).assignments.localCheckpoint(true))
+
+  /** Evict this session's memoized edge/assignment checkpoints (long-lived
+    * services; one-shot Verify/Bench processes never need to call it). */
+  def clearCaches(s: SparkSession): Unit = { asgnCache.clear(s); edgeCache.clear(s) }
+
+  private[queries] def cachedEntryCount: Int = asgnCache.size + edgeCache.size
 
   /** Shared DuckDB CTE: canonical distinct co-purchase edges. Must stay in
     * lockstep with [[GraphBuilders.copurchaseEdges]]. */
@@ -71,6 +75,13 @@ object GraphQueries {
     // Variant agreement (O5): SecondarySort kernel, identical output.
     "ccf_components_secondary_sort" -> ((s, dir) =>
       assignments(s, dir, CCF.SecondarySort)),
+
+    // Pointer-jumping variant (§2c, beyond the reference): static-topology
+    // label iteration — per-round state is exactly one row per node, no
+    // intermediate pair blowup, the long-diameter complement to CCF. Same
+    // output contract, same reachability oracle.
+    "ccf_components_pj" -> ((s, dir) =>
+      graft.ccf.PointerJump.run(edges(s, dir)).assignments),
 
     // O10: number of connected components.
     "ccf_component_count" -> ((s, dir) =>
@@ -115,6 +126,9 @@ object GraphQueries {
       s"$reachCte SELECT node, component FROM asgn",
 
     "ccf_components_secondary_sort" ->
+      s"$reachCte SELECT node, component FROM asgn",
+
+    "ccf_components_pj" ->
       s"$reachCte SELECT node, component FROM asgn",
 
     "ccf_component_count" ->

@@ -108,4 +108,20 @@ class VectorFunctionsSpec extends SparkSpec {
       VectorFunctions.dot(col("v").cast("array<float>"), col("v").cast("array<float>"))).collect().head
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
+
+  test("malformed vectors surface as null, never silent truncation (ADVICE r02)") {
+    // length-mismatched dot product and an under-dim LSH input: both would
+    // previously truncate to min-length and quietly diverge from the oracle
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f)), // mismatched
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))        // matched
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.lshBucket(col("a"), 8, 64).as("lsh")).collect()
+    assert(rows(0).isNullAt(0), "mismatched lengths must yield null")
+    assert(rows(1).getDouble(0) === 11.0)
+    assert(rows(0).isNullAt(1) && rows(1).isNullAt(1),
+      "vectors shorter than dim must yield null buckets")
+  }
 }
