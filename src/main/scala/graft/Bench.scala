@@ -14,6 +14,19 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup at the smallest scale: first-touch costs (parquet reader
+    // init, codegen compiler, shuffle/broadcast machinery, JIT) are one-time
+    // per JVM and land on whichever query happens to run first in the map's
+    // arbitrary order — inflating that query's number by seconds while every
+    // later query of the same shape runs 5-10x faster. Touch each subsystem
+    // once so the timed numbers below are steady-state and order-insensitive
+    // (same move as Experiments' untimed warmup; the reference harness's row 1
+    // absorbs its warmup the same way and is excluded from its steady rows).
+    val warm = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+    for (q <- Seq("q3_join_agg", "e2_sessions", "t1_token_stats", "d3_minhash_lsh",
+                  "s2_knn_lsh", "m1_binary_meta", "ccf_components"))
+      try SparkEntry.queries(q)(spark, warm).count()
+      catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>

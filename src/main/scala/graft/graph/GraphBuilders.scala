@@ -21,12 +21,19 @@ object GraphBuilders {
    * the two key columns are read from parquet (column pruning — check
    * `ReadSchema`). Orders with k lines emit C(k,2) pairs; a pathological
    * mega-order would be a skew hotspot, handled by AQE skew-join splitting.
+   *
+   * The SHUFFLE_HASH hint pins the scale-correct plan: without it the planner
+   * broadcasts the (locally small) fact projection, and a broadcast join has
+   * NO exchange — the pair explosion and the distinct's partial aggregate then
+   * run at the parquet scan's file parallelism (near-serial on a single-file
+   * local table; measured 2.2x slower warm). At fact-table scale broadcast is
+   * off the table anyway; the hinted plan is the same one a cluster would run.
    */
   def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
     val a = li.toDF("o", "src")
     val b = li.toDF("o", "dst")
-    a.join(b, "o")
+    a.hint("shuffle_hash").join(b, "o")
       .where(col("src") < col("dst"))
       .select("src", "dst")
       .distinct()
