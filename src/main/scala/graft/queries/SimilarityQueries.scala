@@ -28,6 +28,8 @@ object SimilarityQueries {
   val Dim = 64
   val NumPlanes = 8
   val TopK = 5
+  val NumCentroids = 16
+  val NumProbes = 4
 
   /** Sequential left-fold dot product (double), bit-identical to the oracle —
     * the codegen'd [[graft.functions.DotProduct]] expression (same fold
@@ -79,6 +81,58 @@ object SimilarityQueries {
       scored.withColumn("rank", row_number().over(w))
         .where(col("rank") <= TopK)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    }),
+
+    // IVF coarse-quantizer ANN — the inverted-file scale path beyond LSH:
+    // partition the corpus into NumCentroids cells (nearest centroid by
+    // cosine), probe the NumProbes cells nearest each query, exact top-k
+    // within the probed cells only. Centroid "training" is an offline step in
+    // any real IVF build; here the quantizer is seeded deterministically with
+    // the first NumCentroids vectors so the DuckDB oracle replicates the
+    // index bit-for-bit.
+    //
+    // 100 TB shape: centroids broadcast (k rows); assignment is a broadcast
+    // join + map-side-combinable argmax (max over a (cos, -cid) struct — NO
+    // window shuffle of the n x k scored rows, just n groups); the candidate
+    // join shuffles by cell id (hot cells are AQE-skew-split / salt-able);
+    // scoring joins fetch only probed-cell vectors. Recall/cost dials:
+    // NumCentroids ~ sqrt(n) and NumProbes, same knobs as any IVF index.
+    "s3_knn_ivf" -> ((s, d) => {
+      val e = withNorm(embs(s, d))
+      val cents = e.where(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"))
+      // cell assignment: argmax cosine, ties to the smaller centroid id
+      val asgn = e.join(broadcast(cents))
+        .select(col("vec_id"),
+          struct((dot(col("embedding"), col("cv")) / (col("nrm") * col("cn"))).as("cos"),
+            (-col("cid")).as("ncid")).as("sc"))
+        .groupBy("vec_id")
+        .agg(max(col("sc")).as("m"))
+        .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+      // per-query probe list: the NumProbes nearest cells (k x queries rows — tiny)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val pw = Window.partitionBy("query_id").orderBy(col("pcos").desc, col("cid").asc)
+      val probes = q.join(broadcast(cents))
+        .select(col("query_id"), col("cid"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("pcos"))
+        .withColumn("pr", row_number().over(pw))
+        .where(col("pr") <= NumProbes)
+        .select(col("query_id"), col("cid"))
+      // candidates: vectors assigned to a probed cell (each pair appears in
+      // exactly one cell — no dedup needed); then exact cosine + top-k
+      val cand = probes.join(asgn, "cid")
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"))
+      val scored = cand
+        .join(e, "vec_id")
+        .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     })
   )
 
@@ -110,6 +164,40 @@ object SimilarityQueries {
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          |         ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos
          |  FROM e q JOIN e ON q.vec_id < 10 AND e.bkt = q.bkt AND e.vec_id <> q.vec_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored) WHERE rank <= $TopK""".stripMargin,
+
+    // Mirrors s3 exactly: same seeded centroids, same (cos, -cid) composite
+    // argmax for cell assignment (struct comparison is lexicographic in both
+    // engines; cosines are bit-identical left folds), same probe ranking.
+    "s3_knn_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM e
+         |  WHERE vec_id < $NumCentroids),
+         |asgn AS (
+         |  SELECT e.vec_id,
+         |         -struct_extract(max(row(${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn), -c.cid)), 2) AS cid
+         |  FROM e CROSS JOIN c GROUP BY e.vec_id),
+         |probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.vec_id AS query_id, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotSql("q.embedding", "c.cv")} / (q.nrm * c.cn) DESC, c.cid ASC) AS pr
+         |    FROM e q CROSS JOIN c WHERE q.vec_id < 10)
+         |  WHERE pr <= $NumProbes),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id FROM probes p JOIN asgn a USING (cid)
+         |  WHERE a.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT cand.query_id, e.vec_id AS neighbor_id,
+         |         ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos
+         |  FROM cand JOIN e ON e.vec_id = cand.vec_id
+         |            JOIN e q ON q.vec_id = cand.query_id)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
          |  SELECT query_id, neighbor_id, cos,
          |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank

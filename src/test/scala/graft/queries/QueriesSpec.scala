@@ -50,6 +50,22 @@ class QueriesSpec extends SparkSpec {
     assert(lshTop.forall { case (q, cos) => cos <= bruteTop(q) + 1e-12 })
   }
 
+  test("knn: IVF multi-probe has high recall vs brute force, never beats it") {
+    val brute = SimilarityQueries.defs("s1_knn_brute")(spark, sf()).collect()
+    val ivf = SimilarityQueries.defs("s3_knn_ivf")(spark, sf()).collect()
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfSet = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // IVF only searches probed cells, so its results are a subset-quality
+    // approximation: top-1 cosine can never exceed the exact top-1
+    val bruteTop = brute.filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ivfTop = ivf.filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ivfTop.forall { case (q, cos) => cos <= bruteTop(q) + 1e-12 })
+    // recall@5 across the 10 queries: probing 4/16 cells must recover most of
+    // the exact top-5 (planted near-dup structure makes cells coherent)
+    val recall = ivfSet.intersect(bruteSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.5, s"IVF recall@${SimilarityQueries.TopK} too low: $recall")
+  }
+
   test("sessions: per-user session ids are dense from 1 and ordered by time") {
     val s = EventQueries.defs("e2_sessions")(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
