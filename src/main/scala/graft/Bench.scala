@@ -22,11 +22,19 @@ object Bench {
     // once so the timed numbers below are steady-state and order-insensitive
     // (same move as Experiments' untimed warmup; the reference harness's row 1
     // absorbs its warmup the same way and is excluded from its steady rows).
-    val warm = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
-    for (q <- Seq("q3_join_agg", "e2_sessions", "t1_token_stats", "d3_minhash_lsh",
-                  "s2_knn_lsh", "m1_binary_meta", "ccf_components"))
-      try SparkEntry.queries(q)(spark, warm).count()
-      catch { case _: Throwable => () }
+    val warm = sfDir.stripSuffix("/").replaceAll("sf[0-9.]+$", "sf0.001")
+    if (warm == sfDir.stripSuffix("/")) {
+      // No sf-suffix to rewrite (ADVICE r03): warming up at full scale would
+      // silently ~double wall time — skip it and say so; first-query numbers
+      // then include one-time JVM/codegen warmup.
+      System.err.println(s"[bench] sfDir '$sfDir' has no sfN.NN suffix; skipping warmup")
+    } else {
+      System.err.println(s"[bench] warmup at $warm")
+      for (q <- Seq("q3_join_agg", "e2_sessions", "t1_token_stats", "d3_minhash_lsh",
+                    "s2_knn_lsh", "m1_binary_meta", "ccf_components"))
+        try SparkEntry.queries(q)(spark, warm).count()
+        catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>

@@ -110,6 +110,27 @@ object CCF {
       catch { case _: Throwable => () }
     }
 
+  /** Observed metrics with a bounded wait (ADVICE r03): `Observation.get`
+    * blocks forever if a Spark version/config ever stops routing the eager
+    * checkpoint through `withAction` metric delivery. The checkpoint action
+    * has completed by the time this is called, so metrics normally arrive on
+    * the first poll (`getOrEmpty` itself waits ≤100 ms per call); past the
+    * deadline, fall back LOUDLY to counting the materialized checkpoint —
+    * correct, one extra job — rather than hanging. */
+  private def observedOrCount(obs: Observation, what: String, deadlineMs: Long = 30000L)
+                             (fallback: => Map[String, Long]): Map[String, Long] = {
+    val deadline = System.nanoTime() + deadlineMs * 1000000L
+    val read = () => org.apache.spark.sql.graft.Bridge.observedOrEmpty(obs)
+    var got = read()
+    while (got.isEmpty && System.nanoTime() < deadline) got = read()
+    if (got.nonEmpty) got.map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }
+    else {
+      System.err.println(s"[graft.ccf] observed metrics for $what not delivered within " +
+        s"${deadlineMs}ms; falling back to count() over the checkpoint")
+      fallback
+    }
+  }
+
   /**
    * Run CCF to convergence.
    *
@@ -142,7 +163,7 @@ object CCF {
     val inCkpt = edges.toDF("src", "dst")
       .observe(inObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val nInput = inObs.get("n").asInstanceOf[Long]
+    val nInput = observedOrCount(inObs, "input")(Map("n" -> inCkpt.count()))("n")
     // Reset the checkpoint's carried-over Statistics to the observed truth —
     // localCheckpoint copies the origin plan's ESTIMATE, and per-round join
     // estimates compound (square) across checkpoints until planning time
@@ -214,8 +235,10 @@ object CCF {
       if (olderCkpt != null) freeCheckpoint(olderCkpt)
       olderCkpt = prevCkpt
       prevCkpt = emitted0
-      val newPairs = obs.get("newPairs").asInstanceOf[Long]
-      val rows = obs.get("rows").asInstanceOf[Long]
+      val ms = observedOrCount(obs, s"round $iteration")(Map(
+        "newPairs" -> emitted0.where(col("isNew")).count(), "rows" -> emitted0.count()))
+      val newPairs = ms("newPairs")
+      val rows = ms("rows")
       // observed row count → exact leaf stats (anti-compounding, see above)
       val emitted = org.apache.spark.sql.graft.Bridge.withStats(emitted0, rows)
       history += newPairs

@@ -404,22 +404,30 @@ object MinHashSignature {
 
   def compute(sh: ArrayData, numHashes: Int, mod: Long): ArrayData = {
     val n = sh.numElements()
-    if (n == 0) return new GenericArrayData(Array.fill[Any](numHashes)(null))
     val (a, b) = coeffs(numHashes, mod)
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
+    var seen = 0
     while (i < n) {
-      val h = sh.getLong(i)
-      var j = 0
-      while (j < numHashes) {
-        val v = (a(j) * h + b(j)) % mod
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      // Null elements are skipped, matching the replaced pipeline: transform()
+      // maps a null to null and array_min ignores nulls (ADVICE r03 — getLong
+      // on a null slot reads 0, a silent cross-engine divergence).
+      if (!sh.isNullAt(i)) {
+        seen += 1
+        val h = sh.getLong(i)
+        var j = 0
+        while (j < numHashes) {
+          val v = (a(j) * h + b(j)) % mod
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    // empty / all-null input: array_min of an empty or all-null array is null
+    if (seen == 0) new GenericArrayData(Array.fill[Any](numHashes)(null))
+    else new GenericArrayData(mins)
   }
 }
 

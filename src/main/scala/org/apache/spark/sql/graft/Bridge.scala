@@ -37,6 +37,56 @@ object Bridge {
     * Supplying the true row count each round resets the estimate to the truth,
     * keeps planning O(1) per round, and gives the planner an honest input for
     * broadcast decisions. No-op for non-`LogicalRDD` plans. */
+  /** Non-blocking-ish read of an `Observation`'s metrics (`getOrEmpty` is
+    * `private[sql]`; it waits ≤100 ms internally, then returns empty if the
+    * metrics haven't been delivered). Lets callers poll with a deadline
+    * instead of the unbounded `get`. */
+  def observedOrEmpty(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    obs.getOrEmpty
+
+  /**
+   * A session-free handle to an eagerly checkpointed DataFrame: the pieces of
+   * its `LogicalRDD` leaf that do NOT reference a `SparkSession` (the RDD pins
+   * only the shared `SparkContext`). Caching one of these instead of the
+   * DataFrame itself lets a cache detect abandoned sessions via a
+   * `WeakReference` — a cached DataFrame would strongly pin its session
+   * forever (ADVICE r03) — and rebind the data to any live session on the
+   * same context.
+   */
+  final case class CheckpointHandle(
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      partitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning,
+      ordering: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder],
+      stats: org.apache.spark.sql.catalyst.plans.logical.Statistics) {
+
+    /** Rebind to a live session. Reuses the captured output attributes, so two
+      * handles-to-DataFrames of the same entry share expr-ids — same situation
+      * as handing out one cached DataFrame twice; `DeduplicateRelations`
+      * disambiguates self-joins as usual. */
+    def toDF(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+      val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      org.apache.spark.sql.classic.Dataset.ofRows(cs, org.apache.spark.sql.execution.LogicalRDD(
+        output, rdd, partitioning, ordering, false, None)(cs, Some(stats), None))
+    }
+
+    /** Drop the checkpoint's block-manager storage (safe once unreferenced). */
+    def free(): Unit = try rdd.unpersist(false) catch { case _: Throwable => () }
+  }
+
+  object CheckpointHandle {
+    /** Capture from a checkpoint-rooted DataFrame; forces an eager
+      * `localCheckpoint` first if the plan isn't already a bare `LogicalRDD`. */
+    def of(df: org.apache.spark.sql.DataFrame): CheckpointHandle = {
+      val lr = df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l
+        case _ => df.localCheckpoint(true).queryExecution.analyzed
+          .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+      }
+      CheckpointHandle(lr.rdd, lr.output, lr.outputPartitioning, lr.outputOrdering, lr.stats)
+    }
+  }
+
   def withStats(df: org.apache.spark.sql.DataFrame, rowCount: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.Statistics
     import org.apache.spark.sql.execution.LogicalRDD

@@ -99,6 +99,25 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("MinHashSignature skips null elements (array_min semantics, ADVICE r03)") {
+    val P = 1000003L
+    // null elements must be ignored, not read as hash 0; all-null -> all-null
+    val df = Seq(
+      (1, Seq[java.lang.Long](7L, null, 11L)),
+      (2, Seq[java.lang.Long](7L, 11L)),
+      (3, Seq[java.lang.Long](null, null))).toDF("id", "sh")
+    val ref = array((0 until 4).map { j =>
+      array_min(transform(col("sh"),
+        h => (lit(MinHashSignature.coeffA(j, P)) * h + lit(MinHashSignature.coeffB(j, P))) % P))
+    }: _*)
+    val rows = df.select(col("id"),
+      VectorFunctions.minhashSig(col("sh"), 4, P).as("fast"), ref.as("ref"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[Any](1) === rows(0).getSeq[Any](2)) // nulls skipped
+    assert(rows(0).getSeq[Any](1) === rows(1).getSeq[Any](1)) // same as without nulls
+    assert(rows(2).getSeq[Any](1) === Seq(null, null, null, null))
+  }
+
   test("null propagation") {
     val df = Seq((Option.empty[String], Option.empty[Seq[Float]])).toDF("s", "v")
     val r = df.select(

@@ -18,6 +18,17 @@ class SessionCacheSpec extends SparkSpec {
     assert(GraphQueries.cachedEntryCount === before)
   }
 
+  test("cache hit rebinds the checkpoint handle to a live DataFrame (same rows)") {
+    val s2 = spark.newSession()
+    try {
+      val first = GraphQueries.defs("dedup_pairs")(s2, sf())
+      val again = GraphQueries.defs("dedup_pairs")(s2, sf()) // hit: handle.toDF
+      assert(again.count() === first.count())
+      // the rebound frame must be fully usable in further plans
+      assert(again.join(first, again.columns.toSeq).count() === first.count())
+    } finally GraphQueries.clearCaches(s2)
+  }
+
   test("dedup cache: eviction scoped to the session") {
     val s2 = spark.newSession()
     val s3 = spark.newSession()
