@@ -35,7 +35,13 @@ object Bench {
         try SparkEntry.queries(q)(spark, warm).count()
         catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=q1_agg,ccf_components times a subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         // a failing query must be visible, not just a fast timing

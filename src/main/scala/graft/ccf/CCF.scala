@@ -205,7 +205,9 @@ object CCF {
       // Sub-second rounds are latency-bound, not throughput-bound: AQE's
       // per-stage re-planning and whole-stage codegen's source generation +
       // compile-cache lookups cost more than they save below ~100k pairs.
-      // Both stay ON for real inputs, where they are the scale path.
+      // Both stay ON for real inputs, where they are the scale path (measured
+      // r4: AQE off on the 1.2M-pair sf0.1 fixpoint is ~30% SLOWER — its
+      // per-exchange coalescing beats the loop's one-size-per-round number).
       spark.conf.set(aqeKey, "false")
       spark.conf.set(codegenKey, "false")
       // Prefer a shuffled-hash join over broadcast for the re-emit join: at
@@ -216,9 +218,12 @@ object CCF {
       spark.conf.set(broadcastKey, "-1")
       spark.conf.set(preferSmjKey, "false")
     }
+    // Per-round timing trace for perf work: SPARK_GRAFT_CCF_TRACE=1
+    val trace = sys.env.get("SPARK_GRAFT_CCF_TRACE").contains("1")
     try {
     while (iteration < maxIterations && !converged) {
       iteration += 1
+      val t0 = if (trace) System.nanoTime() else 0L
       // tagged = (src, dst, isNew); isNew marks the (value, min) emits that the
       // reference counts in its NewPair counter.
       val tagged = variant match {
@@ -263,6 +268,8 @@ object CCF {
         case _ => emitted.select("src", "dst").distinct()
       }
       converged = newPairs == 0L
+      if (trace) System.err.println(f"[ccf-trace] round $iteration%2d rows=$rows%9d " +
+        f"newPairs=$newPairs%9d parts=$resized%3d ${(System.nanoTime() - t0) / 1e9}%6.3f s")
     }
     } finally {
       spark.conf.set(shuffleKey, origShuffle)

@@ -133,6 +133,27 @@ object SimilarityQueries {
       scored.withColumn("rank", row_number().over(w))
         .where(col("rank") <= TopK)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    }),
+
+    // Same search as s1 via the bounded-state top-k AGGREGATE
+    // ([[graft.functions.TopKByScore]]) instead of a ranking window: partial
+    // top-k states combine map-side, so the shuffle carries k entries per
+    // query instead of the full scored candidate set, and no partition-wide
+    // sort runs — the 100 TB shape for "top-k per key" (PlanSpec asserts the
+    // plan has an ObjectHashAggregate and no Window/Sort). Output rows are
+    // identical to s1 (same total order, same oracle SQL).
+    "s4_knn_topk_agg" -> ((s, d) => {
+      val e = withNorm(embs(s, d))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val scored = q.join(e, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      scored.groupBy("query_id")
+        .agg(graft.functions.TopK.topK(col("cos"), col("neighbor_id"), TopK).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("e.id").as("neighbor_id"), col("e.score").as("cos"))
     })
   )
 
@@ -141,7 +162,23 @@ object SimilarityQueries {
       s"list_transform(range(0, $Dim), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))), " +
       s"(acc, v) -> acc + v)"
 
+  /** s1 and s4 compute the same result by construction (window rank vs
+    * bounded-heap aggregate over one total order) — same oracle. */
+  private def knnBruteOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos
+       |  FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= $TopK""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "s4_knn_topk_agg" -> knnBruteOracle,
     "s1_knn_brute" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.sources.Tables
 import graft.text.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -76,8 +76,92 @@ object TextQueries {
         col("doc_id"),
         polyHash(col("text")).as("content_hash"),
         polyHash(array_join(array_sort(array_distinct(t)), " ")).as("bag_hash"))
+    }),
+
+    // TF-IDF cosine similarity between documents over word-3-gram terms —
+    // the weighted-vector complement to d2's set-Jaccard: an inverted-index
+    // join on shared terms (no all-pairs), idf = N/df reciprocal weighting
+    // (rational arithmetic end to end — log-idf would hinge on libm ulp
+    // parity across engines; swap it in at deployment, the plan is
+    // unchanged). Float determinism: every per-pair and per-doc sum is a
+    // SORTED-by-term sequential left fold in double, the same op order as
+    // the oracle's `list(x ORDER BY g)` + `list_reduce` (see
+    // graft-cross-engine float rules) — a plain SUM() would be
+    // order-nondeterministic in BOTH engines.
+    //
+    // 100 TB notes: postings shuffle O(total terms) keyed by term; 3-gram
+    // terms are selective (df ≪ N), so the pair fan-out is Σ df² over
+    // SHARED terms, not n² — hot stop-terms would be dropped by a df cap
+    // exactly like d2's hot-shingle mitigation. collect_list here is
+    // per-PAIR common terms (bounded by doc length), never a full posting.
+    "t6_tfidf_pairs" -> ((s, d) => {
+      val t = tokens(col("text"))
+      val grams = docs(s, d).select(col("doc_id"),
+        explode(when(size(t) >= 3,
+          transform(sequence(lit(0), size(t) - 3), i => array_join(slice(t, i + 1, lit(3)), " ")))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      val tf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("g").agg(count(lit(1)).as("df"))
+      val nDf = docs(s, d).agg(count(lit(1)).as("n"))
+      val wts = tf.join(dfq, "g").crossJoin(broadcast(nDf))
+        .select(col("doc_id"), col("g"),
+          (col("tf").cast("double") * (col("n").cast("double") / col("df").cast("double")))
+            .as("wt"))
+      // sorted-fold Σ over (g, term) structs: array_sort orders by g (unique
+      // per doc/pair), then a sequential double fold — bit-identical to the
+      // oracle's ordered list_reduce
+      def sortedSum(gCol: Column, term: Column): Column =
+        aggregate(
+          transform(array_sort(collect_list(struct(gCol, term.as("t")))), x => x.getField("t")),
+          lit(0.0), (a, x) => a + x)
+      val nrm = wts.groupBy("doc_id")
+        .agg(sqrt(sortedSum(col("g"), col("wt") * col("wt"))).as("nrm"))
+      val num = wts.as("a").join(wts.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("a.g").as("g"),
+          (col("a.wt") * col("b.wt")).as("t"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sortedSum(col("g"), col("t")).as("num"))
+      num
+        .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+        .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), (col("num") / (col("na") * col("nb"))).as("cos_tfidf"))
+        .where(col("cos_tfidf") >= TfidfT)
+    }),
+
+    // Repetition quality rules (the Gopher-report family, token-level): mass
+    // of the single most frequent word and of the most frequent word-bigram.
+    // Boilerplate/spam has a heavy repeated-phrase tail; the keep flag
+    // thresholds both. Counts are exact integers; each ratio is one IEEE
+    // division — bit-identical across engines. All aggregations are
+    // map-side-combinable (count/max by doc) — no skew risk at 100 TB
+    // (keys are doc-scoped).
+    "t7_repetition" -> ((s, d) => {
+      val t = tokens(col("text"))
+      val base = docs(s, d).select(col("doc_id"), size(t).as("n"), t.as("ws"))
+      val topw = base.select(col("doc_id"), col("n"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "n", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n").agg(max(col("c")).as("maxw"))
+      val topb = base.select(col("doc_id"),
+          explode(when(size(col("ws")) >= 2,
+            transform(sequence(lit(0), size(col("ws")) - 2),
+              i => array_join(slice(col("ws"), i + 1, lit(2)), " ")))
+            .otherwise(array().cast("array<string>"))).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("maxb"))
+      val topWordMass = col("maxw").cast("double") / col("n").cast("double")
+      val topBigramMass = col("maxb").cast("double") / (col("n") - 1).cast("double")
+      topw.join(topb, "doc_id").select(
+        col("doc_id"),
+        topWordMass.as("top_word_mass"),
+        topBigramMass.as("top_bigram_mass"),
+        (topWordMass <= 0.15 && topBigramMass <= 0.10).as("keep"))
     })
   )
+
+  /** TF-IDF cosine near-dup threshold (calibrated: planted dups ≥0.8,
+    * background ≤0.2 with a thin partial-overlap band at sf0.1). */
+  private val TfidfT = 0.5
 
   private val toks = tokensSql("text")
 
@@ -121,6 +205,52 @@ object TextQueries {
       s"""SELECT doc_id,
          |  ${polyHashSql("text")} AS content_hash,
          |  ${polyHashSql(s"array_to_string(list_sort(list_distinct($toks)), ' ')")} AS bag_hash
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    // Mirrors t6 exactly: same 3-gram construction, same N/df weighting op
+    // order, and every float sum is `list(x ORDER BY g)` + sequential
+    // list_reduce — the bit-identical twin of the Spark sorted fold.
+    "t6_tfidf_pairs" ->
+      s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),
+         |g3 AS (SELECT doc_id,
+         |         unnest([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |                 for i in range(0, len(ws) - 2)]) AS g
+         |       FROM tt),
+         |tf AS (SELECT doc_id, g, count(*)::BIGINT AS tf FROM g3 GROUP BY 1, 2),
+         |dfq AS (SELECT g, count(*)::BIGINT AS df FROM tf GROUP BY g),
+         |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |wts AS (SELECT doc_id, tf.g AS g,
+         |          CAST(tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)) AS wt
+         |        FROM tf JOIN dfq ON tf.g = dfq.g CROSS JOIN n),
+         |nrm AS (SELECT doc_id,
+         |          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |            list(wt * wt ORDER BY g)), (a, x) -> a + x)) AS nrm
+         |        FROM wts GROUP BY doc_id),
+         |num AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |            list(a.wt * b.wt ORDER BY a.g)), (a2, x) -> a2 + x) AS num
+         |        FROM wts a JOIN wts b ON a.g = b.g AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, num / (x.nrm * y.nrm) AS cos_tfidf
+         |FROM num JOIN nrm x ON num.doc_a = x.doc_id
+         |         JOIN nrm y ON num.doc_b = y.doc_id
+         |WHERE num / (x.nrm * y.nrm) >= 0.5""".stripMargin,
+
+    "t7_repetition" ->
+      s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),
+         |tok AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS w FROM tt),
+         |wc AS (SELECT doc_id, n, w, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+         |topw AS (SELECT doc_id, n, max(c) AS maxw FROM wc GROUP BY 1, 2),
+         |bg AS (SELECT doc_id,
+         |         unnest([ws[i+1] || ' ' || ws[i+2] for i in range(0, len(ws) - 1)]) AS b
+         |       FROM tt),
+         |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         |topb AS (SELECT doc_id, max(c) AS maxb FROM bc GROUP BY 1)
+         |SELECT topw.doc_id AS doc_id,
+         |  CAST(maxw AS DOUBLE) / CAST(n AS DOUBLE) AS top_word_mass,
+         |  CAST(maxb AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS top_bigram_mass,
+         |  CAST(maxw AS DOUBLE) / CAST(n AS DOUBLE) <= 0.15
+         |    AND CAST(maxb AS DOUBLE) / CAST(n - 1 AS DOUBLE) <= 0.10 AS keep
+         |FROM topw JOIN topb ON topw.doc_id = topb.doc_id""".stripMargin
   )
 }

@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The bounded-state top-k aggregate must agree with the ranking-window idiom
+  * on a total order, across partitionings (merge path) and with nulls. */
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topK == row_number window on (score desc, id asc), any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(5000) { i =>
+      (i % 13L, rnd.nextInt(40).toDouble / 8.0, i.toLong) // heavy score ties
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("key", "score", "id").repartition(parts)
+      val agg = df.groupBy("key")
+        .agg(TopK.topK(col("score"), col("id"), 5).as("tk"))
+        .select(col("key"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("key"), (col("pos") + 1).as("rank"), col("e.id").as("id"),
+          col("e.score").as("score"))
+      val w = Window.partitionBy("key").orderBy(col("score").desc, col("id").asc)
+      val win = df.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5).select("key", "rank", "id", "score")
+      assert(agg.except(win).isEmpty && win.except(agg).isEmpty,
+        s"parts=$parts: agg/window mismatch")
+    }
+  }
+
+  test("fewer rows than k yields all rows, ranked") {
+    val df = Seq((1L, 0.5, 10L), (1L, 0.9, 11L)).toDF("key", "score", "id")
+    val out = df.groupBy("key").agg(TopK.topK(col("score"), col("id"), 5).as("tk"))
+      .select(explode(col("tk")).as("e")).select("e.score", "e.id")
+      .as[(Double, Long)].collect().toSeq
+    assert(out === Seq((0.9, 11L), (0.5, 10L)))
+  }
+
+  test("null score or id contributes nothing") {
+    val df = Seq[(java.lang.Long, java.lang.Double, java.lang.Long)](
+      (1L, null, 1L), (1L, 0.7, null), (1L, 0.3, 5L))
+      .toDF("key", "score", "id")
+    val out = df.groupBy("key").agg(TopK.topK(col("score"), col("id"), 3).as("tk"))
+      .select(size(col("tk"))).as[Int].collect()
+    assert(out.toSeq === Seq(1))
+  }
+
+  test("state round-trips through serialize/deserialize") {
+    val st = new TopKState(3)
+    Seq((0.1, 9L), (0.5, 4L), (0.5, 2L), (0.9, 7L), (0.2, 1L)).foreach {
+      case (s, i) => st.insert(s, i)
+    }
+    val agg = TopKByScore(
+      org.apache.spark.sql.graft.Bridge.expression(lit(0.0)),
+      org.apache.spark.sql.graft.Bridge.expression(lit(0L)), 3)
+    val back = agg.deserialize(agg.serialize(st))
+    assert(back.n === 3)
+    assert((0 until back.n).map(i => (back.scores(i), back.ids(i))) ===
+      Seq((0.9, 7L), (0.5, 2L), (0.5, 4L)))
+  }
+}

@@ -66,6 +66,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("s4 top-k aggregate: partial ObjectHashAggregate, no window, no sort") {
+    val p = finalPlan(SimilarityQueries.defs("s4_knn_topk_agg")(spark, sf()))
+    assert(p.contains("ObjectHashAggregate"), p)
+    // map-side partial state: the aggregate appears in partial mode too
+    assert(p.contains("partial_graft_top_k"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+  }
+
   test("vector ops use the codegen DotProduct expression") {
     val p = plan(DedupQueries.defs("d5_embedding_neardup")(spark, sf()))
     assert(p.contains("graft_dot"), p)
