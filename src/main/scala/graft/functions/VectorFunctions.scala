@@ -160,9 +160,11 @@ object PolyHash {
  * transform/slice/concat_ws pipeline it replaces was the dedup family's
  * dominant cost at sf0.1 (0.8 ms/doc just to build shingle arrays).
  */
-case class ShingleHashes(child: Expression, k: Int, mod: Long) extends Expression {
+case class ShingleHashes(child: Expression, k: Int, mod: Long, distinct: Boolean = true)
+  extends Expression {
 
-  override def prettyName: String = "graft_shingle_hashes"
+  override def prettyName: String =
+    if (distinct) "graft_shingle_hashes" else "graft_shingle_hashes_all"
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -171,9 +173,13 @@ case class ShingleHashes(child: Expression, k: Int, mod: Long) extends Expressio
     if (child.dataType == org.apache.spark.sql.types.StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
 
+  private def fn = if (distinct) "compute" else "computeAll"
+
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) null else ShingleHashes.compute(v.toString, k, mod)
+    if (v == null) null
+    else if (distinct) ShingleHashes.compute(v.toString, k, mod)
+    else ShingleHashes.computeAll(v.toString, k, mod)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -184,7 +190,7 @@ case class ShingleHashes(child: Expression, k: Int, mod: Long) extends Expressio
          |boolean ${ev.isNull} = ${c.isNull};
          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
          |if (!${ev.isNull}) {
-         |  ${ev.value} = graft.functions.ShingleHashes.compute(${c.value}.toString(), $k, ${mod}L);
+         |  ${ev.value} = graft.functions.ShingleHashes.$fn(${c.value}.toString(), $k, ${mod}L);
          |}
        """
     ev.copy(code = code)
@@ -205,21 +211,7 @@ object ShingleHashes {
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
     while (i < n) {
-      var h = 0L
-      var w = 0
-      while (w < k) {
-        if (w > 0) h = (h * 31L + ' '.toInt) % mod
-        val word = words(i + w)
-        var j = 0
-        val len = word.length
-        while (j < len) {
-          val cp = word.codePointAt(j)
-          h = (h * 31L + cp) % mod
-          j += Character.charCount(cp)
-        }
-        w += 1
-      }
-      seen.add(h)
+      seen.add(gramHash(words, i, k, mod))
       i += 1
     }
     val out = new Array[Long](seen.size)
@@ -227,6 +219,112 @@ object ShingleHashes {
     var idx = 0
     while (it.hasNext) { out(idx) = it.next(); idx += 1 }
     new GenericArrayData(out)
+  }
+
+  /** ALL k-gram hashes in positional order (multiset — the tf path; the
+    * distinct [[compute]] is the set path used by Jaccard/MinHash). */
+  def computeAll(text: String, k: Int, mod: Long): ArrayData = {
+    val words = text.split(" ", -1)
+    val n = words.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = gramHash(words, i, k, mod); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  @inline private def gramHash(words: Array[String], i: Int, k: Int, mod: Long): Long = {
+    var h = 0L
+    var w = 0
+    while (w < k) {
+      if (w > 0) h = (h * 31L + ' '.toInt) % mod
+      val word = words(i + w)
+      var j = 0
+      val len = word.length
+      while (j < len) {
+        val cp = word.codePointAt(j)
+        h = (h * 31L + cp) % mod
+        j += Character.charCount(cp)
+      }
+      w += 1
+    }
+    h
+  }
+}
+
+/**
+ * Deterministically ordered float sum: sorts an `array<struct<key bigint,
+ * term double>>` by (key, term) and folds the terms sequentially in double.
+ * This is the ONE legitimate way to sum floats that must hash-match across
+ * engines — a plain SUM() is accumulation-order-nondeterministic in Spark
+ * AND DuckDB; the oracle twin is `list_reduce(list_prepend(0.0, list(term
+ * ORDER BY key, term)), (a,x) -> a+x)`. Replaces the interpreted
+ * `array_sort` (per-element comparator dispatch) + `transform` + `aggregate`
+ * HOF chain, which dominated t6's runtime at sf0.1.
+ */
+case class SortedTermSum(child: Expression) extends Expression {
+
+  override def prettyName: String = "graft_sorted_term_sum"
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+      if s.length == 2 && s(0).dataType == org.apache.spark.sql.types.LongType &&
+        s(1).dataType == org.apache.spark.sql.types.DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<bigint, double>>, got ${t.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else SortedTermSum.compute(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+         |${c.code}
+         |boolean ${ev.isNull} = ${c.isNull};
+         |double ${ev.value} = 0.0;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.functions.SortedTermSum.compute(${c.value});
+         |}
+       """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object SortedTermSum {
+  def compute(arr: ArrayData): Double = {
+    val n = arr.numElements()
+    if (n == 0) return 0.0
+    val keys = new Array[Long](n)
+    val terms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val st = arr.getStruct(i, 2)
+      keys(i) = st.getLong(0)
+      terms(i) = st.getDouble(1)
+      i += 1
+    }
+    // sort parallel arrays by (key, term): index sort, then fold in order
+    val idx = Array.range(0, n)
+    val wrapped: Array[Integer] = idx.map(Integer.valueOf)
+    java.util.Arrays.sort(wrapped, (a: Integer, b: Integer) => {
+      val c = java.lang.Long.compare(keys(a), keys(b))
+      if (c != 0) c else java.lang.Double.compare(terms(a), terms(b))
+    })
+    var acc = 0.0
+    i = 0
+    while (i < n) { acc += terms(wrapped(i)); i += 1 }
+    acc
   }
 }
 
@@ -449,6 +547,15 @@ object VectorFunctions {
   /** Codegen'd distinct hashed word-k-gram shingles (see [[ShingleHashes]]). */
   def shingleHashes(text: Column, k: Int, mod: Long): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), k, mod))
+
+  /** ALL hashed word-k-gram shingles in order (multiset, for tf counting). */
+  def shingleHashesAll(text: Column, k: Int, mod: Long): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(text), k, mod, distinct = false))
+
+  /** Order-deterministic float sum over (key, term) structs (see
+    * [[SortedTermSum]]): sorted by (key, term), folded sequentially. */
+  def sortedTermSum(arr: Column): Column =
+    Bridge.column(SortedTermSum(Bridge.expression(arr)))
 
   /** Codegen'd random-hyperplane LSH bucket (see [[LshBucket]]). */
   def lshBucket(v: Column, numPlanes: Int, dim: Int): Column =

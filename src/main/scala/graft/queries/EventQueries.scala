@@ -101,7 +101,36 @@ object EventQueries {
       ev(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(countDistinct(col("user_id")).as("n_users"),
-             count(lit(1)).as("n_events")))
+             count(lit(1)).as("n_events"))),
+
+    // RANGE JOIN (pure non-equi: no shared key) — every event inside any
+    // error-incident window [error ts, +10 min). Naive `ts BETWEEN
+    // start AND end` plans a BroadcastNestedLoopJoin: O(events × windows)
+    // comparisons, dead at scale. The Spark-native scale path is BIN
+    // BUCKETING: quantize time into bins of exactly the window length, so
+    // every window spans ≤ 2 bins and every event exactly 1 — explode the
+    // window to its (≤2) bins, equi-join on the bin, then verify the precise
+    // range. Shuffles O(events + 2·windows) rows by bin; pairs can't
+    // duplicate (an event has ONE bin), so no dedup pass. Time-skew (a hot
+    // bin during an event storm) AQE-splits like any hot equi-key; wider
+    // windows = window_len/bin_len bins per window, same plan
+    // (PlanSpec: no BroadcastNestedLoopJoin / CartesianProduct).
+    "e7_range_join" -> ((s, d) => {
+      val binUs = 600L * 1000000L // bin = window length (10 min), microseconds
+      val e = ev(s, d)
+      val inc = e.where(col("event_type") === "error" && col("event_id") % 50 === 0)
+        .select(col("event_id").as("incident_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      val ibins = inc.select(col("incident_id"), col("w_start"), col("w_end"),
+        explode(array_distinct(array(
+          floor(unix_micros(col("w_start")) / binUs),
+          floor(unix_micros(col("w_end")) / binUs)))).as("bin"))
+      val ebins = e.select(col("event_id"), col("ts"),
+        floor(unix_micros(col("ts")) / binUs).as("bin"))
+      ebins.join(ibins, "bin")
+        .where(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .select(col("incident_id"), col("event_id"), col("ts"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -160,6 +189,18 @@ object EventQueries {
         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
         |       COUNT(*) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // The oracle states the range join declaratively (DuckDB's optimizer has
+    // a native IEJoin for this); the Spark side proves the binned equi-join
+    // produces the identical pair set.
+    "e7_range_join" ->
+      """WITH inc AS (
+        |  SELECT event_id AS incident_id, ts AS w_start,
+        |         ts + INTERVAL 10 MINUTE AS w_end
+        |  FROM events WHERE event_type = 'error' AND event_id % 50 = 0)
+        |SELECT i.incident_id, e.event_id, e.ts
+        |FROM events e JOIN inc i
+        |  ON e.ts >= i.w_start AND e.ts < i.w_end""".stripMargin,
 
     "a1_asof_join" ->
       """WITH u AS (

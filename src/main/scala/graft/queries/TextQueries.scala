@@ -95,11 +95,13 @@ object TextQueries {
     // exactly like d2's hot-shingle mitigation. collect_list here is
     // per-PAIR common terms (bounded by doc length), never a full posting.
     "t6_tfidf_pairs" -> ((s, d) => {
-      val t = tokens(col("text"))
+      // terms = HASHED 3-grams (multiset → tf), the same polynomial-fold
+      // convention as d2/d3's shingles — the codegen ShingleHashes(all) pass
+      // replaces an interpreted per-position slice/join pipeline, and long
+      // keys make the downstream sorts/shuffles cheap. Collisions (~1e-4 at
+      // P≈2^30) merge identically in both engines.
       val grams = docs(s, d).select(col("doc_id"),
-        explode(when(size(t) >= 3,
-          transform(sequence(lit(0), size(t) - 3), i => array_join(slice(t, i + 1, lit(3)), " ")))
-          .otherwise(array().cast("array<string>"))).as("g"))
+        explode(graft.functions.VectorFunctions.shingleHashesAll(col("text"), 3, HashP)).as("g"))
       val tf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
       val dfq = tf.groupBy("g").agg(count(lit(1)).as("df"))
       val nDf = docs(s, d).agg(count(lit(1)).as("n"))
@@ -107,13 +109,12 @@ object TextQueries {
         .select(col("doc_id"), col("g"),
           (col("tf").cast("double") * (col("n").cast("double") / col("df").cast("double")))
             .as("wt"))
-      // sorted-fold Σ over (g, term) structs: array_sort orders by g (unique
-      // per doc/pair), then a sequential double fold — bit-identical to the
-      // oracle's ordered list_reduce
+      // order-deterministic Σ: the codegen SortedTermSum sorts (g, term)
+      // structs by (g, term) and folds sequentially — bit-identical to the
+      // oracle's `list(term ORDER BY g, term)` + list_reduce
       def sortedSum(gCol: Column, term: Column): Column =
-        aggregate(
-          transform(array_sort(collect_list(struct(gCol, term.as("t")))), x => x.getField("t")),
-          lit(0.0), (a, x) => a + x)
+        graft.functions.VectorFunctions.sortedTermSum(
+          collect_list(struct(gCol.as("g"), term.as("t"))))
       val nrm = wts.groupBy("doc_id")
         .agg(sqrt(sortedSum(col("g"), col("wt") * col("wt"))).as("nrm"))
       val num = wts.as("a").join(wts.as("b"),
@@ -207,13 +208,14 @@ object TextQueries {
          |  ${polyHashSql(s"array_to_string(list_sort(list_distinct($toks)), ' ')")} AS bag_hash
          |FROM documents""".stripMargin,
 
-    // Mirrors t6 exactly: same 3-gram construction, same N/df weighting op
-    // order, and every float sum is `list(x ORDER BY g)` + sequential
-    // list_reduce — the bit-identical twin of the Spark sorted fold.
+    // Mirrors t6 exactly: same hashed-3-gram construction (the shared
+    // polynomial fold), same N/df weighting op order, and every float sum is
+    // `list(x ORDER BY g, x)` + sequential list_reduce — the bit-identical
+    // twin of the Spark SortedTermSum fold (tie key (g, term) both sides).
     "t6_tfidf_pairs" ->
       s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),
          |g3 AS (SELECT doc_id,
-         |         unnest([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |         unnest([${polyHashSql("ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]")}
          |                 for i in range(0, len(ws) - 2)]) AS g
          |       FROM tt),
          |tf AS (SELECT doc_id, g, count(*)::BIGINT AS tf FROM g3 GROUP BY 1, 2),
@@ -224,11 +226,11 @@ object TextQueries {
          |        FROM tf JOIN dfq ON tf.g = dfq.g CROSS JOIN n),
          |nrm AS (SELECT doc_id,
          |          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |            list(wt * wt ORDER BY g)), (a, x) -> a + x)) AS nrm
+         |            list(wt * wt ORDER BY g, wt * wt)), (a, x) -> a + x)) AS nrm
          |        FROM wts GROUP BY doc_id),
          |num AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |            list(a.wt * b.wt ORDER BY a.g)), (a2, x) -> a2 + x) AS num
+         |            list(a.wt * b.wt ORDER BY a.g, a.wt * b.wt)), (a2, x) -> a2 + x) AS num
          |        FROM wts a JOIN wts b ON a.g = b.g AND a.doc_id < b.doc_id
          |        GROUP BY 1, 2)
          |SELECT doc_a, doc_b, num / (x.nrm * y.nrm) AS cos_tfidf

@@ -66,6 +66,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("e7_range_join: bin-bucketed equi-join, no nested-loop range scan") {
+    val p = plan(graft.SparkEntry.queries("e7_range_join")(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("s4 top-k aggregate: partial ObjectHashAggregate, no window, no sort") {
     val p = finalPlan(SimilarityQueries.defs("s4_knn_topk_agg")(spark, sf()))
     assert(p.contains("ObjectHashAggregate"), p)

@@ -31,6 +31,21 @@ class QueriesSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("e7 binned range join == naive non-equi range join") {
+    val binned = EventQueries.defs("e7_range_join")(spark, sf())
+      .select("incident_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.sources.Tables.events(spark, sf())
+    val inc = e.where(col("event_type") === "error" && col("event_id") % 50 === 0)
+      .select(col("event_id").as("incident_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    val naive = e.join(inc, col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("incident_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned === naive)
+    assert(binned.nonEmpty)
+  }
+
   test("exact dedup marks no false duplicates (texts are unique at sf0.001)") {
     val d = DedupQueries.defs("d1_exact_dedup")(spark, sf())
     assert(d.where(col("is_dup")).count() === 0)
