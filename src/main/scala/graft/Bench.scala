@@ -41,19 +41,36 @@ object Bench {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        // a failing query must be visible, not just a fast timing
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        -1L
+    // Noise robustness (VERDICT r04 #3): one CPU-contention blip on a single
+    // timing flipped a whole round's contract signal (a reproduced-0.5 s query
+    // recorded at 34.6 s). Run the full suite SPARK_GRAFT_PASSES times (default
+    // 2) in the same fixed order and report each query's MIN across passes.
+    // Memoized derived tables (jaccard pairs, CCF assignments) are evicted at
+    // the start of EVERY pass, so each pass re-pays fixpoint/build costs with
+    // the same first-of-family attribution as a single run — a later pass's
+    // cache hit can never masquerade as query time.
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    val qseq = selected.toSeq
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (pass <- 1 to passes) {
+      graft.queries.DedupQueries.clearCaches(spark)
+      graft.queries.GraphQueries.clearCaches(spark)
+      for ((name, fn) <- qseq) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          // a failing query must be visible, not just a fast timing
+          System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
+          -1L
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
+    val results = qseq.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }
 }

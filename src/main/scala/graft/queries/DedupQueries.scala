@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
  *
  * 100 TB notes: the shingle inverted index shuffles O(total shingles) rows
  * keyed by shingle; hot shingles (stop-phrases) would skew — mitigated
- * upstream by `array_distinct` per doc and at scale by dropping
- * above-frequency shingles (same as the classic MapReduce dedup pipelines).
+ * upstream by per-doc distinctness and by the [[MaxShingleDf]] posting cap
+ * (the classic MapReduce-dedup mitigation), which bounds the candidate
+ * fan-out at Σ min(df, cap)² instead of Σ df².
  * MinHash keeps per-doc state at NumHashes longs regardless of doc size, so
  * the candidate join shuffles O(docs x bands) tiny rows — the scale path.
  */
@@ -33,6 +34,23 @@ object DedupQueries {
 
   private val ShingleK = 3
 
+  /** Hot-shingle document-frequency cap on the CANDIDATE index (the
+    * reference's own flagged weakness — hub-key reducer skew,
+    * `RESULTS.md:119`). A shingle appearing in df docs contributes df²/2
+    * candidate pairs; a stop-phrase shingle with df ≈ N makes the self-join
+    * fan-out O(N²) on a natural corpus. Shingles with df > cap are dropped
+    * from the posting list BEFORE the self-join — candidate generation only;
+    * surviving pairs are verified with exact Jaccard over the FULL shingle
+    * sets, so reported similarities are uncapped.
+    *
+    * Recall contract: a pair whose shared shingles ALL have df > cap is
+    * missed. At the 0.5 Jaccard threshold such pairs share many shingles,
+    * and near-dup text shares its rare shingles too, so the loss is
+    * negligible in practice (the classic MapReduce-dedup mitigation). The
+    * cap is absolute: inert at test SFs (max df 25 at sf0.1), decisive at
+    * 100 TB where stop-phrase df ≈ corpus size. */
+  private[queries] val MaxShingleDf = 1000
+
   /** (doc_id, sh) with non-empty DISTINCT HASHED word-3-gram shingle sets —
     * the codegen'd [[graft.functions.ShingleHashes]] expression (shingles
     * never materialize as strings; the oracle hashes its string shingles at
@@ -40,8 +58,18 @@ object DedupQueries {
     * math downstream is over hashed shingles; with P≈2^30 and ~10^5 distinct
     * shingles, cross-shingle collisions are ~1e-4-rare and, when they occur,
     * identical in both engines. */
+  /** Staged shingle sets, memoized per (session, dir): the table feeds d2's
+    * posting index + df agg + both verify sides AND d3's signature + verify
+    * paths — unstaged, the codegen ShingleHashes scan re-executes on every
+    * branch (4x inside d2 alone). O(corpus) blocks — the table one would
+    * cache/checkpoint on a cluster for exactly the same reason. */
+  private val shCache = new SessionCache[String]
+
   private def shingleSets(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    shCache.getOrElseUpdate(s, d)(shingleSetsOf(docs(s, d)).localCheckpoint(true))
+
+  private[queries] def shingleSetsOf(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"),
         graft.functions.VectorFunctions.shingleHashes(col("text"), ShingleK, HashP).as("sh"))
       .where(size(col("sh")) > 0)
@@ -52,25 +80,55 @@ object DedupQueries {
     * Session lifecycle handled by [[SessionCache]]. */
   private val pairsCache = new SessionCache[String]
 
-  /** Evict this session's memoized pair-set checkpoint (long-lived services). */
-  def clearCaches(s: SparkSession): Unit = pairsCache.clear(s)
+  /** Evict this session's memoized checkpoints (long-lived services). */
+  def clearCaches(s: SparkSession): Unit = { pairsCache.clear(s); shCache.clear(s) }
 
   private[queries] def cachedEntryCount: Int = pairsCache.size
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate(s, d)({
-      val ds = shingleSets(s, d)
-        .select(col("doc_id"), explode(col("sh")).as("s"), size(col("sh")).as("n"))
-      ds.as("a").join(ds.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-                 col("a.n").as("na"), col("b.n").as("nb"))
-        .agg(count(lit(1)).as("common"))
-        .where(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= JaccardT)
-        .select(col("doc_a"), col("doc_b"),
-          (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
-        .localCheckpoint(true)
-    })
+    pairsCache.getOrElseUpdate(s, d)(
+      jaccardPairsOf(shingleSets(s, d), MaxShingleDf).localCheckpoint(true))
+
+  /** Capped-candidate + exact-verify Jaccard pair pipeline (parametric cap so
+    * the planted-hot-shingle spec can exercise a small one). Postings with
+    * df > maxDf are dropped from the candidate self-join (see [[MaxShingleDf]]
+    * for the recall contract); candidates are then verified with exact Jaccard
+    * over the full shingle sets, so similarity values never depend on the cap.
+    *
+    * Two-phase verification keeps the per-pair work codegen'd: phase 1 counts
+    * common RARE shingles per pair (plain hash aggregate over the self-join —
+    * no arrays carried) and filters on a Jaccard UPPER BOUND
+    * (common ≤ common_rare + min(hot_a, hot_b), Jaccard monotone in common —
+    * conservative, never drops a qualifying pair); only survivors reach the
+    * phase-2 exact array-intersect over full sets. With no hot shingles the
+    * bound IS the exact Jaccard, so phase 2 touches output pairs only (~10⁻⁶
+    * of the candidate space at sf0.1: 25 of 1.13M). */
+  private[queries] def jaccardPairsOf(sh: DataFrame, maxDf: Int): DataFrame = {
+    val post = sh.select(col("doc_id"), explode(col("sh")).as("s"), size(col("sh")).as("n"))
+    val rare = post.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("s")
+    val capped = post.join(rare, "s")
+    // per-doc count of DROPPED (hot) shingles — 0 for every doc when inert
+    val hot = sh.select(col("doc_id"), explode(col("sh")).as("s"), size(col("sh")).as("n"))
+      .join(rare.withColumn("rare", lit(true)), Seq("s"), "left")
+      .groupBy("doc_id").agg(coalesce(sum(when(col("rare").isNull, 1L)), lit(0L)).as("h"))
+    val counted = capped.as("a").join(capped.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+               col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("common_r"))
+    val ubCommon = col("common_r") + least(col("ha"), col("hb"))
+    val cand = counted
+      .join(hot.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
+      .join(hot.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
+      .where(ubCommon.cast("double") / (col("na") + col("nb") - ubCommon) >= JaccardT)
+      .select("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .where(jaccard(col("sa"), col("sb")) >= JaccardT)
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+  }
 
   /** Exact-Jaccard on a pair of shingle-set columns (distinct sets). */
   private def jaccard(sa: Column, sb: Column): Column =
@@ -91,9 +149,10 @@ object DedupQueries {
     }),
 
     // n-gram Jaccard near-dup via shingle inverted index: explode shingles,
-    // self-join on shingle, count common shingles per pair, exact Jaccard
-    // filter. No cross
-    // join — candidate pairs only exist where at least one shingle collides.
+    // drop hot postings (df > MaxShingleDf — the scale-killer guard), self-join
+    // the capped index for candidates, verify each with exact Jaccard over the
+    // full sets. No cross join — candidate pairs only exist where at least one
+    // RARE shingle collides.
     "d2_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
 
     // MinHash + LSH banding: constant-size signatures, band-bucket join for
@@ -236,14 +295,20 @@ object DedupQueries {
 
     "d2_ngram_jaccard" ->
       s"""WITH $shCte,
-         |ds AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shf),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         COUNT(*) AS common, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
-         |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/(na + nb - common) AS jaccard
-         |FROM pairs WHERE CAST(common AS DOUBLE)/(na + nb - common) >= $JaccardT""".stripMargin,
+         |ds AS (SELECT doc_id, unnest(sh) AS s FROM shf),
+         |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $MaxShingleDf),
+         |cp AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare ON ds.s = rare.s),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM cp a JOIN cp b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+         |  FROM cand
+         |  JOIN shf sa ON sa.doc_id = cand.doc_a
+         |  JOIN shf sb ON sb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= $JaccardT""".stripMargin,
 
     "d3_minhash_lsh" ->
       s"""WITH $shCte,
@@ -267,12 +332,21 @@ object DedupQueries {
 
     "d6_dup_clusters" ->
       s"""WITH RECURSIVE $shCte,
-         |ds AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shf),
+         |ds AS (SELECT doc_id, unnest(sh) AS s FROM shf),
+         |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $MaxShingleDf),
+         |cp AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare ON ds.s = rare.s),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM cp a JOIN cp b ON a.s = b.s AND a.doc_id < b.doc_id),
          |e AS (
-         |  SELECT a.doc_id AS src, b.doc_id AS dst
-         |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |  HAVING CAST(COUNT(*) AS DOUBLE)/(ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= $JaccardT),
+         |  SELECT doc_a AS src, doc_b AS dst FROM (
+         |    SELECT doc_a, doc_b,
+         |           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+         |    FROM cand
+         |    JOIN shf sa ON sa.doc_id = cand.doc_a
+         |    JOIN shf sb ON sb.doc_id = cand.doc_b)
+         |  WHERE jaccard >= $JaccardT),
          |bi AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e),
          |reach(node, r) AS (
          |  SELECT a, b FROM bi

