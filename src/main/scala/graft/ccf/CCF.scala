@@ -153,7 +153,67 @@ object CCF {
    * @param edges two-column DataFrame (src, dst); any orderable column type,
    *              both columns the same type. Column names are irrelevant.
    */
-  def run(edges: DataFrame, variant: Variant = Basic, maxIterations: Int = 100): CCFResult = {
+  def run(edges: DataFrame, variant: Variant = Basic, maxIterations: Int = 100): CCFResult =
+    runSwitchable(edges, variant, maxIterations, blowupFactor = 0L) match {
+      case Left(r) => r
+      case Right(_) => throw new IllegalStateException("unreachable: blowup switch disabled")
+    }
+
+  /**
+   * Engine auto-selection (VERDICT r05 #4): run [[CCF]] — the right engine for
+   * the short-effective-diameter graphs real corpora produce — but watch the
+   * per-round OBSERVED pair count the loop already collects, and when it
+   * exceeds `blowupFactor x nInput` for 2 consecutive rounds (the long-diameter
+   * doubling signature from the class scaladoc), abandon the edge-rewriting
+   * fixpoint and finish with [[PointerJump]] on the CURRENT pair set. The
+   * caller never has to know which shape their graph is.
+   *
+   * Soundness of the mid-fixpoint hand-off — each CCF round preserves exactly
+   * what connected components need:
+   *  - Node set: every node of the current graph survives into the next pair
+   *    set. The larger endpoint u of any edge has a neighbor < u, so u is
+   *    re-labeled and emits (u, mn); a group-local minimum survives as the
+   *    `mn` target of its neighbors' emits (each neighbor sees it in its
+   *    neighborhood, so their group min is <= it, and equality puts it in
+   *    emit1's dst).
+   *  - Component partition: every emitted pair (x, mn) links nodes of one
+   *    original component (mn is a neighborhood min), so components never
+   *    merge; and each original edge (k, v)'s endpoints stay connected through
+   *    the re-labeled endpoint's star center mn, so components never split.
+   * PointerJump on that pair set therefore yields the same (node, component)
+   * assignment — same minima, same rep-has-no-row contract — as CCF would
+   * have at convergence.
+   *
+   * Iterations/history report the CCF rounds run plus PointerJump's rounds
+   * (its changed-label counts), oldest first.
+   *
+   * 100 TB notes: the detector costs nothing (the row count is already an
+   * observed metric of the round's checkpoint job) and triggers before the
+   * exponential rounds dominate — at `blowupFactor`=8 a doubling graph runs
+   * ~4 extra cheap rounds and hands PointerJump a pair set O(blowupFactor x
+   * |E|), while a web/social-shaped graph (pair sets peak ~2-3x input) never
+   * switches and keeps CCF's cheaper join-free-label rounds.
+   */
+  def auto(edges: DataFrame, maxIterations: Int = 100, blowupFactor: Long = 8L): CCFResult =
+    runSwitchable(edges, Basic, maxIterations, blowupFactor) match {
+      case Left(r) => r
+      case Right(sw) =>
+        val pj = PointerJump.run(sw.pairs, math.max(1, maxIterations - sw.iterations))
+        // PointerJump has eagerly materialized its own topology checkpoint;
+        // the CCF rounds' backing blocks are no longer referenced.
+        sw.ckpts.foreach(freeCheckpoint)
+        CCFResult(pj.assignments, sw.iterations + pj.iterations, pj.converged,
+          sw.history ++ pj.newPairsHistory)
+    }
+
+  /** Hand-off state when the blowup detector fires: the current pair set (same
+    * components as the input — see [[auto]]), the checkpoints backing it (for
+    * the caller to free once done), and the rounds/history so far. */
+  private final case class Switched(pairs: DataFrame, ckpts: Seq[DataFrame],
+                                    iterations: Int, history: Seq[Long])
+
+  private def runSwitchable(edges: DataFrame, variant: Variant, maxIterations: Int,
+                            blowupFactor: Long): Either[CCFResult, Switched] = {
     muteCheckpointWarnsOnce()
     require(edges.columns.length == 2, s"edge list must have 2 columns, got ${edges.columns.length}")
 
@@ -220,8 +280,11 @@ object CCF {
     }
     // Per-round timing trace for perf work: SPARK_GRAFT_CCF_TRACE=1
     val trace = sys.env.get("SPARK_GRAFT_CCF_TRACE").contains("1")
+    // Blowup detector state (see [[auto]]); inert when blowupFactor == 0.
+    var consecutiveBlowups = 0
+    var switchOut = false
     try {
-    while (iteration < maxIterations && !converged) {
+    while (iteration < maxIterations && !converged && !switchOut) {
       iteration += 1
       val t0 = if (trace) System.nanoTime() else 0L
       // tagged = (src, dst, isNew); isNew marks the (value, min) emits that the
@@ -247,6 +310,10 @@ object CCF {
       // observed row count → exact leaf stats (anti-compounding, see above)
       val emitted = org.apache.spark.sql.graft.Bridge.withStats(emitted0, rows)
       history += newPairs
+      if (blowupFactor > 0L && rows > blowupFactor * math.max(1L, nInput)) {
+        consecutiveBlowups += 1
+        if (consecutiveBlowups >= 2) switchOut = true
+      } else consecutiveBlowups = 0
       // Re-size next round's shuffles from the OBSERVED pair count: the
       // intermediate pair set can blow up orders of magnitude past the input
       // (string-keyed chains — see the class scaladoc), and a partition count
@@ -278,6 +345,11 @@ object CCF {
       spark.conf.set(broadcastKey, origBroadcast)
       spark.conf.set(preferSmjKey, origPreferSmj)
     }
+    if (switchOut && !converged)
+      // Keep BOTH live checkpoints until the successor engine has materialized
+      // its own topology from `pairs` (which reads prevCkpt); freed by [[auto]].
+      return Right(Switched(pairs.toDF("src", "dst"),
+        Seq(prevCkpt, olderCkpt).filter(_ != null), iteration, history.toSeq))
     if (olderCkpt != null) freeCheckpoint(olderCkpt)
 
     // SS's between-round pairs are pre-dedup (see above); the converged final
@@ -287,7 +359,7 @@ object CCF {
       case SecondarySort if ssStreams => pairs.distinct()
       case _ => pairs
     }
-    CCFResult(assignments.toDF("node", "component"), iteration, converged, history.toSeq)
+    Left(CCFResult(assignments.toDF("node", "component"), iteration, converged, history.toSeq))
   }
 
   /** One CCF-Iterate round, Basic kernel (paper Fig. 2; reference

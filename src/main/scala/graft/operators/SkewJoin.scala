@@ -18,16 +18,31 @@ import org.apache.spark.sql.functions._
  */
 object SkewJoin {
 
-  /** Inner equi-join `left.key == right.key` with `salt`-way key spreading.
+  private val LeftTypes = Set("left", "left_outer", "leftouter")
+
+  /** Equi-join `left.key == right.key` with `salt`-way key spreading.
     * Column name sets of the two sides must be disjoint apart from the key
-    * (standard join hygiene). */
-  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int): DataFrame = {
+    * (standard join hygiene).
+    *
+    * Supported join types: `inner` and left-outer (`left` / `left_outer`) —
+    * both are exact under the explode-right shape, because every left row
+    * carries exactly ONE salt value and therefore meets each matching right
+    * row exactly once (inner multiplicity preserved) or, with no key match at
+    * any salt, survives exactly once with nulls (left-outer). Right/full
+    * outer are rejected: the right side is replicated `salt`x, so an
+    * unmatched right row would surface once PER REPLICA — those shapes need
+    * the mirrored salting (salt right, explode left) instead. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
+                 joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    val jt = joinType.toLowerCase
+    require(jt == "inner" || LeftTypes(jt),
+      s"saltedJoin supports inner and left joins, got '$joinType'")
     val l = left
       .withColumn("__salt", (rand(seed = 42) * salt).cast("int"))
     val r = right
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
-    l.join(r, l(key) === r(key) && l("__salt") === r("__salt"))
+    l.join(r, l(key) === r(key) && l("__salt") === r("__salt"), jt)
       .drop(r(key)).drop(l("__salt")).drop(r("__salt"))
   }
 }

@@ -118,7 +118,16 @@ object GraphQueries {
     // dominate this shape (~1.6x faster than Basic here; results identical —
     // CCFSpec proves variant agreement).
     "ccf_chain" -> ((s, _) =>
-      CCF.run(Generators.chainDF(s, 500), CCF.SecondarySort).assignments)
+      CCF.run(Generators.chainDF(s, 500), CCF.SecondarySort).assignments),
+
+    // Engine auto-selection (§2c; VERDICT r05 #4): CCF with the blowup
+    // detector, on the exact shape that needs it — the string chain's
+    // intermediate pair set doubles per round, so the run starts as CCF and
+    // finishes under PointerJump, with no caller hint. Same fixpoint answer
+    // either way (CCF.auto scaladoc proves the hand-off invariant); same
+    // oracle as ccf_chain.
+    "ccf_auto_chain" -> ((s, _) =>
+      CCF.auto(Generators.chainDF(s, 500)).assignments)
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,6 +175,10 @@ object GraphQueries {
       s"WITH $edgesCte SELECT src, dst FROM e",
 
     "ccf_chain" ->
+      """SELECT CAST(i + 1 AS VARCHAR) AS node, '0' AS component
+        |FROM range(499) t(i)""".stripMargin,
+
+    "ccf_auto_chain" ->
       """SELECT CAST(i + 1 AS VARCHAR) AS node, '0' AS component
         |FROM range(499) t(i)""".stripMargin
   )

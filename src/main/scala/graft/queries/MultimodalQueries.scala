@@ -30,7 +30,25 @@ object MultimodalQueries {
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
         when(col("doc_id") % 3 =!= 0, col("n_chars") * 10).otherwise(0L).as("duration_ms"))
         .groupBy("kind")
-        .agg(count(lit(1)).as("n"), max("duration_ms").as("max_duration_ms")))
+        .agg(count(lit(1)).as("n"), max("duration_ms").as("max_duration_ms"))),
+
+    // The CODEC path at the gate (VERDICT r05 #5): mediaFromDocuments →
+    // extractFeatures runs the real mapPartitions batch-codec pipeline
+    // (per-partition codec init, typed Dataset[MediaFeatures] out) — only the
+    // innermost byte decode is the deterministic stub, and THAT is what the
+    // oracle recomputes: payload = UTF-8 text bytes, so n_bytes/byte_mean/
+    // 16-bucket histogram are DuckDB-expressible (ord-per-char == byte value;
+    // the synthetic corpus is pure ASCII, asserted by the n_bytes ==
+    // octet_length column the oracle shares with m1). byte_mean is one IEEE
+    // division of an exact integer sum — bit-identical across engines; the
+    // histogram is CSV-joined so the compare is a plain string column.
+    "m3_features" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(docs(s, d))
+      graft.multimodal.Multimodal.extractFeatures(media).toDF()
+        .select(
+          col("media_id"), col("kind"), col("n_bytes"), col("byte_mean"),
+          concat_ws(",", transform(col("histogram16"), _.cast("string"))).as("hist_csv"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -46,6 +64,22 @@ object MultimodalQueries {
         |  SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
         |         CASE WHEN doc_id % 3 <> 0 THEN n_chars * 10 ELSE 0 END AS duration_ms
         |  FROM documents)
-        |GROUP BY kind""".stripMargin
+        |GROUP BY kind""".stripMargin,
+
+    // Recomputes the stub codec declaratively: per-char ord == payload byte
+    // (pure-ASCII corpus — octet_length(encode(text)) == length(text) for
+    // every row, the m1-shared invariant), 16 buckets of ord // 16.
+    "m3_features" ->
+      """SELECT media_id, kind, n_bytes,
+        |  CAST(list_sum(os) AS DOUBLE) / n_bytes AS byte_mean,
+        |  array_to_string(
+        |    [CAST(len(list_filter(os, o -> o // 16 = b)) AS VARCHAR) for b in range(0,16)],
+        |    ',') AS hist_csv
+        |FROM (
+        |  SELECT doc_id AS media_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    list_transform(split(text, ''), c -> ord(c)) AS os
+        |  FROM documents)""".stripMargin
   )
 }

@@ -137,4 +137,29 @@ class CCFSpec extends SparkSpec {
       assert(basic.iterations === ss.iterations)
     }
   }
+
+  test("SS fallback pin: non-streaming key types (decimal, date) agree with Basic") {
+    // VERDICT r05 #8: for key types outside {string, long, int} the
+    // SecondarySort variant silently runs the Basic declarative plan
+    // (CCF.iterateSecondarySort's catch-all). Pin that fallback: same
+    // assignments, same round count, same column type out.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val longEdges = Seq((2L, 10L), (10L, 100L), (7L, 3L), (3L, 100L), (42L, 41L))
+      .toDF("src", "dst")
+    def day(c: org.apache.spark.sql.Column) =
+      date_add(to_date(lit("2020-01-01")), c.cast("int"))
+    val keyed = Seq(
+      "decimal" -> longEdges.select(
+        col("src").cast("decimal(20,2)"), col("dst").cast("decimal(20,2)")),
+      "date" -> longEdges.select(day(col("src")).as("src"), day(col("dst")).as("dst")))
+    for ((name, df) <- keyed) {
+      val basic = CCF.run(df)
+      val ss = CCF.run(df, CCF.SecondarySort)
+      assert(basic.assignments.schema === ss.assignments.schema, name)
+      assert(basic.assignments.collect().toSet === ss.assignments.collect().toSet, name)
+      assert(basic.iterations === ss.iterations, name)
+      assert(basic.assignments.schema("node").dataType.typeName.startsWith(name), name)
+    }
+  }
 }

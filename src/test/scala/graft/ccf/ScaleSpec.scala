@@ -52,4 +52,30 @@ class ScaleSpec extends SparkSpec {
     val secs = (System.nanoTime() - t0) / 1e9
     assert(secs < 30.0, f"took $secs%.1f s")
   }
+
+  test("auto: 20k-node STRING chain switches to pointer jumping, no caller hint") {
+    // VERDICT r05 #4: the blowup detector must rescue CCF's pathological shape
+    // in PJ-like time. Pure CCF here peaks at ~40M intermediate pairs and runs
+    // minutes; auto caps the CCF phase at ~4 cheap doubling rounds.
+    val t0 = System.nanoTime()
+    val r = CCF.auto(Generators.chainDF(spark, 20000))
+    assert(r.converged)
+    assert(r.assignments.where(col("component") === "0").count() === 19999L)
+    assert(r.assignments.count() === 19999L)
+    // history = CCF rounds then PJ changed-counts; the switch must have fired
+    // well before CCF's ~17-round full fixpoint inflated the pair set
+    assert(r.iterations < 30, s"iterations=${r.iterations}")
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 45.0, f"took $secs%.1f s")
+  }
+
+  test("auto: short-diameter graph stays on CCF and matches CCF.run exactly") {
+    val g = Generators.toDF(spark, Generators.randomGraph(500, 600, seed = 7))
+    val plain = CCF.run(g)
+    val auto = CCF.auto(g)
+    // no switch: same round count and per-round NewPair history as plain CCF
+    assert(auto.iterations === plain.iterations)
+    assert(auto.newPairsHistory === plain.newPairsHistory)
+    assert(auto.assignments.collect().toSet === plain.assignments.collect().toSet)
+  }
 }

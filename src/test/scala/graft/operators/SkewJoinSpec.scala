@@ -29,4 +29,49 @@ class SkewJoinSpec extends SparkSpec {
       .groupBy("__salt").count().collect()
     assert(salts.length >= 6) // hot key spread over most of the 8 salts
   }
+
+  test("left join: unmatched left rows survive exactly once, matched as inner") {
+    import spark.implicits._
+    // planted skew: one hot key dominating the left side, plus keys the
+    // dimension doesn't cover at all
+    val left = (Seq.fill(5000)(("hot", 1)) ++ (1 to 200).map(i => (s"k$i", i)))
+      .toDF("k", "v")
+    val dim = (Seq(("hot", 0)) ++ (1 to 100).map(i => (s"k$i", i * 10))).toDF("k", "w")
+    val plain = left.join(dim, Seq("k"), "left")
+    val salted = SkewJoin.saltedJoin(left, dim, "k", salt = 8, joinType = "left")
+    assert(salted.count() === plain.count())
+    // exact multiset agreement, nulls included
+    val a = plain.groupBy("k", "v", "w").count()
+    val b = salted.groupBy("k", "v", "w").count()
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    // the uncovered keys k101..k200 must appear exactly once with a null w
+    assert(salted.where(col("w").isNull).count() === 100)
+  }
+
+  test("right/full outer are rejected (explode-right shape would duplicate)") {
+    import spark.implicits._
+    val df = Seq(("a", 1)).toDF("k", "v")
+    val dim = Seq(("a", 2)).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(df, dim, "k", salt = 4, joinType = "right")
+    }
+  }
+
+  test("planted skew: salting spreads the hot key's rows over many shuffle partitions") {
+    import spark.implicits._
+    // Without salting, every row of the hot key hashes to ONE reducer — the
+    // straggler. With the (key, salt) composite, the same rows spread over up
+    // to `salt` partitions. Measure actual partition placement both ways.
+    val parts = 16
+    val left = Seq.fill(4000)(("hot", 1)).toDF("k", "v")
+    val unsalted = left.repartition(parts, col("k"))
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .distinct().count()
+    val salted = left.withColumn("__salt", (rand(seed = 42) * 8).cast("int"))
+      .repartition(parts, col("k"), col("__salt"))
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .distinct().count()
+    assert(unsalted === 1L, s"plain hash: hot key lands on $unsalted partitions")
+    assert(salted >= 5L, s"salted: hot key spread over only $salted partitions")
+  }
 }
