@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.DedupQueries.defs ++
       graft.queries.SimilarityQueries.defs ++
       graft.queries.EventQueries.defs ++
-      graft.queries.MultimodalQueries.defs
+      graft.queries.MultimodalQueries.defs ++
+      graft.queries.CurationQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.EventQueries.oracles ++
-      graft.queries.MultimodalQueries.oracles
+      graft.queries.MultimodalQueries.oracles ++
+      graft.queries.CurationQueries.oracles
 }

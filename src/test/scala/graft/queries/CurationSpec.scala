@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Curation family behavior: reproducible selection, exact stratum sizes,
+  * mixture rates, decontamination invariants. */
+class CurationSpec extends SparkSpec {
+
+  test("c1: deterministic — identical row set on re-run, and a ~10% rate") {
+    val a = CurationQueries.defs("c1_hash_sample")(spark, sf()).collect().toSet
+    val b = CurationQueries.defs("c1_hash_sample")(spark, sf()).collect().toSet
+    assert(a === b)
+    val total = graft.sources.Tables.documents(spark, sf()).count()
+    // hash-uniform keep rate: loose band around 10% for a small corpus
+    assert(a.size > 0 && a.size < total / 4, s"kept ${a.size} of $total")
+  }
+
+  test("c2: exactly k docs per stratum, ranks dense from 1, sampled ids exist") {
+    val df = CurationQueries.defs("c2_stratified_sample")(spark, sf())
+    val perLang = df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = graft.sources.Tables.documents(spark, sf())
+      .select("lang").distinct().count()
+    assert(perLang.size === langs.toInt)
+    assert(perLang.values.forall(_ === 20L), perLang.toString)
+    val ranks = df.where(col("lang") === perLang.keys.head)
+      .select("rank").collect().map(_.getInt(0)).sorted
+    assert(ranks.toSeq === (1 to 20))
+  }
+
+  test("c3: per-source keep counts never exceed the source size; rates ordered") {
+    val kept = CurationQueries.defs("c3_source_mixture")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = graft.sources.Tables.documents(spark, sf())
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.forall { case (s, n) => n <= sizes(s) }, kept.toString)
+    // a 100%-rate source (idx % 4 == 3) keeps everything
+    val full = sizes.keys.filter(s => s.stripPrefix("src").toInt % 4 == 3)
+    assert(full.forall(s => kept.get(s).contains(sizes(s))), kept.toString)
+  }
+
+  test("c4: invariants — no benchmark docs, shared <= total, flag == threshold") {
+    val rows = CurationQueries.defs("c4_decontam")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (id, n, sh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(id % 20 != 0, s"benchmark doc $id in candidates")
+      assert(sh >= 0 && sh <= n, r.toString)
+      assert(r.getBoolean(4) === (r.getDouble(3) >= 0.5), r.toString)
+    }
+  }
+}

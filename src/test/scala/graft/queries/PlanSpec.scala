@@ -98,4 +98,24 @@ class PlanSpec extends SparkSpec {
     // and no interpreted higher-order aggregate left in the hot path
     assert(!p.contains("aggregate(zip_with"), p)
   }
+
+  test("c1 sample: map-side only (no exchange), text pruned from the scan") {
+    val p = plan(CurationQueries.defs("c1_hash_sample")(spark, sf()))
+    assert(!p.contains("Exchange"), p) // scan + filter + project, no shuffle
+    assert(!p.contains("text"), p) // wide column pruned at the parquet read
+  }
+
+  test("c2 stratified sample: top-k aggregate, no window, no sort") {
+    val p = finalPlan(CurationQueries.defs("c2_stratified_sample")(spark, sf()))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_top_k"), p) // map-side partial per stratum
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+  }
+
+  test("c4 decontam: semi-join candidate counting, no pair fan-out join") {
+    val p = plan(CurationQueries.defs("c4_decontam")(spark, sf()))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
