@@ -28,6 +28,16 @@ object CurationQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** The c1 sampler as a standalone transform: STATELESS (pure row-local
+    * filter), so the identical code runs on a batch DataFrame or a stream
+    * ([[graft.streaming.Streams.sampleStream]]) — and selects the same rows
+    * either way, which `rand()`-based sampling cannot promise under stream
+    * replays/retries. */
+  def hashSampled(documents: DataFrame): DataFrame =
+    documents
+      .where(saltedHash("smpl", col("doc_id")) % 100 < 10)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
   /** Salted uniform hash in [0, HashP): h("salt:" + key). Distinct salts
     * decorrelate the stages (a doc sampled by c1 is not thereby more or less
     * likely to be picked by c2/c3). */
@@ -50,10 +60,7 @@ object CurationQueries {
     // 100 TB notes: this is a scan + filter; with the selection pushed to the
     // parquet reader the sample never materializes the skipped 90%. text is
     // NOT selected — column pruning keeps the wide column out of the scan.
-    "c1_hash_sample" -> ((s, d) =>
-      docs(s, d)
-        .where(saltedHash("smpl", col("doc_id")) % 100 < 10)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    "c1_hash_sample" -> ((s, d) => hashSampled(docs(s, d))),
 
     // Stratified sampling: EXACTLY k docs per stratum (lang), chosen by the
     // salted hash as a uniform score — via the bounded-state top-k aggregate

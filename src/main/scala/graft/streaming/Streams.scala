@@ -173,6 +173,36 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming document source (same file-source pattern as [[eventStream]]). */
+  def documentStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Streaming twin of the curation hash-sampler (c1_hash_sample): the salted
+    * deterministic hash is a pure row-local filter — no state, no watermark —
+    * so the IDENTICAL transform runs on the stream and selects the identical
+    * rows under any replay/retry/trigger layout. This determinism is the
+    * reason curation sampling hashes ids instead of flipping `rand()` coins:
+    * a coin-flip sample is irreproducible across retries and can double-count
+    * under at-least-once sources. */
+  def sampleStream(docs: DataFrame): DataFrame =
+    graft.queries.CurationQueries.hashSampled(docs)
+
+  /** Run the streaming sampler end-to-end (AvailableNow, memory sink). */
+  def runSampleOnce(spark: SparkSession, dir: String, queryName: String = "sample"): DataFrame = {
+    val q = sampleStream(documentStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Run sessionization end-to-end (AvailableNow, memory sink); returns the
     * CLOSED sessions emitted by the stream (open sessions remain in state —
     * the streaming contract). */

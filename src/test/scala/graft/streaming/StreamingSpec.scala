@@ -55,4 +55,13 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(sorted(streamed.collect()) === sorted(closedBatch.collect()))
   }
+
+  test("streaming hash-sample equals batch c1_hash_sample exactly") {
+    // stateless determinism: the stream selects the SAME rows as the batch
+    // run — the property rand()-sampling cannot give under replays
+    val streamed = Streams.runSampleOnce(spark, sf(), "sample_spec")
+    val batch = graft.queries.CurationQueries.defs("c1_hash_sample")(spark, sf())
+    assert(streamed.count() > 0)
+    assert(sorted(streamed.collect()) === sorted(batch.collect()))
+  }
 }
