@@ -90,12 +90,15 @@ object CCF {
   /** @param assignments (node, component) — representative has no row
     * @param iterations rounds run, counting the final 0-new-pair round
     * @param converged false iff maxIterations hit first
-    * @param newPairsHistory newPairs per round, oldest first */
+    * @param newPairsHistory newPairs per round, oldest first
+    * @param engine which kernel(s) produced the result: "ccf", "pj", or
+    *               "ccf+pj" (auto's mid-fixpoint rescue) */
   final case class CCFResult(
       assignments: DataFrame,
       iterations: Int,
       converged: Boolean,
-      newPairsHistory: Seq[Long])
+      newPairsHistory: Seq[Long],
+      engine: String = "ccf")
 
   // Freeing a local checkpoint that is never re-read is intentional; silence
   // Spark's per-RDD "cannot be recomputed after unpersisting" warning once per
@@ -187,14 +190,39 @@ object CCF {
    * Iterations/history report the CCF rounds run plus PointerJump's rounds
    * (its changed-label counts), oldest first.
    *
-   * 100 TB notes: the detector costs nothing (the row count is already an
-   * observed metric of the round's checkpoint job) and triggers before the
-   * exponential rounds dominate — at `blowupFactor`=8 a doubling graph runs
-   * ~4 extra cheap rounds and hands PointerJump a pair set O(blowupFactor x
-   * |E|), while a web/social-shaped graph (pair sets peak ~2-3x input) never
-   * switches and keeps CCF's cheaper join-free-label rounds.
+   * Second rule, decided UP FRONT: DENSE graphs (mean degree >
+   * `denseDegree`) go straight to [[PointerJump]]. CCF's re-emit step
+   * multiplies every re-labeled key's full neighborhood each round — on the
+   * sf0.1 co-purchase graph (20k nodes, 1.2M edges, degree ~120) round 2
+   * alone emits 3.9M pairs and CCF runs 2.5x slower than the n-row label
+   * table (BENCH_NOTES r06). The density estimate is one pass over the edge
+   * list with sketch cardinality (approx_count_distinct, ±5%) — a 16x
+   * threshold needs no better — and at 100 TB that pass is a map-side
+   * partial aggregate, not a shuffle of the key space. A mid-fixpoint switch
+   * cannot recover this case: by the time pair counts look bad, the pair set
+   * handed over is already degree-amplified past the original edge list.
+   *
+   * 100 TB notes: the runtime detector costs nothing (the row count is
+   * already an observed metric of the round's checkpoint job) and triggers
+   * before the exponential rounds dominate — at `blowupFactor`=8 a doubling
+   * graph runs ~4 extra cheap rounds and hands PointerJump a pair set
+   * O(blowupFactor x |E|), while a web/social-shaped graph (pair sets peak
+   * ~2-3x input) never switches and keeps CCF's cheaper rounds.
    */
-  def auto(edges: DataFrame, maxIterations: Int = 100, blowupFactor: Long = 8L): CCFResult =
+  def auto(edges: DataFrame, maxIterations: Int = 100, blowupFactor: Long = 8L,
+           denseDegree: Double = 16.0): CCFResult = {
+    if (denseDegree > 0) {
+      val Array(a, b) = edges.columns
+      val est = edges.agg(count(lit(1)).as("m"),
+        approx_count_distinct(col(a), 0.05).as("na"),
+        approx_count_distinct(col(b), 0.05).as("nb")).head()
+      val m = est.getLong(0)
+      // |V| >= max(nd(a), nd(b)); mean degree 2|E|/|V| <= 2m/max — an upper
+      // bound tight enough for a 16x threshold (exact |V| needs the union)
+      val nV = math.max(1L, math.max(est.getLong(1), est.getLong(2)))
+      if (m > 0 && 2.0 * m / nV > denseDegree)
+        return PointerJump.run(edges, maxIterations)
+    }
     runSwitchable(edges, Basic, maxIterations, blowupFactor) match {
       case Left(r) => r
       case Right(sw) =>
@@ -203,8 +231,9 @@ object CCF {
         // the CCF rounds' backing blocks are no longer referenced.
         sw.ckpts.foreach(freeCheckpoint)
         CCFResult(pj.assignments, sw.iterations + pj.iterations, pj.converged,
-          sw.history ++ pj.newPairsHistory)
+          sw.history ++ pj.newPairsHistory, engine = "ccf+pj")
     }
+  }
 
   /** Hand-off state when the blowup detector fires: the current pair set (same
     * components as the input — see [[auto]]), the checkpoints backing it (for

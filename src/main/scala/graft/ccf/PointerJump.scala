@@ -134,6 +134,6 @@ object PointerJump {
 
     val assignments = lbl.where(col("lab") =!= col("node"))
       .select(col("node"), col("lab").as("component"))
-    CCF.CCFResult(assignments, iteration, converged, history.toSeq)
+    CCF.CCFResult(assignments, iteration, converged, history.toSeq, engine = "pj")
   }
 }

@@ -64,18 +64,31 @@ class ScaleSpec extends SparkSpec {
     assert(r.assignments.count() === 19999L)
     // history = CCF rounds then PJ changed-counts; the switch must have fired
     // well before CCF's ~17-round full fixpoint inflated the pair set
+    assert(r.engine === "ccf+pj")
     assert(r.iterations < 30, s"iterations=${r.iterations}")
     val secs = (System.nanoTime() - t0) / 1e9
     assert(secs < 45.0, f"took $secs%.1f s")
   }
 
-  test("auto: short-diameter graph stays on CCF and matches CCF.run exactly") {
+  test("auto: short-diameter sparse graph stays on CCF and matches CCF.run exactly") {
     val g = Generators.toDF(spark, Generators.randomGraph(500, 600, seed = 7))
     val plain = CCF.run(g)
     val auto = CCF.auto(g)
     // no switch: same round count and per-round NewPair history as plain CCF
+    assert(auto.engine === "ccf")
     assert(auto.iterations === plain.iterations)
     assert(auto.newPairsHistory === plain.newPairsHistory)
     assert(auto.assignments.collect().toSet === plain.assignments.collect().toSet)
+  }
+
+  test("auto: dense graph routes straight to pointer jumping, same answer") {
+    // mean degree 2*3000/100 = 60 >> 16: CCF's re-emit would amplify every
+    // hub neighborhood per round; the upfront density estimate must route to
+    // the n-row label table without running a single CCF round
+    val g = Generators.toDF(spark, Generators.randomGraph(100, 3000, seed = 11))
+    val auto = CCF.auto(g)
+    assert(auto.engine === "pj")
+    assert(auto.converged)
+    assert(auto.assignments.collect().toSet === CCF.run(g).assignments.collect().toSet)
   }
 }
