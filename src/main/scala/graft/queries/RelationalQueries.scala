@@ -289,7 +289,25 @@ object RelationalQueries {
         .agg(count(lit(1)))
         .na.fill(0L)
         .select(col("c_mktsegment"), col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
-    })
+    }),
+
+    // GROUPING SETS with an arbitrary (non-cube, non-rollup) set list — the
+    // Spark 4 Dataset.groupingSets API; grouping() flags disambiguate real
+    // NULL keys from set-aggregated ones, exactly as in q15's CUBE.
+    "q27_grouping_sets" -> ((s, d) =>
+      ord(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)").as("sum_price"),
+             grouping(col("o_orderstatus")).as("g_status"),
+             grouping(col("o_orderpriority")).as("g_prio"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"), col("g_status"), col("g_prio")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -473,6 +491,17 @@ object RelationalQueries {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM customer JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q27_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())""".stripMargin
   )
 }
