@@ -46,4 +46,25 @@ class CCFPropertySpec extends SparkSpec {
       assert(got.forall { case (node, comp) => comp < node })
     }
   }
+
+  for (seed <- Seq(3, 21)) {
+    test(s"auto == union-find regardless of routing, seed=$seed") {
+      // density varies with the draw (m up to ~3n on few nodes can cross the
+      // dense threshold), so this stochastically covers both the CCF and the
+      // straight-to-PointerJump routes of the auto engine — the answer must
+      // be routing-invariant.
+      val rng = new Random(seed)
+      val n = 10 + rng.nextInt(40)
+      val m = n + rng.nextInt(5 * n)
+      val edges = Seq.fill(m) {
+        (rng.nextInt(n).toString, rng.nextInt(n).toString)
+      }.filter { case (a, b) => a != b }
+      val expected = unionFindLabels(edges)
+        .collect { case (node, root) if node != root => (node, root) }.toSet
+      val r = CCF.auto(Generators.toDF(spark, edges))
+      val got = r.assignments.collect().map(x => (x.getString(0), x.getString(1))).toSet
+      assert(got === expected, s"engine=${r.engine}")
+      assert(r.converged)
+    }
+  }
 }
