@@ -173,6 +173,39 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment: streaming events joined to a STATIC customer
+    * dimension — the most common production streaming shape (fact stream ⋈
+    * dimension table). The static side is a plain batch DataFrame: Spark
+    * re-plans it per micro-batch (picking broadcast when it fits — no
+    * streaming state at all, unlike a stream-stream join), so dimension
+    * updates between batches are picked up automatically. At 100 TB/day the
+    * dimension side stays a broadcast as long as it fits executor memory;
+    * bigger dims shift to a shuffled join per micro-batch. */
+  def enrichStream(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      customers.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment"), col("c_nation")),
+      Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("c_mktsegment"), col("c_nation"))
+
+  /** Run the stream-static enrichment end-to-end (AvailableNow, memory sink). */
+  def runEnrichOnce(spark: SparkSession, dir: String, queryName: String = "enrich"): DataFrame = {
+    val cust = graft.sources.Tables.customer(spark, dir)
+      .join(graft.sources.Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_name").as("c_nation"))
+    val q = enrichStream(eventStream(spark, dir), cust)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming document source (same file-source pattern as [[eventStream]]). */
   def documentStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

@@ -56,6 +56,21 @@ class StreamingSpec extends SparkSpec {
     assert(sorted(streamed.collect()) === sorted(closedBatch.collect()))
   }
 
+  test("stream-static enrichment equals the batch dimension join") {
+    val streamed = Streams.runEnrichOnce(spark, sf(), "enrich_spec")
+    val cust = graft.sources.Tables.customer(spark, sf())
+      .join(graft.sources.Tables.nation(spark, sf()),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"),
+        col("n_name").as("c_nation"))
+    val batch = graft.sources.Tables.events(spark, sf())
+      .join(cust, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("c_mktsegment"), col("c_nation"))
+    assert(streamed.count() > 0)
+    assert(sorted(streamed.collect()) === sorted(batch.collect()))
+  }
+
   test("streaming hash-sample equals batch c1_hash_sample exactly") {
     // stateless determinism: the stream selects the SAME rows as the batch
     // run — the property rand()-sampling cannot give under replays
