@@ -37,6 +37,15 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC (the other columnar lake format, built into Spark): same pushdown /
+    * pruning / partitionBy story as parquet for shops standardized on ORC.
+    * `partitionCols` optional. */
+  def writeOrc(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .orc(path)
+
   /** Bucketed + sorted managed table: rows are hash-partitioned into
     * `buckets` files by `bucketCol` at write time, so an equi-join of two
     * tables bucketed the same way needs NO shuffle at read time — the

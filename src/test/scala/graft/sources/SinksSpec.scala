@@ -72,4 +72,21 @@ class SinksSpec extends SparkSpec {
     assert(back.select("r_name").collect().map(_.getString(0)).toSet ===
       df.select("r_name").collect().map(_.getString(0)).toSet)
   }
+
+  test("orc: partitioned round-trip with pruning and pushdown at the scan") {
+    val orders = Tables.orders(spark, sf())
+      .withColumn("o_year", year(col("o_orderdate")))
+    Sinks.writeOrc(orders, s"$tmp/orders_orc", "o_year")
+    val back = spark.read.orc(s"$tmp/orders_orc")
+    assert(back.count() === orders.count())
+    val y = new java.io.File(s"$tmp/orders_orc").listFiles()
+      .filter(_.isDirectory).map(_.getName).find(_.startsWith("o_year="))
+      .get.stripPrefix("o_year=").toInt
+    val pruned = back.where(col("o_year") === y && col("o_totalprice") > 1000.0)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"), plan)
+    assert(plan.contains("PushedFilters: [") && plan.contains("o_totalprice"), plan)
+    assert(pruned.count() ===
+      orders.where(col("o_year") === y && col("o_totalprice") > 1000.0).count())
+  }
 }
