@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.sources.Tables
 import graft.text.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -17,6 +18,12 @@ import org.apache.spark.sql.functions._
  *    to a target mixture), map-side
  *  - c4 benchmark decontamination: n-gram overlap against a held-out
  *    eval set via a semi-join on hashed 8-gram shingles
+ *  - c5 PII redaction: regex scrubbing of emails/phones (map-side,
+ *    codegen'd regexp — zero shuffle)
+ *  - c6 shard packing: assign docs to fixed-budget training shards by a
+ *    DISTRIBUTED prefix sum (range partition + per-partition scan + a
+ *    partition-count-sized offset table — never a global single-reducer
+ *    window)
  *
  * Determinism contract: all "randomness" is the shared polynomial hash
  * ([[graft.text.TextFunctions.polyHash]]) of a salted key, mirrored
@@ -53,6 +60,32 @@ object CurationQueries {
   /** c4: contamination flag threshold (fraction of a doc's distinct 8-grams
     * also present in the benchmark side). */
   private val ContamT = 0.5
+
+  /** c5: PII patterns — identical dialect subset of Java regex (Spark) and
+    * RE2 (DuckDB): character classes, +, bounded repeats only. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  /** c5: the synthetic corpus has no PII (lowercase word salad), so plant it
+    * DETERMINISTICALLY from existing columns — both engines derive the same
+    * augmented text, making the redaction output value-checkable. Every doc
+    * gets one email + one phone; every third doc a second email. */
+  private def piiText(text: Column, docId: Column, source: Column): Column =
+    concat(
+      text,
+      lit(" contact user"), docId.cast("string"),
+      lit("@"), source, lit(".example.com or call 555-"),
+      lpad((docId % 10000).cast("string"), 4, "0"),
+      when(docId % 3 === 0, lit(" and admin@corp.example.org")).otherwise(lit("")))
+
+  private def piiTextSql: String =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source || " +
+      "'.example.com or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' and admin@corp.example.org' ELSE '' END"
+
+  /** c6: shard budget in characters (the token-count stand-in already on the
+    * table — keeps the wide text column pruned out of the scan). */
+  private val ShardBudget = 20000L
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic Bernoulli sample, keep rate 10%: pure map-side filter —
@@ -120,6 +153,72 @@ object CurationQueries {
         .select(col("doc_id"), col("n_grams"), shared.as("n_shared"),
           (shared.cast("double") / col("n_grams")).as("contamination"),
           (shared.cast("double") / col("n_grams") >= ContamT).as("flagged"))
+    }),
+
+    // PII redaction: count + scrub emails/phones with codegen'd regexp
+    // (RegExpReplace/RegExpCount are plain scalar expressions — the whole
+    // query is scan → project, embarrassingly parallel, zero shuffle; at
+    // 100 TB this is the shape you want for a full-corpus scrub pass).
+    // The redacted text itself is summarized as (length, polyHash) so the
+    // oracle compares values without shipping megabyte strings around.
+    "c5_pii_redact" -> ((s, d) => {
+      val full = piiText(col("text"), col("doc_id"), col("source"))
+      val redacted = regexp_replace(
+        regexp_replace(full, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+      docs(s, d).select(
+        col("doc_id"),
+        regexp_count(full, lit(EmailRe)).cast("int").as("n_emails"),
+        regexp_count(full, lit(PhoneRe)).cast("int").as("n_phones"),
+        length(redacted).as("redacted_len"),
+        polyHash(redacted).as("redacted_hash"))
+    }),
+
+    // Shard packing: pack docs (ordered by a salted hash — a deterministic
+    // global shuffle order) into fixed-budget shards by cumulative size.
+    // shard = floor(running_total_before_doc / budget).
+    //
+    // 100 TB notes: the naive formulation is SUM() OVER (ORDER BY k) — a
+    // GLOBAL window, which Spark executes on a single partition: the classic
+    // scale-killer. This is instead a distributed prefix sum:
+    //   1. repartitionByRange(k) + sortWithinPartitions — Spark's normal
+    //      distributed sort machinery, all partitions parallel;
+    //   2. per-partition running sums in ONE narrow pass (mapPartitions — a
+    //      prefix SCAN is genuinely per-partition imperative logic, the
+    //      documented escape hatch);
+    //   3. per-partition totals via a partially-aggregated groupBy (the
+    //      shuffle carries ONE row per partition), a window over that
+    //      partition-count-sized table for offsets, broadcast back.
+    // Row order inside a range partition is unique ((k, doc_id) has no ties)
+    // and offsets reconstruct the exact global prefix sum, so the output is
+    // IDENTICAL no matter how many partitions the range split chose.
+    "c6_shard_pack" -> ((s, d) => {
+      import s.implicits._
+      val ranged = docs(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          saltedHash("shard", col("doc_id")).as("k"))
+        .repartitionByRange(col("k"), col("doc_id"))
+        .sortWithinPartitions("k", "doc_id")
+        .withColumn("pid", spark_partition_id())
+      val offsets = ranged.groupBy("pid").agg(sum("n_chars").as("ptot"))
+        .withColumn("offset",
+          coalesce(sum("ptot").over(
+            Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("pid", "offset")
+      val cum = ranged.select(col("pid"), col("k"), col("doc_id"), col("n_chars"))
+        .as[(Int, Long, Long, Long)]
+        .mapPartitions { it =>
+          var run = 0L
+          it.map { case (pid, _, id, n) =>
+            val before = run; run += n; (pid, id, n, before)
+          }
+        }
+        .toDF("pid", "doc_id", "n_chars", "before_in")
+      cum.join(broadcast(offsets), "pid")
+        .select(col("doc_id"), col("n_chars"),
+          // integer division (div): exact at any corpus size — a double
+          // division would lose precision past 2^53 total chars
+          expr(s"(before_in + offset) div $ShardBudget").as("shard"))
     })
   )
 
@@ -170,6 +269,30 @@ object CurationQueries {
          |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
          |  CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_grams AS contamination,
          |  CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_grams >= $ContamT AS flagged
-         |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""".stripMargin
+         |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""".stripMargin,
+
+    "c5_pii_redact" ->
+      s"""WITH aug AS (SELECT doc_id, $piiTextSql AS t FROM documents),
+         |red AS (SELECT doc_id, t,
+         |  regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+         |                 '$PhoneRe', '<PHONE>', 'g') AS r
+         |  FROM aug)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INT) AS n_phones,
+         |  CAST(len(r) AS INT) AS redacted_len,
+         |  ${polyHashSql("r")} AS redacted_hash
+         |FROM red""".stripMargin,
+
+    "c6_shard_pack" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |    ${saltedHashSql("shard", "doc_id")} AS k
+         |  FROM documents)
+         |SELECT doc_id, n_chars,
+         |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY k, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    // $ShardBudget AS shard
+         |FROM h""".stripMargin
   )
 }

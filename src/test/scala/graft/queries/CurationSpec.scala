@@ -41,6 +41,39 @@ class CurationSpec extends SparkSpec {
     assert(full.forall(s => kept.get(s).contains(sizes(s))), kept.toString)
   }
 
+  test("c5: every doc redacted — zero residual matches, counts as planted") {
+    val df = CurationQueries.defs("c5_pii_redact")(spark, sf())
+    val rows = df.collect()
+    val total = graft.sources.Tables.documents(spark, sf()).count()
+    assert(rows.length === total.toInt)
+    for (r <- rows) {
+      val (id, nEmails, nPhones) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(nEmails === (if (id % 3 == 0) 2 else 1), r.toString)
+      assert(nPhones === 1, r.toString)
+    }
+  }
+
+  test("c6: shard assignment equals a driver-side sequential pack; shards dense") {
+    val rows = CurationQueries.defs("c6_shard_pack")(spark, sf())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // oracle-style sequential recompute on the driver (tiny at test sf)
+    val docs = graft.sources.Tables.documents(spark, sf())
+      .select(col("doc_id"), col("n_chars").cast("long"),
+        graft.text.TextFunctions.polyHash(
+          concat(lit("shard:"), col("doc_id").cast("string"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    var run = 0L
+    for ((id, n, _) <- docs) {
+      val expected = run / 20000L
+      assert(rows(id) === (n, expected), s"doc $id")
+      run += n
+    }
+    // shards cover 0..max densely
+    val shards = rows.values.map(_._2).toSet
+    assert(shards === (0L to shards.max).toSet)
+  }
+
   test("c4: invariants — no benchmark docs, shared <= total, flag == threshold") {
     val rows = CurationQueries.defs("c4_decontam")(spark, sf()).collect()
     assert(rows.nonEmpty)

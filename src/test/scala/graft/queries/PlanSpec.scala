@@ -113,6 +113,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), p)
   }
 
+  test("c5 redact: map-side only — scan, project, zero exchanges") {
+    val p = plan(CurationQueries.defs("c5_pii_redact")(spark, sf()))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("c6 shard pack: doc rows never cross a global single-partition window") {
+    // the only Window in the plan must consume the partition-TOTALS
+    // aggregate (one row per partition), never the full doc-row stream
+    val df = CurationQueries.defs("c6_shard_pack")(spark, sf())
+    val lp = df.queryExecution.optimizedPlan
+    val windows = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the offsets window")
+    for (w <- windows)
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, s"window fed by non-aggregated rows:\n$w")
+    // and the doc-row side range-partitions (the distributed sort shape)
+    assert(plan(df).contains("rangepartitioning"), plan(df))
+  }
+
   test("c4 decontam: semi-join candidate counting, no pair fan-out join") {
     val p = plan(CurationQueries.defs("c4_decontam")(spark, sf()))
     assert(p.contains("LeftSemi"), p)
