@@ -34,6 +34,10 @@ object DedupQueries {
 
   private val ShingleK = 3
 
+  /** d8: non-overlapping passage length in tokens (the sub-document dedup
+    * granularity; the trailing <16-token remainder is not a passage). */
+  private val PassageLen = 16
+
   /** Hot-shingle document-frequency cap on the CANDIDATE index (the
     * reference's own flagged weakness — hub-key reducer skew,
     * `RESULTS.md:119`). A shingle appearing in df docs contributes df²/2
@@ -128,6 +132,27 @@ object DedupQueries {
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
       .where(jaccard(col("sa"), col("sb")) >= JaccardT)
       .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+  }
+
+  /** d8 pipeline on any (doc_id, text) frame (parametric for fixture specs). */
+  private[queries] def passageDedupOf(documents: DataFrame): DataFrame = {
+    val P = PassageLen
+    val passages = documents
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .where(size(col("ws")) >= P)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (size(col("ws")) / P).cast("int") - 1),
+          i => polyHash(concat_ws(" ", slice(col("ws"), i * P + 1, lit(P))))))
+          .as(Seq("pos", "h")))
+    val first = min(struct(col("doc_id"), col("pos")))
+      .over(Window.partitionBy("h"))
+    passages
+      .select(col("doc_id"),
+        (struct(col("doc_id"), col("pos")) =!= first).as("dup"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+           sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
   }
 
   /** Exact-Jaccard on a pair of shingle-set columns (distinct sets). */
@@ -248,6 +273,20 @@ object DedupQueries {
             (col("a.nrm") * col("b.nrm"))).as("cos"))
         .where(col("cos") >= 0.4)
     }),
+
+    // Passage-level exact dedup (the RefinedWeb/CCNet sub-document pass):
+    // cut each doc into non-overlapping 16-token passages, hash each, and
+    // mark every occurrence after the global first (order: (doc_id, pos))
+    // as a duplicate. Reported per doc: passage count + duplicated count.
+    //
+    // Shape: posexplode → ONE shuffle keyed by passage hash with a
+    // min-over-hash-partition window (no orderBy inside the frame — the
+    // window sorts by hash only, and beats the groupBy+self-join
+    // alternative's two full shuffles of the passage stream). Passage
+    // hashes are near-unique (16 tokens), so there is no hot-key skew by
+    // construction — the reason this operator needs no df cap while d2's
+    // 3-gram index does.
+    "d8_passage_dedup" -> ((s, d) => passageDedupOf(docs(s, d))),
 
     // Embedding-cosine near-dup, brute-force exactness baseline. Sequential
     // left-fold dot products in double — bit-identical to the oracle. The
@@ -374,6 +413,21 @@ object DedupQueries {
          |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
          |WHERE cos >= 0.4""".stripMargin,
+
+    "d8_passage_dedup" ->
+      s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),
+         |p AS (
+         |  SELECT doc_id, u['pos'] AS pos, u['h'] AS h FROM (
+         |    SELECT doc_id, unnest([{'pos': i, 'h': ${polyHashSql(
+               s"array_to_string(ws[$PassageLen*i+1 : $PassageLen*i+$PassageLen], ' ')")}}
+         |                           for i in range(0, len(ws)//$PassageLen)]) AS u
+         |    FROM tt WHERE len(ws) >= $PassageLen)),
+         |r AS (SELECT doc_id, pos,
+         |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |      FROM p)
+         |SELECT doc_id, COUNT(*) AS n_passages,
+         |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |FROM r GROUP BY doc_id""".stripMargin,
 
     "d5_embedding_neardup" ->
       s"""WITH e AS (

@@ -46,6 +46,41 @@ class QueriesSpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("d8 passage dedup: planted fixture — first occurrence wins, tails ignored") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val base = words("a", 32)                       // 2 passages
+    val fixture = Seq(
+      (1L, base),                                   // original: 0 dups
+      (2L, base),                                   // exact copy: both passages dup
+      (3L, base + " " + words("t", 10)),            // copy + short tail: tail ignored
+      (4L, words("u", 16) + " " + base.split(" ").take(16).mkString(" ")),
+      //    ^ unique first passage, second repeats doc 1's FIRST passage
+      (5L, words("v", 15))                          // too short: no row
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.passageDedupOf(fixture)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(
+      1L -> (2L, 0L), 2L -> (2L, 2L), 3L -> (2L, 2L), 4L -> (2L, 1L)))
+  }
+
+  test("d8 passage dedup: corpus bookkeeping — dups = passages − distinct passages") {
+    val d8 = DedupQueries.defs("d8_passage_dedup")(spark, sf())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val perDoc = docs.select(floor(size(split(col("text"), " ")) / 16).as("np"))
+      .where(col("np") >= 1).agg(sum("np")).head.getLong(0)
+    assert(d8.values.map(_._1).sum === perDoc)
+    val distinctPassages = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 16)
+      .select(explode(expr(
+        "transform(sequence(0, cast(size(ws)/16 as int) - 1)," +
+          " i -> array_join(slice(ws, i*16+1, 16), ' '))")).as("p"))
+      .distinct().count()
+    assert(d8.values.map(_._2).sum === perDoc - distinctPassages)
+  }
+
   test("d2 hot-shingle df cap: hot-only pairs dropped, rare-shingle dups keep exact jaccard") {
     import spark.implicits._
     // 20 identical docs — every shingle hot (df=20); capped at 5, they can't
