@@ -96,6 +96,18 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("ts"), col("asof_orderkey"))
     }),
 
+    // HOPPING (sliding) windows: 1-hour windows every 15 minutes — each
+    // event lands in exactly 4 overlapping windows (window() generates the
+    // slide set per row; the explode is window_len/slide = 4×, then a plain
+    // two-phase hash aggregate — partial map-side combine keeps the shuffle
+    // at O(distinct windows × types), not O(events × 4), the
+    // structured-streaming-compatible shape for rate dashboards).
+    "e8_hopping_window" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))),
+
     // Daily active users + event volume.
     "e4_daily_users" -> ((s, d) =>
       ev(s, d)
@@ -218,6 +230,16 @@ object EventQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
         |  FROM u)
         |WHERE kind = 1""".stripMargin,
+
+    // each event expands to its 4 slide-aligned windows: start =
+    // (floor(ts/15min) − j)·15min for j in 0..3 — exactly Spark's
+    // epoch-aligned window(ts, '1 hour', '15 minutes') set.
+    "e8_hopping_window" ->
+      """SELECT make_timestamp((epoch_us(ts) // 900000000 - j) * 900000000)
+        |         AS window_start,
+        |       event_type, COUNT(*) AS n
+        |FROM events, range(4) t(j)
+        |GROUP BY 1, 2""".stripMargin,
 
     "e4_daily_users" ->
       """SELECT CAST(ts AS DATE) AS day,

@@ -127,8 +127,46 @@ object GraphQueries {
     // either way (CCF.auto scaladoc proves the hand-off invariant); same
     // oracle as ccf_chain.
     "ccf_auto_chain" -> ((s, _) =>
-      CCF.auto(Generators.chainDF(s, 500)).assignments)
+      CCF.auto(Generators.chainDF(s, 500)).assignments),
+
+    // TRIANGLE COUNTING per node (beyond the reference — the standard graph
+    // co-occurrence statistic next to connected components). Formulation is
+    // the degree-ordered orientation: each undirected edge points from its
+    // (degree, id)-smaller endpoint, so every node's out-degree is bounded
+    // by O(√m) on any graph and the wedge self-join can't blow up on hub
+    // vertices — work is O(m^1.5) worst case instead of Σ deg² (the same
+    // hub-skew failure mode the reference flags for CCF, solved structurally
+    // here rather than by salting). Each triangle {a,b,c} is generated
+    // exactly once, as a wedge at its orientation-minimum vertex, then
+    // credited to all three corners.
+    "g1_triangles" -> ((s, dir) => trianglesOf(edges(s, dir)))
   )
+
+  /** Per-node triangle counts over a canonical (src < dst, distinct) edge
+    * set — parametric for fixture/agreement specs; see the g1 notes above. */
+  private[queries] def trianglesOf(e: DataFrame): DataFrame = {
+    val deg = CCF.bidirect(e)
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val keyed = e
+      .join(deg.select(col("node").as("src"), col("deg").as("dsrc")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("ddst")), "dst")
+    def key(d: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      struct(d.as("d"), n.as("n"))
+    val srcKey = key(col("dsrc"), col("src"))
+    val dstKey = key(col("ddst"), col("dst"))
+    val srcFirst = srcKey < dstKey
+    val oriented = keyed.select(
+      when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
+      when(srcFirst, col("dst")).otherwise(col("src")).as("v"),
+      when(srcFirst, dstKey).otherwise(srcKey).as("vkey"))
+    val wedges = oriented.as("a").join(oriented.as("b"),
+        col("a.u") === col("b.u") && col("a.vkey") < col("b.vkey"))
+      .select(col("a.u").as("u"), col("a.v").as("x"), col("b.v").as("y"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 
   val oracles: Map[String, String] = Map(
     "ccf_components" ->
@@ -180,6 +218,19 @@ object GraphQueries {
 
     "ccf_auto_chain" ->
       """SELECT CAST(i + 1 AS VARCHAR) AS node, '0' AS component
-        |FROM range(499) t(i)""".stripMargin
+        |FROM range(499) t(i)""".stripMargin,
+
+    // id-canonical 3-way join (a<b<c) — a different orientation than the
+    // engine's degree order, but the triangle SET is orientation-invariant.
+    "g1_triangles" ->
+      s"""WITH $edgesCte,
+         |tri AS (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM e e1
+         |  JOIN e e2 ON e2.src = e1.dst
+         |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+         |SELECT node, COUNT(*) AS n_triangles
+         |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+         |GROUP BY node""".stripMargin
   )
 }

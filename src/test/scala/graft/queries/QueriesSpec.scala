@@ -81,6 +81,40 @@ class QueriesSpec extends SparkSpec {
     assert(d8.values.map(_._2).sum === perDoc - distinctPassages)
   }
 
+  test("e8 hopping windows: every event in exactly 4 windows, 15-min aligned") {
+    val df = EventQueries.defs("e8_hopping_window")(spark, sf())
+    val total = df.agg(sum("n")).head.getLong(0)
+    val events = graft.sources.Tables.events(spark, sf()).count()
+    assert(total === events * 4)
+    val misaligned = df.where(
+      unix_micros(col("window_start")) % (900L * 1000000L) =!= 0).count()
+    assert(misaligned === 0)
+  }
+
+  test("g1 triangles: K4+path golden counts; degree-oriented == naive 3-join") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) + a triangle-free
+    // path 5-6-7 (no rows at all)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val fixture = (k4 ++ Seq((5L, 6L), (6L, 7L))).toDF("src", "dst")
+    val got = GraphQueries.trianglesOf(fixture)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // agreement with the orientation-free formulation on the real graph
+    val e = graft.graph.GraphBuilders.copurchaseEdges(spark, sf())
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e2.src") === col("e1.dst"))
+      .join(e.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(explode(array(col("e1.src"), col("e1.dst"), col("e2.dst"))).as("node"))
+      .groupBy("node").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oriented = GraphQueries.trianglesOf(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oriented === naive)
+    assert(oriented.nonEmpty)
+  }
+
   test("d2 hot-shingle df cap: hot-only pairs dropped, rare-shingle dups keep exact jaccard") {
     import spark.implicits._
     // 20 identical docs — every shingle hot (df=20); capped at 5, they can't
