@@ -45,6 +45,17 @@ object Streams {
            expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming HOPPING-window aggregation (1-hour windows every 15 min) —
+    * streaming twin of EventQueries.e8_hopping_window. Same watermarked
+    * state shape as hourlyAgg; state holds window_len/slide = 4 overlapping
+    * windows per (slide, type) until the watermark closes them. */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)
   final case class SessionState(sessionId: Long, nEvents: Long,
@@ -108,6 +119,20 @@ object Streams {
     * emit on the next watermark advance. */
   def runHourlyAggOnce(spark: SparkSession, dir: String, queryName: String = "hourly_agg"): DataFrame = {
     val q: StreamingQuery = hourlyAgg(eventStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Run the hopping-window aggregation end-to-end (same harness as
+    * [[runHourlyAggOnce]]). */
+  def runHoppingAggOnce(spark: SparkSession, dir: String, queryName: String = "hopping_agg"): DataFrame = {
+    val q: StreamingQuery = hoppingAgg(eventStream(spark, dir))
       .writeStream
       .format("memory")
       .queryName(queryName)

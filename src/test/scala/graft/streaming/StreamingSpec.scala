@@ -19,6 +19,12 @@ class StreamingSpec extends SparkSpec {
     assert(sorted(streamed.collect()) === sorted(batch.collect()))
   }
 
+  test("streaming hopping windowed agg equals batch e8_hopping_window") {
+    val streamed = Streams.runHoppingAggOnce(spark, sf(), "hopping_agg_spec")
+    val batch = EventQueries.defs("e8_hopping_window")(spark, sf())
+    assert(sorted(streamed.collect()) === sorted(batch.collect()))
+  }
+
   test("streaming dedup on a doubled stream returns exactly the distinct events") {
     val deduped = Streams.runDedupOnce(spark, sf(), "dedup_spec")
     val batch = graft.sources.Tables.events(spark, sf())
