@@ -100,6 +100,12 @@ class QueriesSpec extends SparkSpec {
     val got = GraphQueries.trianglesOf(fixture)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // ids beyond 2^31 force the generic (unpacked) closing join — same counts
+    val big = 1L << 40
+    val wide = GraphQueries.trianglesOf(
+      fixture.select((col("src") + big).as("src"), (col("dst") + big).as("dst")))
+      .collect().map(r => (r.getLong(0) - big) -> r.getLong(1)).toMap
+    assert(wide === got)
     // agreement with the orientation-free formulation on the real graph
     val e = graft.graph.GraphBuilders.copurchaseEdges(spark, sf())
     val naive = e.as("e1")
