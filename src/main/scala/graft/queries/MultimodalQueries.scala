@@ -48,6 +48,23 @@ object MultimodalQueries {
         .select(
           col("media_id"), col("kind"), col("n_bytes"), col("byte_mean"),
           concat_ws(",", transform(col("histogram16"), _.cast("string"))).as("hist_csv"))
+    }),
+
+    // Frame sampling at the gate: the flatMap batch-codec generator (data-
+    // dependent output cardinality — the UDTF shape). Stub "frames" are
+    // stride-32 windows of 16 payload bytes; the oracle regenerates them
+    // with substring arithmetic over the same pure-ASCII payloads.
+    "m4_frames" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(docs(s, d))
+      graft.multimodal.Multimodal.sampleFrames(media).toDF()
+    }),
+
+    // Resize at the gate: deterministic even-stride byte down-sample to 64
+    // samples (the batch image-resize shape), metadata adjusted in step.
+    "m5_resize" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(docs(s, d))
+      graft.multimodal.Multimodal.resizeAll(media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("payload"))
     })
   )
 
@@ -80,6 +97,33 @@ object MultimodalQueries {
         |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |    list_transform(split(text, ''), c -> ord(c)) AS os
-        |  FROM documents)""".stripMargin
+        |  FROM documents)""".stripMargin,
+
+    // frames = stride-32 windows of 16 bytes; (n-16)//32+1 of them per doc
+    // (zero when n < 16 — range() of a non-positive bound is empty).
+    "m4_frames" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |       CAST(i * 32 AS BIGINT) AS offset_bytes,
+        |       encode(substring(text, CAST(i * 32 + 1 AS INT), 16)) AS frame_bytes
+        |FROM (SELECT doc_id, text,
+        |        unnest([i for i in range(
+        |          (octet_length(encode(text)) - 16) // 32 + 1)]) AS i
+        |      FROM documents)""".stripMargin,
+
+    "m5_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 1920 AS INT) ELSE 0 END AS width,
+        |    CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 1080 AS INT) ELSE 0 END AS height,
+        |    text, octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT media_id,
+        |  CASE WHEN n <= 64 THEN width ELSE CAST(least(width, 64) AS INT) END AS width,
+        |  CASE WHEN n <= 64 THEN height ELSE CAST(least(height, 64) AS INT) END AS height,
+        |  CASE WHEN n <= 64 THEN encode(text)
+        |       ELSE encode(array_to_string(
+        |         [substring(text, CAST((i * n) // 64 AS INT) + 1, 1) for i in range(0, 64)], ''))
+        |  END AS payload
+        |FROM m""".stripMargin
   )
 }

@@ -307,7 +307,24 @@ object RelationalQueries {
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-          col("n"), col("sum_price"), col("g_status"), col("g_prio")))
+          col("n"), col("sum_price"), col("g_status"), col("g_prio"))),
+
+    // FULL OUTER join (q14 is left-outer): per-user order counts vs event
+    // counts — each side has keys the other lacks, so both null directions
+    // are exercised. Sides are pre-aggregated BEFORE the join (map-side
+    // partial agg shrinks the shuffle to distinct keys; full outer can never
+    // broadcast — both sides must shuffle — so shrinking them first is the
+    // scale move).
+    "q28_full_outer" -> ((s, d) => {
+      val o = ord(s, d).groupBy(col("o_custkey").as("user_id"))
+        .agg(count(lit(1)).as("n_orders"))
+      val e = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      o.join(e, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -502,6 +519,16 @@ object RelationalQueries {
         |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-        |                        (o_orderpriority), ())""".stripMargin
+        |                        (o_orderpriority), ())""".stripMargin,
+
+    "q28_full_outer" ->
+      """WITH o AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+        |           FROM orders GROUP BY 1),
+        |     e AS (SELECT user_id, COUNT(*) AS n_events
+        |           FROM events GROUP BY 1)
+        |SELECT COALESCE(o.user_id, e.user_id) AS user_id,
+        |       COALESCE(n_orders, 0) AS n_orders,
+        |       COALESCE(n_events, 0) AS n_events
+        |FROM o FULL OUTER JOIN e ON o.user_id = e.user_id""".stripMargin
   )
 }
