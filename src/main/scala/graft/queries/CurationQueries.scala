@@ -191,36 +191,42 @@ object CurationQueries {
     // Row order inside a range partition is unique ((k, doc_id) has no ties)
     // and offsets reconstruct the exact global prefix sum, so the output is
     // IDENTICAL no matter how many partitions the range split chose.
-    "c6_shard_pack" -> ((s, d) => {
-      import s.implicits._
-      val ranged = docs(s, d)
-        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-          saltedHash("shard", col("doc_id")).as("k"))
-        .repartitionByRange(col("k"), col("doc_id"))
-        .sortWithinPartitions("k", "doc_id")
-        .withColumn("pid", spark_partition_id())
-      val offsets = ranged.groupBy("pid").agg(sum("n_chars").as("ptot"))
-        .withColumn("offset",
-          coalesce(sum("ptot").over(
-            Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-        .select("pid", "offset")
-      val cum = ranged.select(col("pid"), col("k"), col("doc_id"), col("n_chars"))
-        .as[(Int, Long, Long, Long)]
-        .mapPartitions { it =>
-          var run = 0L
-          it.map { case (pid, _, id, n) =>
-            val before = run; run += n; (pid, id, n, before)
-          }
-        }
-        .toDF("pid", "doc_id", "n_chars", "before_in")
-      cum.join(broadcast(offsets), "pid")
-        .select(col("doc_id"), col("n_chars"),
-          // integer division (div): exact at any corpus size — a double
-          // division would lose precision past 2^53 total chars
-          expr(s"(before_in + offset) div $ShardBudget").as("shard"))
-    })
+    "c6_shard_pack" -> ((s, d) => shardPackOf(docs(s, d), ShardBudget))
   )
+
+  /** The c6 distributed prefix-sum pipeline on any (doc_id, n_chars) frame —
+    * parametric for the property spec (which checks it against a sequential
+    * driver-side pack across random corpora and partition counts). */
+  private[queries] def shardPackOf(documents: DataFrame, budget: Long): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val ranged = documents
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        saltedHash("shard", col("doc_id")).as("k"))
+      .repartitionByRange(col("k"), col("doc_id"))
+      .sortWithinPartitions("k", "doc_id")
+      .withColumn("pid", spark_partition_id())
+    val offsets = ranged.groupBy("pid").agg(sum("n_chars").as("ptot"))
+      .withColumn("offset",
+        coalesce(sum("ptot").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "offset")
+    val cum = ranged.select(col("pid"), col("k"), col("doc_id"), col("n_chars"))
+      .as[(Int, Long, Long, Long)]
+      .mapPartitions { it =>
+        var run = 0L
+        it.map { case (pid, _, id, n) =>
+          val before = run; run += n; (pid, id, n, before)
+        }
+      }
+      .toDF("pid", "doc_id", "n_chars", "before_in")
+    cum.join(broadcast(offsets), "pid")
+      .select(col("doc_id"), col("n_chars"),
+        // integer division (div): exact at any corpus size — a double
+        // division would lose precision past 2^53 total chars
+        expr(s"(before_in + offset) div $budget").as("shard"))
+  }
 
   private val toks = tokensSql("text")
 

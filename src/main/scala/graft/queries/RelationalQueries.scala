@@ -324,6 +324,22 @@ object RelationalQueries {
         .select(col("user_id"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"),
           coalesce(col("n_events"), lit(0L)).as("n_events"))
+    }),
+
+    // Ranking/analytic window suite beyond q5's rank/row_number: ntile
+    // buckets, percent_rank, cume_dist — one window definition, total order
+    // within each partition (unique tie-break key) so every engine agrees
+    // row for row. Same scale shape as any ranked window: ONE shuffle by
+    // the partition key + in-partition sort.
+    "q29_ranking" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ord(s, d).select(
+        col("o_orderpriority").as("priority"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
     })
   )
 
@@ -529,6 +545,15 @@ object RelationalQueries {
         |SELECT COALESCE(o.user_id, e.user_id) AS user_id,
         |       COALESCE(n_orders, 0) AS n_orders,
         |       COALESCE(n_events, 0) AS n_events
-        |FROM o FULL OUTER JOIN e ON o.user_id = e.user_id""".stripMargin
+        |FROM o FULL OUTER JOIN e ON o.user_id = e.user_id""".stripMargin,
+
+    "q29_ranking" ->
+      """SELECT o_orderpriority AS priority, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
   )
 }

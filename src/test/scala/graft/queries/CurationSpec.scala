@@ -74,6 +74,34 @@ class CurationSpec extends SparkSpec {
     assert(shards === (0L to shards.max).toSet)
   }
 
+  test("c6 property: distributed pack == sequential pack across random corpora/partitionings") {
+    import spark.implicits._
+    val hash = (id: Long) => {
+      var h = 0L
+      for (c <- s"shard:$id") h = (h * 31 + c.toLong) % 1000000007L
+      h
+    }
+    for (seed <- Seq(3, 21, 77)) {
+      val rng = new scala.util.Random(seed)
+      val n = 50 + rng.nextInt(400)
+      val budget = 500L + rng.nextInt(5000)
+      val docs = (0 until n).map(_ => rng.nextLong(1L << 40))
+        .distinct.map(id => (id, 1L + rng.nextInt(800)))
+      // sequential oracle over the salted-hash global order
+      var run = 0L
+      val expected = docs.map { case (id, nc) => (id, hash(id), nc) }
+        .sortBy(t => (t._2, t._1))
+        .map { case (id, _, nc) => val sh = run / budget; run += nc; id -> sh }
+        .toMap
+      // exercise partition-count invariance too
+      val parts = 1 + rng.nextInt(13)
+      val df = docs.toDF("doc_id", "n_chars").repartition(parts)
+      val got = CurationQueries.shardPackOf(df, budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === expected, s"seed=$seed parts=$parts budget=$budget")
+    }
+  }
+
   test("c4: invariants — no benchmark docs, shared <= total, flag == threshold") {
     val rows = CurationQueries.defs("c4_decontam")(spark, sf()).collect()
     assert(rows.nonEmpty)
