@@ -340,7 +340,23 @@ object RelationalQueries {
         ntile(4).over(w).as("quartile"),
         percent_rank().over(w).as("pct_rank"),
         cume_dist().over(w).as("cume"))
-    })
+    }),
+
+    // MapType end-to-end: per-customer status→count map built with
+    // map_from_entries(collect_list(struct)), then size + element_at
+    // lookups. The map stays internal (output is plain scalars — map
+    // render order is engine-specific); the oracle states the same values
+    // relationally.
+    "q30_map_ops" -> ((s, d) =>
+      ord(s, d).groupBy("o_custkey", "o_orderstatus").agg(count(lit(1)).as("n"))
+        .groupBy("o_custkey")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("o_orderstatus"), col("n"))))).as("m"))
+        .select(col("o_custkey"),
+          size(col("m")).as("n_statuses"),
+          coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
+          coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"),
+          coalesce(element_at(col("m"), "P"), lit(0L)).as("n_p")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -554,6 +570,14 @@ object RelationalQueries {
         |  cume_dist() OVER w AS cume
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
-        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+
+    "q30_map_ops" ->
+      """SELECT o_custkey,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_statuses,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_custkey""".stripMargin
   )
 }

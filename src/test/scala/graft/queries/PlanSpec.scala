@@ -135,6 +135,20 @@ class PlanSpec extends SparkSpec {
     assert(plan(df).contains("rangepartitioning"), plan(df))
   }
 
+  test("d8 passage dedup: one passage shuffle (window by hash), no join, no cartesian") {
+    val df = DedupQueries.defs("d8_passage_dedup")(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+    // the only wide ops: window keyed by passage hash + the final per-doc agg
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("e8 hopping window: two-phase aggregate (map-side partial combine)") {
+    val p = plan(EventQueries.defs("e8_hopping_window")(spark, sf()))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("c4 decontam: semi-join candidate counting, no pair fan-out join") {
     val p = plan(CurationQueries.defs("c4_decontam")(spark, sf()))
     assert(p.contains("LeftSemi"), p)
