@@ -13,6 +13,40 @@ class StreamingSpec extends SparkSpec {
   private def sorted(rows: Array[Row]): Seq[Seq[String]] =
     rows.map(_.toSeq.map(String.valueOf)).map(_.toList).toSeq.sortBy(_.mkString("|"))
 
+  test("late data below the watermark is dropped, closed windows emit exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${min}%02d:00")
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = input.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .count()
+      .select(col("w.start").as("ws"), col("event_type"), col("count"))
+      .writeStream.format("memory").queryName("late_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: two rows in [10:00,10:10) + one at 10:21 that will advance
+      // the watermark to 10:11, closing the first window
+      input.addData((t(0), "a"), (t(5), "a"), (t(21), "a"))
+      q.processAllAvailable()
+      // batch 2: a LATE row for the closed window (10:02 < watermark 10:11)
+      // — must be dropped, not re-open or re-emit the window
+      input.addData((t(2), "a"))
+      q.processAllAvailable()
+      // batch 3: advance the watermark past [10:20,10:30) to flush it
+      input.addData((t(45), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("late_spec")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      val first = rows.filter(_._1 == t(0))
+      assert(first === Array((t(0), "a", 2L)), // late row NOT counted, one emission
+        rows.mkString(", "))
+      assert(rows.filter(_._1 == t(20)) === Array((t(20), "a", 1L)), rows.mkString(", "))
+    } finally q.stop()
+  }
+
   test("streaming hourly windowed agg equals batch e1_hourly_agg") {
     val streamed = Streams.runHourlyAggOnce(spark, sf(), "hourly_agg_spec")
     val batch = EventQueries.defs("e1_hourly_agg")(spark, sf())
