@@ -288,6 +288,23 @@ object DedupQueries {
     // 3-gram index does.
     "d8_passage_dedup" -> ((s, d) => passageDedupOf(docs(s, d))),
 
+    // ENSEMBLE near-dup: the union of the text signal (d2's capped-verified
+    // Jaccard pairs) and the embedding signal (d7's LSH-bucketed cosine
+    // pairs) over the shared id space, with per-pair provenance flags — the
+    // composition a production dedup pass actually ships (surface-form AND
+    // semantic duplicates, each caught by the detector suited to it). Both
+    // inputs reuse their memoized/staged pipelines; the full-outer merge
+    // joins two already-tiny pair sets.
+    "d9_ensemble_neardup" -> ((s, d) => {
+      val tp = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val ep = defs("d7_embedding_neardup_lsh")(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("cos"))
+      tp.join(ep, Seq("doc_a", "doc_b"), "full_outer")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("cos"),
+          col("jaccard").isNotNull.as("by_text"),
+          col("cos").isNotNull.as("by_embedding"))
+    }),
+
     // Embedding-cosine near-dup, brute-force exactness baseline. Sequential
     // left-fold dot products in double — bit-identical to the oracle. The
     // pair-generation scale path is d7 (LSH-bucketed).
@@ -325,6 +342,39 @@ object DedupQueries {
       s"list_transform(range(0, 64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))), " +
       s"(acc, v) -> acc + v)"
 
+  /** Shared CTE chain (appended after [[shCte]]): capped-candidate +
+    * exact-verify Jaccard pairs as `jp(doc_a, doc_b, jaccard)` — the oracle
+    * twin of [[jaccardPairsOf]], shared by d2/d6/d9. */
+  private val jpCte =
+    s"""ds AS (SELECT doc_id, unnest(sh) AS s FROM shf),
+       |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $MaxShingleDf),
+       |cp AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare ON ds.s = rare.s),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM cp a JOIN cp b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |jp AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT doc_a, doc_b,
+       |           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+       |    FROM cand
+       |    JOIN shf sa ON sa.doc_id = cand.doc_a
+       |    JOIN shf sb ON sb.doc_id = cand.doc_b)
+       |  WHERE jaccard >= $JaccardT)""".stripMargin
+
+  /** d7's LSH-bucketed embedding pair set as `ep(vec_a, vec_b, cos)`. */
+  private val epCte =
+    s"""emb AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+       |         ${graft.functions.LshBucket.sql("embedding", 8, 64)} AS bkt
+       |  FROM embeddings),
+       |ep AS (
+       |  SELECT vec_a, vec_b, cos FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |           ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+       |    FROM emb a JOIN emb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+       |  WHERE cos >= 0.4)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT doc_id,
@@ -334,20 +384,8 @@ object DedupQueries {
 
     "d2_ngram_jaccard" ->
       s"""WITH $shCte,
-         |ds AS (SELECT doc_id, unnest(sh) AS s FROM shf),
-         |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $MaxShingleDf),
-         |cp AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare ON ds.s = rare.s),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM cp a JOIN cp b ON a.s = b.s AND a.doc_id < b.doc_id),
-         |verified AS (
-         |  SELECT doc_a, doc_b,
-         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-         |           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-         |  FROM cand
-         |  JOIN shf sa ON sa.doc_id = cand.doc_a
-         |  JOIN shf sb ON sb.doc_id = cand.doc_b)
-         |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= $JaccardT""".stripMargin,
+         |$jpCte
+         |SELECT doc_a, doc_b, jaccard FROM jp""".stripMargin,
 
     "d3_minhash_lsh" ->
       s"""WITH $shCte,
@@ -371,21 +409,8 @@ object DedupQueries {
 
     "d6_dup_clusters" ->
       s"""WITH RECURSIVE $shCte,
-         |ds AS (SELECT doc_id, unnest(sh) AS s FROM shf),
-         |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $MaxShingleDf),
-         |cp AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare ON ds.s = rare.s),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM cp a JOIN cp b ON a.s = b.s AND a.doc_id < b.doc_id),
-         |e AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM (
-         |    SELECT doc_a, doc_b,
-         |           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-         |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-         |    FROM cand
-         |    JOIN shf sa ON sa.doc_id = cand.doc_a
-         |    JOIN shf sb ON sb.doc_id = cand.doc_b)
-         |  WHERE jaccard >= $JaccardT),
+         |$jpCte,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM jp),
          |bi AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e),
          |reach(node, r) AS (
          |  SELECT a, b FROM bi
@@ -404,15 +429,20 @@ object DedupQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin,
 
     "d7_embedding_neardup_lsh" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm,
-         |         ${graft.functions.LshBucket.sql("embedding", 8, 64)} AS bkt
-         |  FROM embeddings)
-         |SELECT vec_a, vec_b, cos FROM (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
-         |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
-         |WHERE cos >= 0.4""".stripMargin,
+      s"""WITH $epCte
+         |SELECT vec_a, vec_b, cos FROM ep""".stripMargin,
+
+    "d9_ensemble_neardup" ->
+      s"""WITH $shCte,
+         |$jpCte,
+         |$epCte
+         |SELECT COALESCE(jp.doc_a, ep.vec_a) AS doc_a,
+         |       COALESCE(jp.doc_b, ep.vec_b) AS doc_b,
+         |       jaccard, cos,
+         |       jaccard IS NOT NULL AS by_text,
+         |       cos IS NOT NULL AS by_embedding
+         |FROM jp FULL OUTER JOIN ep
+         |  ON jp.doc_a = ep.vec_a AND jp.doc_b = ep.vec_b""".stripMargin,
 
     "d8_passage_dedup" ->
       s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),

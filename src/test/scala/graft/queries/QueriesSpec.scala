@@ -81,6 +81,21 @@ class QueriesSpec extends SparkSpec {
     assert(d8.values.map(_._2).sum === perDoc - distinctPassages)
   }
 
+  test("d9 ensemble: exact union of d2 and d7 pair sets with true provenance") {
+    def pairs(name: String, a: String, b: String) =
+      graft.SparkEntry.queries(name)(spark, sf())
+        .select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val text = pairs("d2_ngram_jaccard", "doc_a", "doc_b")
+    val emb = pairs("d7_embedding_neardup_lsh", "vec_a", "vec_b")
+    val rows = DedupQueries.defs("d9_ensemble_neardup")(spark, sf()).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === (text ++ emb))
+    for (r <- rows) {
+      val p = (r.getLong(0), r.getLong(1))
+      assert(r.getBoolean(4) === text.contains(p), s"by_text wrong for $p")
+      assert(r.getBoolean(5) === emb.contains(p), s"by_embedding wrong for $p")
+    }
+  }
+
   test("e8 hopping windows: every event in exactly 4 windows, 15-min aligned") {
     val df = EventQueries.defs("e8_hopping_window")(spark, sf())
     val total = df.agg(sum("n")).head.getLong(0)
