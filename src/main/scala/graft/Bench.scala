@@ -57,13 +57,19 @@ object Bench {
       graft.queries.GraphQueries.clearCaches(spark)
       for ((name, fn) <- qseq) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-          // a failing query must be visible, not just a fast timing
-          System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
-          -1L
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            // a failing query must be visible — and its time-to-failure must
+            // NOT enter the min (a fast crash would mask a real pass timing)
+            System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        if (ok) {
+          val prev = best.getOrElse(name, Double.MaxValue)
+          best(name) = if (prev < 0) dt else math.min(prev, dt)
+        } else if (!best.contains(name)) best(name) = -1.0 // every pass failed
       }
     }
     val results = qseq.map { case (name, _) => name -> best(name) }

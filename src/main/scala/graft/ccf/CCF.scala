@@ -211,6 +211,8 @@ object CCF {
    */
   def auto(edges: DataFrame, maxIterations: Int = 100, blowupFactor: Long = 8L,
            denseDegree: Double = 16.0): CCFResult = {
+    require(edges.columns.length == 2,
+      s"edge list must have 2 columns, got ${edges.columns.mkString(", ")}")
     if (denseDegree > 0) {
       val Array(a, b) = edges.columns
       val est = edges.agg(count(lit(1)).as("m"),
@@ -225,8 +227,15 @@ object CCF {
     }
     runSwitchable(edges, Basic, maxIterations, blowupFactor) match {
       case Left(r) => r
+      case Right(sw) if sw.iterations >= maxIterations =>
+        // budget exhausted exactly at the switch point: honor the cap the
+        // way run() does — current pair set as-is, converged = false, zero
+        // extra rounds (previously PointerJump was granted a bonus round
+        // past the caller's maxIterations)
+        CCFResult(sw.pairs.toDF("node", "component"), sw.iterations,
+          converged = false, sw.history, engine = "ccf")
       case Right(sw) =>
-        val pj = PointerJump.run(sw.pairs, math.max(1, maxIterations - sw.iterations))
+        val pj = PointerJump.run(sw.pairs, maxIterations - sw.iterations)
         // PointerJump has eagerly materialized its own topology checkpoint;
         // the CCF rounds' backing blocks are no longer referenced.
         sw.ckpts.foreach(freeCheckpoint)

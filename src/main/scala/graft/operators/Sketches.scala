@@ -41,12 +41,16 @@ object Sketches {
     * the inverse rank-error knob: 10000 ≈ 0.01% rank error. */
   def approxQuantiles(df: DataFrame, colName: String, qs: Seq[Double],
                       accuracy: Int = 10000): Seq[Double] = {
-    val arr = df.agg(percentile_approx(col(colName),
+    val row = df.agg(percentile_approx(col(colName),
         array(qs.map(lit): _*), lit(accuracy)).as("q"))
-      .head().getSeq[Any](0)
-    arr.map {
+      .head()
+    // zero input rows → percentile_approx yields NULL, not an empty array
+    if (row.isNullAt(0)) Seq.empty
+    else row.getSeq[Any](0).map {
       case d: java.math.BigDecimal => d.doubleValue()
       case d: java.lang.Number => d.doubleValue()
+      case other => sys.error(
+        s"approxQuantiles: unsupported element ${other.getClass.getName}")
     }
   }
 }

@@ -144,12 +144,17 @@ object CurationQueries {
       val g8 = docs(s, d).select(col("doc_id"),
         explode(graft.functions.VectorFunctions.shingleHashes(col("text"), 8, HashP)).as("g"))
       val bench = g8.where(col("doc_id") % 20 === 0).select("g").distinct()
+      // ONE pass over the candidate gram stream: tag each gram against the
+      // (tiny, broadcast) bench set with a left join, then count total and
+      // shared in the same aggregate — no second scan of the corpus, no
+      // second shuffle of the gram stream (the earlier semi-join + totals
+      // formulation scanned the candidate side twice).
       val cand = g8.where(col("doc_id") % 20 =!= 0)
-      val tot = cand.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      val hit = cand.join(bench, Seq("g"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .join(bench.withColumn("hit", lit(true)), Seq("g"), "left")
       val shared = coalesce(col("n_shared"), lit(0L))
-      tot.join(hit, Seq("doc_id"), "left")
+      cand.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+             coalesce(sum(when(col("hit"), 1L)), lit(0L)).as("n_shared"))
         .select(col("doc_id"), col("n_grams"), shared.as("n_shared"),
           (shared.cast("double") / col("n_grams")).as("contamination"),
           (shared.cast("double") / col("n_grams") >= ContamT).as("flagged"))

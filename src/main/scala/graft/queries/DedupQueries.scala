@@ -113,7 +113,7 @@ object DedupQueries {
       .where(col("df") <= maxDf).select("s")
     val capped = post.join(rare, "s")
     // per-doc count of DROPPED (hot) shingles — 0 for every doc when inert
-    val hot = sh.select(col("doc_id"), explode(col("sh")).as("s"), size(col("sh")).as("n"))
+    val hot = post
       .join(rare.withColumn("rare", lit(true)), Seq("s"), "left")
       .groupBy("doc_id").agg(coalesce(sum(when(col("rare").isNull, 1L)), lit(0L)).as("h"))
     val counted = capped.as("a").join(capped.as("b"),

@@ -145,8 +145,12 @@ object GraphQueries {
   /** Per-node triangle counts over a canonical (src < dst, distinct) edge
     * set — parametric for fixture/agreement specs; see the g1 notes above. */
   private[queries] def trianglesOf(e: DataFrame): DataFrame = {
+    // staged: deg (one tiny row per node) feeds both orientation joins AND
+    // the packability min/max probe below — unstaged, each re-runs the
+    // bidirect + groupBy pass over the full edge set
     val deg = CCF.bidirect(e)
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val keyed = e
       .join(deg.select(col("node").as("src"), col("deg").as("dsrc")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("ddst")), "dst")

@@ -149,9 +149,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("c4 decontam: semi-join candidate counting, no pair fan-out join") {
+  test("c4 decontam: single-pass set-tag join, no pair fan-out, one gram scan pair") {
     val p = plan(CurationQueries.defs("c4_decontam")(spark, sf()))
-    assert(p.contains("LeftSemi"), p)
+    // candidate grams tagged against the distinct bench SET via one left
+    // equi-join (never per-bench-doc pairs), counted in one aggregate
+    assert(p.contains("LeftOuter"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 }
