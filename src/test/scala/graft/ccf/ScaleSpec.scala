@@ -81,6 +81,25 @@ class ScaleSpec extends SparkSpec {
     assert(auto.assignments.collect().toSet === plain.assignments.collect().toSet)
   }
 
+  test("auto: budget exhausted at the switch point honors maxIterations exactly") {
+    // chain keys are strings (sparse route); with blowupFactor=1 both chain
+    // rounds blow past the input size, so the switch fires at iteration 2 —
+    // equal to the cap, leaving PointerJump zero budget. The cap must hold:
+    // no bonus rounds, converged=false, run()'s unconverged output contract.
+    val r = CCF.auto(Generators.chainDF(spark, 500),
+      maxIterations = 2, blowupFactor = 1L)
+    assert(!r.converged)
+    assert(r.iterations === 2)
+    assert(r.engine === "ccf")
+    assert(r.newPairsHistory.length === 2)
+    assert(r.assignments.columns.toSeq === Seq("node", "component"))
+    // and with one round of slack the switch still hands over within budget
+    val r3 = CCF.auto(Generators.chainDF(spark, 500),
+      maxIterations = 3, blowupFactor = 1L)
+    assert(r3.engine === "ccf+pj")
+    assert(r3.iterations <= 3)
+  }
+
   test("auto: dense graph routes straight to pointer jumping, same answer") {
     // mean degree 2*3000/100 = 60 >> 16: CCF's re-emit would amplify every
     // hub neighborhood per round; the upfront density estimate must route to
