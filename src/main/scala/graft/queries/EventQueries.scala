@@ -108,6 +108,22 @@ object EventQueries {
         .agg(count(lit(1)).as("n"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"))),
 
+    // COHORT RETENTION: users grouped by first-active day, counted per
+    // days-since-cohort offset — the standard growth-analytics matrix.
+    // Shape: distinct (user, day) pairs → per-user min (both shuffles keyed
+    // by user_id, so the second agg and the join reuse the first exchange's
+    // partitioning) → one final small agg. No self-join of the raw event
+    // stream anywhere.
+    "e9_retention" -> ((s, d) => {
+      val daily = ev(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = daily.groupBy("user_id").agg(min("day").as("cohort"))
+      daily.join(first, "user_id")
+        .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_n"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("cohort"), col("day_n"), col("n_users"))
+    }),
+
     // Daily active users + event volume.
     "e4_daily_users" -> ((s, d) =>
       ev(s, d)
@@ -239,6 +255,14 @@ object EventQueries {
         |         AS window_start,
         |       event_type, COUNT(*) AS n
         |FROM events, range(4) t(j)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "e9_retention" ->
+      """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |firstd AS (SELECT user_id, MIN(day) AS cohort FROM daily GROUP BY user_id)
+        |SELECT cohort, CAST(datediff('day', cohort, day) AS INT) AS day_n,
+        |       COUNT(DISTINCT daily.user_id) AS n_users
+        |FROM daily JOIN firstd ON daily.user_id = firstd.user_id
         |GROUP BY 1, 2""".stripMargin,
 
     "e4_daily_users" ->

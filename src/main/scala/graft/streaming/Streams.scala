@@ -93,6 +93,12 @@ object Streams {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           var st = state.getOption.orNull
+          // Size note: this buffers + sorts ONE user's events from ONE
+          // trigger (cross-trigger order is carried by SessionState, which
+          // stays O(1)). The executor-memory bound is therefore the hottest
+          // user within a single micro-batch — fine under replay and normal
+          // traffic; a pathological single-user storm would need a
+          // per-trigger rate cap upstream, not more state here.
           for (e <- it.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
             // epoch micros: getTime() millis already include nanos/1e6, so
             // rebuild from whole seconds + fractional nanos

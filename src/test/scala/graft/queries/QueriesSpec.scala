@@ -106,6 +106,22 @@ class QueriesSpec extends SparkSpec {
     assert(misaligned === 0)
   }
 
+  test("e9 retention: day-0 row equals cohort size; offsets non-negative") {
+    val rows = EventQueries.defs("e9_retention")(spark, sf())
+      .collect().map(r => (r.getDate(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0))
+    // every user appears in their cohort's day-0 row, so per cohort:
+    // n_users(day 0) >= n_users(day n) for all n
+    val day0 = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    for ((cohort, dayN, n) <- rows)
+      assert(n <= day0(cohort), s"cohort $cohort day $dayN: $n > ${day0(cohort)}")
+    // cohorts partition the user base
+    val users = graft.sources.Tables.events(spark, sf())
+      .select("user_id").distinct().count()
+    assert(day0.values.sum === users)
+  }
+
   test("g1 triangles: K4+path golden counts; degree-oriented == naive 3-join") {
     import spark.implicits._
     // K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) + a triangle-free
