@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /**
  * Sink helpers (SURVEY.md §2a O13 generalized): the reference's only sink is
@@ -59,4 +59,32 @@ object Sinks {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-file compaction: rewrite a parquet prefix into ~`targetBytes`
+    * files. The lake-maintenance pass every long-lived ingest needs — a
+    * streaming sink or over-parallel job leaves thousands of KB-sized files,
+    * and scan planning degrades with file count (driver-side listing +
+    * footer reads, one task floor per file). Sizing reads from the files'
+    * actual on-disk bytes, not row counts, so wide and narrow tables compact
+    * to the same physical shape. Writes to `tmpPath` first, then re-points —
+    * the source prefix is never half-rewritten.
+    *
+    * Returns (filesBefore, filesAfter). */
+  def compactParquet(spark: SparkSession, path: String, tmpPath: String,
+                     targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: String) =
+      fs.globStatus(new org.apache.hadoop.fs.Path(p + "/*.parquet")).toSeq
+    val before = parquetFiles(path)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    val afterN = parquetFiles(tmpPath).size
+    // atomic-ish swap: remove source, move compacted output into place
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), new org.apache.hadoop.fs.Path(path))
+    (before.size, afterN)
+  }
 }

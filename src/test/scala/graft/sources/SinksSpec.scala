@@ -10,6 +10,23 @@ class SinksSpec extends SparkSpec {
 
   private lazy val tmp = Files.createTempDirectory("graft-sinks").toString
 
+  test("compaction: many small files -> sized files, identical data, source swapped") {
+    val li = Tables.lineitem(spark, sf()).select("l_orderkey", "l_partkey", "l_quantity")
+    val expected = li.count()
+    // simulate an over-parallel ingest: 40 tiny files
+    li.repartition(40).write.parquet(s"$tmp/li_small")
+    val (nBefore, nAfter) = Sinks.compactParquet(
+      spark, s"$tmp/li_small", s"$tmp/li_small.compact", targetBytes = 256L * 1024)
+    assert(nBefore === 40)
+    assert(nAfter < nBefore, s"$nAfter !< $nBefore")
+    val back = spark.read.parquet(s"$tmp/li_small")
+    assert(back.count() === expected)
+    assert(back.agg(sum("l_quantity")).head.getDouble(0) ===
+      li.agg(sum("l_quantity")).head.getDouble(0))
+    // tmp path fully swapped away
+    assert(!new java.io.File(s"$tmp/li_small.compact").exists())
+  }
+
   test("partitioned parquet: hive layout + partition pruning at the scan") {
     val orders = Tables.orders(spark, sf())
       .withColumn("o_year", year(col("o_orderdate")))
