@@ -155,6 +155,59 @@ object DedupQueries {
            sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
   }
 
+  /** (doc_id, bkey) LSH band keys of a (doc_id, sh) shingle-set frame.
+    * Signature = one codegen'd pass (graft.functions.MinHashSignature)
+    * updating NumHashes running minima per doc, staged in its own Project so
+    * the band slices reference the bound column, not 8 recomputations. */
+  private def lshBands(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0), lit(NumBands - 1))).as("band"),
+        col("sig"))
+      .select(col("doc_id"),
+        concat_ws(":", col("band"),
+          array_join(transform(
+            slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand)),
+            _.cast("string")), "-")).as("bkey"))
+
+  /** INCREMENTAL dedup — the daily-ingest shape: admit only the docs of a
+    * NEW batch that are near-duplicates neither of the EXISTING corpus nor
+    * of a smaller-id doc in the same batch (greedy first-wins, like d1).
+    *
+    * 100 TB notes: the existing corpus participates ONLY through its
+    * (doc_id, band-key) LSH index and the shingle sets of the few candidate
+    * matches — O(corpus × bands) tiny index rows joined by band key, and the
+    * corpus is NEVER re-paired against itself (the whole point vs re-running
+    * d3 over old ∪ new: a T-byte corpus with a G-byte daily batch does
+    * O(G·bands) join work per day, not O(T²) pair work). In production the
+    * band index is a persisted table (write once per batch via Sinks);
+    * here it derives from `oldDocs` so the spec is self-contained. */
+  def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val oldSh = shingleSetsOf(oldDocs)
+    val newSh = shingleSetsOf(newDocs)
+    val oldIdx = lshBands(oldSh)
+    val newBands = lshBands(newSh)
+    val dupVsOld = newBands.as("n")
+      .join(oldIdx.as("o"), col("n.bkey") === col("o.bkey"))
+      .select(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
+      .distinct()
+      .join(newSh.select(col("doc_id").as("doc_new"), col("sh").as("sn")), "doc_new")
+      .join(oldSh.select(col("doc_id").as("doc_old"), col("sh").as("so")), "doc_old")
+      .where(jaccard(col("sn"), col("so")) >= JaccardT)
+      .select("doc_new")
+    val dupInBatch = newBands.as("a").join(newBands.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(newSh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(newSh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .where(jaccard(col("sa"), col("sb")) >= JaccardT)
+      .select(col("doc_b").as("doc_new"))
+    newDocs.join(dupVsOld.union(dupInBatch).distinct(),
+      newDocs("doc_id") === col("doc_new"), "left_anti")
+  }
+
   /** Exact-Jaccard on a pair of shingle-set columns (distinct sets). */
   private def jaccard(sa: Column, sb: Column): Column =
     size(array_intersect(sa, sb)).cast("double") /
@@ -188,16 +241,7 @@ object DedupQueries {
     // band slices below reference the bound column, not 8 recomputations.
     "d3_minhash_lsh" -> ((s, d) => {
       val sh = shingleSets(s, d) // already hashed shingles
-      val sig = sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
-      val bands = sig.select(
-        col("doc_id"),
-        explode(sequence(lit(0), lit(NumBands - 1))).as("band"),
-        col("sig"))
-        .select(col("doc_id"),
-          concat_ws(":", col("band"),
-            array_join(transform(
-              slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand)),
-              _.cast("string")), "-")).as("bkey"))
+      val bands = lshBands(sh)
       val cand = bands.as("a").join(bands.as("b"),
           col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -81,6 +81,24 @@ class QueriesSpec extends SparkSpec {
     assert(d8.values.map(_._2).sum === perDoc - distinctPassages)
   }
 
+  test("incremental dedup: batch deduped against corpus + itself, corpus never re-paired") {
+    import spark.implicits._
+    def doc(prefix: String) = (0 until 12).map(i => s"$prefix$i").mkString(" ")
+    val old = Seq((1L, doc("a")), (2L, doc("b")), (3L, doc("c"))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, doc("b")),   // exact copy of corpus doc 2 -> dropped
+      (11L, doc("x")),   // novel -> kept
+      (12L, doc("x")),   // in-batch copy of 11 -> dropped (first wins)
+      (13L, doc("y"))    // novel -> kept
+    ).toDF("doc_id", "text")
+    val admitted = DedupQueries.incrementalDedup(old, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(11L, 13L))
+    // idempotence: admitting the admitted docs against old ∪ admitted is a no-op
+    val grown = old.unionByName(batch.where(col("doc_id").isin(11L, 13L)))
+    assert(DedupQueries.incrementalDedup(grown, batch).count() === 0)
+  }
+
   test("d9 ensemble: exact union of d2 and d7 pair sets with true provenance") {
     def pairs(name: String, a: String, b: String) =
       graft.SparkEntry.queries(name)(spark, sf())
