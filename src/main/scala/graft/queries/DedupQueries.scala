@@ -172,8 +172,14 @@ object DedupQueries {
             _.cast("string")), "-")).as("bkey"))
 
   /** INCREMENTAL dedup — the daily-ingest shape: admit only the docs of a
-    * NEW batch that are near-duplicates neither of the EXISTING corpus nor
-    * of a smaller-id doc in the same batch (greedy first-wins, like d1).
+    * NEW batch that (a) near-duplicate nothing in the EXISTING corpus and
+    * (b) are the representative (min doc_id) of their in-batch similarity
+    * CLUSTER — connected components over the batch's verified pair graph,
+    * exactly d6's clustering run on one day's data. Cluster-min (not
+    * pairwise-greedy) keeps the policy well-defined on similarity CHAINS:
+    * for 11≈12≈13 with 11,13 dissimilar, the whole chain is one cluster and
+    * only 11 is admitted. A doc whose cluster representative is itself
+    * corpus-dup'd is dropped with it (transitively similar to the corpus).
     *
     * 100 TB notes: the existing corpus participates ONLY through its
     * (doc_id, band-key) LSH index and the shingle sets of the few candidate
@@ -182,12 +188,15 @@ object DedupQueries {
     * d3 over old ∪ new: a T-byte corpus with a G-byte daily batch does
     * O(G·bands) join work per day, not O(T²) pair work). In production the
     * band index is a persisted table (write once per batch via Sinks);
-    * here it derives from `oldDocs` so the spec is self-contained. */
+    * here it derives from `oldDocs` so the spec is self-contained. The
+    * batch-side shingle/band frames are checkpointed — each feeds 2-3 join
+    * branches, and unstaged the codegen hash scans re-execute per branch
+    * (the shCache hazard above). */
   def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    val oldSh = shingleSetsOf(oldDocs)
-    val newSh = shingleSetsOf(newDocs)
+    val oldSh = shingleSetsOf(oldDocs).localCheckpoint(true)
+    val newSh = shingleSetsOf(newDocs).localCheckpoint(true)
     val oldIdx = lshBands(oldSh)
-    val newBands = lshBands(newSh)
+    val newBands = lshBands(newSh).localCheckpoint(true)
     val dupVsOld = newBands.as("n")
       .join(oldIdx.as("o"), col("n.bkey") === col("o.bkey"))
       .select(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
@@ -196,14 +205,18 @@ object DedupQueries {
       .join(oldSh.select(col("doc_id").as("doc_old"), col("sh").as("so")), "doc_old")
       .where(jaccard(col("sn"), col("so")) >= JaccardT)
       .select("doc_new")
-    val dupInBatch = newBands.as("a").join(newBands.as("b"),
+    val batchPairs = newBands.as("a").join(newBands.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .join(newSh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
       .join(newSh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
       .where(jaccard(col("sa"), col("sb")) >= JaccardT)
-      .select(col("doc_b").as("doc_new"))
+      .select("doc_a", "doc_b")
+    // cluster the batch's pair graph; every non-representative node has an
+    // assignment row (rep-has-no-row invariant) — those are the in-batch dups
+    val dupInBatch = graft.ccf.CCF.run(batchPairs).assignments
+      .select(col("node").as("doc_new"))
     newDocs.join(dupVsOld.union(dupInBatch).distinct(),
       newDocs("doc_id") === col("doc_new"), "left_anti")
   }

@@ -110,13 +110,17 @@ object EventQueries {
 
     // COHORT RETENTION: users grouped by first-active day, counted per
     // days-since-cohort offset — the standard growth-analytics matrix.
-    // Shape: distinct (user, day) pairs → per-user min (both shuffles keyed
-    // by user_id, so the second agg and the join reuse the first exchange's
-    // partitioning) → one final small agg. No self-join of the raw event
-    // stream anywhere.
+    // Shape: ONE explicit user_id exchange serves the whole pipeline — a
+    // bare distinct() would hash by (user_id, day), which satisfies neither
+    // the per-user min nor the join, costing two more full shuffles of the
+    // daily stream; partitioning by user_id up front satisfies all three
+    // (hash(user_id) clusters every distribution keyed on a superset).
+    // No self-join of the raw event stream anywhere.
     "e9_retention" -> ((s, d) => {
       val daily = ev(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .repartition(col("user_id"))
+        .distinct()
       val first = daily.groupBy("user_id").agg(min("day").as("cohort"))
       daily.join(first, "user_id")
         .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_n"))

@@ -72,19 +72,33 @@ object Sinks {
     * Returns (filesBefore, filesAfter). */
   def compactParquet(spark: SparkSession, path: String, tmpPath: String,
                      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     def parquetFiles(p: String) =
-      fs.globStatus(new org.apache.hadoop.fs.Path(p + "/*.parquet")).toSeq
+      Option(fs.globStatus(new Path(p + "/*.parquet"))).map(_.toSeq).getOrElse(Seq.empty)
     val before = parquetFiles(path)
+    // a hive-partitioned prefix keeps its files one directory level down —
+    // compacting it flat would fold partition columns back into the data and
+    // destroy pruning; partitioned compaction is per-partition-directory
+    require(before.nonEmpty,
+      s"$path has no top-level parquet files (missing, empty, or hive-partitioned " +
+        "prefix — compact partitioned layouts per partition directory)")
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(path).repartition(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    writeParquet(spark.read.parquet(path).repartition(nOut), tmpPath)
     val afterN = parquetFiles(tmpPath).size
-    // atomic-ish swap: remove source, move compacted output into place
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), new org.apache.hadoop.fs.Path(path))
+    // crash-safe swap: the data exists at BOTH paths until the compacted
+    // files are in place; only then does the old prefix go. Every rename is
+    // checked — a false result can never strand the canonical path empty.
+    val aside = new Path(path + ".compact-old")
+    fs.delete(aside, true) // clear debris from a prior crashed run
+    require(fs.rename(new Path(path), aside), s"could not move $path aside")
+    if (!fs.rename(new Path(tmpPath), new Path(path))) {
+      fs.rename(aside, new Path(path)) // roll back; source untouched
+      sys.error(s"could not move $tmpPath into place (rolled back)")
+    }
+    fs.delete(aside, true)
     (before.size, afterN)
   }
 }

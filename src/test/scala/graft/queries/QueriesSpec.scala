@@ -87,9 +87,9 @@ class QueriesSpec extends SparkSpec {
     val old = Seq((1L, doc("a")), (2L, doc("b")), (3L, doc("c"))).toDF("doc_id", "text")
     val batch = Seq(
       (10L, doc("b")),   // exact copy of corpus doc 2 -> dropped
-      (11L, doc("x")),   // novel -> kept
-      (12L, doc("x")),   // in-batch copy of 11 -> dropped (first wins)
-      (13L, doc("y"))    // novel -> kept
+      (11L, doc("x")),   // novel -> kept (cluster rep of {11, 12})
+      (12L, doc("x")),   // in-batch copy of 11 -> dropped
+      (13L, doc("y"))    // novel singleton -> kept
     ).toDF("doc_id", "text")
     val admitted = DedupQueries.incrementalDedup(old, batch)
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -97,6 +97,22 @@ class QueriesSpec extends SparkSpec {
     // idempotence: admitting the admitted docs against old ∪ admitted is a no-op
     val grown = old.unionByName(batch.where(col("doc_id").isin(11L, 13L)))
     assert(DedupQueries.incrementalDedup(grown, batch).count() === 0)
+    // similarity CHAIN 20≈21≈22 (20,22 dissimilar): sliding 12-token windows
+    // at stride 3 over t0..t17 — adjacent windows share 7 of 13 distinct
+    // 3-gram shingles (J≈0.54), the ends only 4 of 16 (J=0.25). One cluster,
+    // rep 20 kept.
+    val ts = (0 until 18).map(i => s"t$i")
+    val chain = Seq(
+      (20L, ts.slice(0, 12).mkString(" ")),
+      (21L, ts.slice(3, 15).mkString(" ")),
+      (22L, ts.slice(6, 18).mkString(" "))
+    ).toDF("doc_id", "text")
+    val chainKept = DedupQueries.incrementalDedup(old, chain)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(chainKept === Set(20L))
+    // all-unique batch (empty in-batch pair graph) admits everything
+    val uniq = Seq((30L, doc("u")), (31L, doc("v"))).toDF("doc_id", "text")
+    assert(DedupQueries.incrementalDedup(old, uniq).count() === 2)
   }
 
   test("d9 ensemble: exact union of d2 and d7 pair sets with true provenance") {
