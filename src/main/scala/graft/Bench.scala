@@ -77,6 +77,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
+    // The full line above grows with the query count (83 queries outran the
+    // driver's tail-capture window in r6 — BENCH_r06.json parsed: null). Emit
+    // a SHORT self-contained summary line LAST so a bounded tail always holds
+    // one complete parsable JSON record of the headline number.
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }
 }

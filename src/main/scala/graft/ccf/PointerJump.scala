@@ -61,7 +61,10 @@ object PointerJump {
     val bi0 = CCF.bidirect(edges.toDF("src", "dst")).distinct()
       .observe(inObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val nBi = inObs.get("n").asInstanceOf[Long]
+    // bounded-wait metric reads throughout (VERDICT r06 #2): raw
+    // Observation.get hangs forever if metric delivery ever breaks;
+    // CCF.observedOrCount falls back loudly to counting the checkpoint.
+    val nBi = CCF.observedOrCount(inObs, "pj bidirect")(Map("n" -> bi0.count()))("n")
     val bi = org.apache.spark.sql.graft.Bridge.withStats(bi0, nBi)
 
     // Same toy-input tuning as CCF.run: sub-100k-pair fixpoints are
@@ -82,14 +85,13 @@ object PointerJump {
     }
 
     val lblObs = Observation()
-    var lbl = org.apache.spark.sql.graft.Bridge.withStats(
-      bi.groupBy(col("src").as("node"))
-        .agg(least(col("src"), min(col("dst"))).as("lab"))
-        .observe(lblObs, count(lit(1)).as("n"))
-        .localCheckpoint(true),
-      lblObs.get("n").asInstanceOf[Long])
+    val lbl0 = bi.groupBy(col("src").as("node"))
+      .agg(least(col("src"), min(col("dst"))).as("lab"))
+      .observe(lblObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
     // the label table is exactly one row per node, every round
-    val nNodes = lblObs.get("n").asInstanceOf[Long]
+    val nNodes = CCF.observedOrCount(lblObs, "pj labels")(Map("n" -> lbl0.count()))("n")
+    var lbl = org.apache.spark.sql.graft.Bridge.withStats(lbl0, nNodes)
     var olderCkpt: DataFrame = null
     var iteration = 0
     var converged = false
@@ -110,17 +112,20 @@ object PointerJump {
           .groupBy(col("src"))
           .agg(min(col("_tl")).as("nm"))
         val obs = Observation()
-        val next = org.apache.spark.sql.graft.Bridge.withStats(
-          lbl.join(looked, col("node") === col("src"))
-            .select(col("node"), col("lab"), least(col("lab"), col("nm")).as("newlab"))
-            .observe(obs, coalesce(sum(when(col("newlab") =!= col("lab"), 1L)), lit(0L)).as("changed"))
-            .select(col("node"), col("newlab").as("lab"))
-            .localCheckpoint(true),
-          nNodes)
+        val next0 = lbl.join(looked, col("node") === col("src"))
+          .select(col("node"), col("lab"), least(col("lab"), col("nm")).as("newlab"))
+          .observe(obs, coalesce(sum(when(col("newlab") =!= col("lab"), 1L)), lit(0L)).as("changed"))
+          .select(col("node"), col("newlab").as("lab"))
+          .localCheckpoint(true)
+        // fallback recomputes changed by diffing the materialized checkpoint
+        // against the still-live previous label table — read BEFORE freeing it
+        val changed = CCF.observedOrCount(obs, s"pj round $iteration")(Map(
+          "changed" -> next0.select(col("node"), col("lab").as("nl"))
+            .join(lbl.select(col("node"), col("lab").as("ol")), "node")
+            .where(col("nl") =!= col("ol")).count()))("changed")
         if (olderCkpt != null) CCF.freeCheckpoint(olderCkpt)
         olderCkpt = lbl
-        lbl = next
-        val changed = obs.get("changed").asInstanceOf[Long]
+        lbl = org.apache.spark.sql.graft.Bridge.withStats(next0, nNodes)
         history += changed
         converged = changed == 0L
       }

@@ -256,7 +256,7 @@ object CurationQueries {
          |WHERE rank <= $StratumK""".stripMargin,
 
     "c3_source_mixture" ->
-      s"""SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+      s"""SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
          |FROM (
          |  SELECT source, n_chars,
          |    [10, 25, 50, 100][CAST(CAST(substring(source, 4) AS INT) % 4 + 1 AS INT)] AS rate

@@ -53,18 +53,24 @@ object MultimodalQueries {
     // Frame sampling at the gate: the flatMap batch-codec generator (data-
     // dependent output cardinality — the UDTF shape). Stub "frames" are
     // stride-32 windows of 16 payload bytes; the oracle regenerates them
-    // with substring arithmetic over the same pure-ASCII payloads.
+    // with substring arithmetic over the same pure-ASCII payloads. The
+    // gate-facing projection hex-encodes the frame bytes (as c5 does for
+    // long strings): the driver's pandas comparator cannot sort raw BINARY.
     "m4_frames" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.mediaFromDocuments(docs(s, d))
       graft.multimodal.Multimodal.sampleFrames(media).toDF()
+        .select(col("media_id"), col("frame_idx"), col("offset_bytes"),
+          lower(hex(col("frame_bytes"))).as("frame_hex"))
     }),
 
     // Resize at the gate: deterministic even-stride byte down-sample to 64
     // samples (the batch image-resize shape), metadata adjusted in step.
+    // payload is hex-encoded for the comparator, same as m4.
     "m5_resize" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.mediaFromDocuments(docs(s, d))
       graft.multimodal.Multimodal.resizeAll(media).toDF()
-        .select(col("media_id"), col("width"), col("height"), col("payload"))
+        .select(col("media_id"), col("width"), col("height"),
+          lower(hex(col("payload"))).as("payload_hex"))
     })
   )
 
@@ -104,7 +110,7 @@ object MultimodalQueries {
     "m4_frames" ->
       """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
         |       CAST(i * 32 AS BIGINT) AS offset_bytes,
-        |       encode(substring(text, CAST(i * 32 + 1 AS INT), 16)) AS frame_bytes
+        |       lower(hex(encode(substring(text, CAST(i * 32 + 1 AS INT), 16)))) AS frame_hex
         |FROM (SELECT doc_id, text,
         |        unnest([i for i in range(
         |          (octet_length(encode(text)) - 16) // 32 + 1)]) AS i
@@ -120,10 +126,10 @@ object MultimodalQueries {
         |SELECT media_id,
         |  CASE WHEN n <= 64 THEN width ELSE CAST(least(width, 64) AS INT) END AS width,
         |  CASE WHEN n <= 64 THEN height ELSE CAST(least(height, 64) AS INT) END AS height,
-        |  CASE WHEN n <= 64 THEN encode(text)
+        |  lower(hex(CASE WHEN n <= 64 THEN encode(text)
         |       ELSE encode(array_to_string(
         |         [substring(text, CAST((i * n) // 64 AS INT) + 1, 1) for i in range(0, 64)], ''))
-        |  END AS payload
+        |  END)) AS payload_hex
         |FROM m""".stripMargin
   )
 }
