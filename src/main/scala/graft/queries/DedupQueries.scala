@@ -171,40 +171,60 @@ object DedupQueries {
             slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand)),
             _.cast("string")), "-")).as("bkey"))
 
+  /** The corpus's persistable LSH band index: (doc_id, bkey) — ONE row per
+    * doc per band. This is the table a production ingest writes once per
+    * admitted batch (via [[graft.sources.Sinks.writeParquet]]) and re-reads
+    * on the next batch, so the corpus's text is never re-shingled wholesale;
+    * pass it to [[incrementalDedup]] as `oldIndex`. */
+  def lshBandIndex(docs: DataFrame): DataFrame = lshBands(shingleSetsOf(docs))
+
   /** INCREMENTAL dedup — the daily-ingest shape: admit only the docs of a
-    * NEW batch that (a) near-duplicate nothing in the EXISTING corpus and
-    * (b) are the representative (min doc_id) of their in-batch similarity
-    * CLUSTER — connected components over the batch's verified pair graph,
-    * exactly d6's clustering run on one day's data. Cluster-min (not
-    * pairwise-greedy) keeps the policy well-defined on similarity CHAINS:
-    * for 11≈12≈13 with 11,13 dissimilar, the whole chain is one cluster and
-    * only 11 is admitted. A doc whose cluster representative is itself
-    * corpus-dup'd is dropped with it (transitively similar to the corpus).
+    * NEW batch that (a) belong to no in-batch similarity CLUSTER that
+    * touches the EXISTING corpus, and (b) are the representative (min
+    * doc_id) of their cluster — connected components over the batch's
+    * verified pair graph, exactly d6's clustering run on one day's data.
+    * Cluster-min (not pairwise-greedy) keeps the policy well-defined on
+    * similarity CHAINS: for 11≈12≈13 with 11,13 dissimilar, the whole chain
+    * is one cluster and only 11 is admitted. Corpus contamination is
+    * cluster-transitive in BOTH directions (ADVICE r06): whether the
+    * corpus-matching doc is the representative or any member, the whole
+    * cluster is rejected — its members are all transitively similar to
+    * corpus content.
     *
     * 100 TB notes: the existing corpus participates ONLY through its
     * (doc_id, band-key) LSH index and the shingle sets of the few candidate
     * matches — O(corpus × bands) tiny index rows joined by band key, and the
     * corpus is NEVER re-paired against itself (the whole point vs re-running
     * d3 over old ∪ new: a T-byte corpus with a G-byte daily batch does
-    * O(G·bands) join work per day, not O(T²) pair work). In production the
-    * band index is a persisted table (write once per batch via Sinks);
-    * here it derives from `oldDocs` so the spec is self-contained. The
+    * O(G·bands) join work per day, not O(T²) pair work). Pass the persisted
+    * index (see [[lshBandIndex]]) as `oldIndex`; corpus TEXT is then touched
+    * only for the band-collision candidates — a semi-join narrows `oldDocs`
+    * to those few doc_ids before shingling. With `oldIndex` empty the index
+    * derives from `oldDocs` in-session (self-contained spec shape). The
     * batch-side shingle/band frames are checkpointed — each feeds 2-3 join
     * branches, and unstaged the codegen hash scans re-execute per branch
     * (the shCache hazard above). */
-  def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    val oldSh = shingleSetsOf(oldDocs).localCheckpoint(true)
+  def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame,
+                       oldIndex: Option[DataFrame] = None): DataFrame = {
     val newSh = shingleSetsOf(newDocs).localCheckpoint(true)
-    val oldIdx = lshBands(oldSh)
+    val oldIdx = oldIndex.getOrElse(lshBandIndex(oldDocs))
     val newBands = lshBands(newSh).localCheckpoint(true)
-    val dupVsOld = newBands.as("n")
+    // candidate (new, old) pairs from band collisions — tiny; checkpointed
+    // because it feeds both the semi-join below and the verify join
+    val candOld = newBands.as("n")
       .join(oldIdx.as("o"), col("n.bkey") === col("o.bkey"))
       .select(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
       .distinct()
+      .localCheckpoint(true)
+    // shingle ONLY the candidate corpus docs (O(candidates), not O(corpus))
+    val oldCandSh = shingleSetsOf(oldDocs.join(
+      candOld.select(col("doc_old").as("doc_id")).distinct(), "doc_id"))
+    val dupVsOld = candOld
       .join(newSh.select(col("doc_id").as("doc_new"), col("sh").as("sn")), "doc_new")
-      .join(oldSh.select(col("doc_id").as("doc_old"), col("sh").as("so")), "doc_old")
+      .join(oldCandSh.select(col("doc_id").as("doc_old"), col("sh").as("so")), "doc_old")
       .where(jaccard(col("sn"), col("so")) >= JaccardT)
       .select("doc_new")
+      .localCheckpoint(true) // feeds the anti-join AND the contaminated-rep lookup
     val batchPairs = newBands.as("a").join(newBands.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -215,9 +235,16 @@ object DedupQueries {
       .select("doc_a", "doc_b")
     // cluster the batch's pair graph; every non-representative node has an
     // assignment row (rep-has-no-row invariant) — those are the in-batch dups
-    val dupInBatch = graft.ccf.CCF.run(batchPairs).assignments
-      .select(col("node").as("doc_new"))
-    newDocs.join(dupVsOld.union(dupInBatch).distinct(),
+    val member = graft.ccf.CCF.run(batchPairs).assignments
+      .select(col("node").as("doc_new"), col("component").as("cl"))
+    val dupInBatch = member.select("doc_new")
+    // whole-cluster corpus rejection: the representative of any cluster with
+    // a corpus-matching member is dropped too (members are already in
+    // dupInBatch). A corpus-matching singleton/rep maps to itself — its
+    // coalesce row duplicates dupVsOld's, deduped by the final distinct.
+    val contaminatedReps = dupVsOld.join(member, Seq("doc_new"), "left")
+      .select(coalesce(col("cl"), col("doc_new")).as("doc_new"))
+    newDocs.join(dupVsOld.union(dupInBatch).union(contaminatedReps).distinct(),
       newDocs("doc_id") === col("doc_new"), "left_anti")
   }
 

@@ -60,6 +60,25 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  private def fsFor(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  /** A crashed prior compaction can leave the data only at
+    * `<path>.compact-old` (crash between the two swap renames). Detect the
+    * orphan and restore it so a rerun self-heals instead of failing the
+    * "prefix is empty" precondition and demanding manual recovery. */
+  private def restoreOrphanedAside(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val aside = new Path(path + ".compact-old")
+    if (!fs.exists(p) && fs.exists(aside)) {
+      System.err.println(s"[graft.sinks] $path missing but $aside exists " +
+        "(prior compaction crashed mid-swap); restoring the original data")
+      require(fs.rename(aside, p), s"could not restore $path from $aside")
+    }
+  }
+
   /** Small-file compaction: rewrite a parquet prefix into ~`targetBytes`
     * files. The lake-maintenance pass every long-lived ingest needs — a
     * streaming sink or over-parallel job leaves thousands of KB-sized files,
@@ -69,21 +88,33 @@ object Sinks {
     * to the same physical shape. Writes to `tmpPath` first, then re-points —
     * the source prefix is never half-rewritten.
     *
+    * Swap visibility contract: the swap is two renames, and between them the
+    * canonical prefix briefly does not exist — run compaction as an offline
+    * maintenance pass; a reader planning a scan in that window fails cleanly
+    * and retries. A crash inside the window leaves the original data intact
+    * at `<path>.compact-old`, and the next run restores it automatically
+    * (see `restoreOrphanedAside`). `tmpPath` must be on the same FileSystem
+    * as `path` (rename cannot cross filesystems) — validated up front.
+    *
     * Returns (filesBefore, filesAfter). */
   def compactParquet(spark: SparkSession, path: String, tmpPath: String,
                      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     import org.apache.hadoop.fs.Path
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, path)
+    val tmpFs = fsFor(spark, tmpPath)
+    require(fs.getUri == tmpFs.getUri,
+      s"tmpPath must live on the same FileSystem as path for the atomic-rename " +
+        s"swap: ${tmpFs.getUri} vs ${fs.getUri}")
+    restoreOrphanedAside(fs, path)
     def parquetFiles(p: String) =
       Option(fs.globStatus(new Path(p + "/*.parquet"))).map(_.toSeq).getOrElse(Seq.empty)
     val before = parquetFiles(path)
     // a hive-partitioned prefix keeps its files one directory level down —
     // compacting it flat would fold partition columns back into the data and
-    // destroy pruning; partitioned compaction is per-partition-directory
+    // destroy pruning; use compactPartitionedParquet for those layouts
     require(before.nonEmpty,
       s"$path has no top-level parquet files (missing, empty, or hive-partitioned " +
-        "prefix — compact partitioned layouts per partition directory)")
+        "prefix — use compactPartitionedParquet for partitioned layouts)")
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     writeParquet(spark.read.parquet(path).repartition(nOut), tmpPath)
@@ -100,5 +131,47 @@ object Sinks {
     }
     fs.delete(aside, true)
     (before.size, afterN)
+  }
+
+  /** Per-partition-directory compaction for hive-partitioned prefixes — the
+    * layout streaming sinks actually produce (date-partitioned, thousands of
+    * tiny files per day). Walks the prefix, finds every leaf directory that
+    * directly holds parquet files (`k1=v1/k2=v2/part-*.parquet`), and runs
+    * `compactParquet` on each leaf in place. Partition values stay encoded in
+    * the directory names, so pruning survives untouched, and each leaf swap
+    * is independently crash-safe: a crash mid-sweep leaves every other
+    * partition intact and the next run self-heals the one mid-swap.
+    *
+    * 100 TB notes: the per-leaf rewrite is a distributed Spark job; the sweep
+    * over leaves is driver-side sequential by design — compaction is
+    * IO-bound maintenance, and serializing leaves bounds cluster-wide write
+    * amplification to one partition's worth at a time.
+    *
+    * Returns (filesBefore, filesAfter) summed over all leaves. */
+  def compactPartitionedParquet(spark: SparkSession, path: String, tmpPath: String,
+                                targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsFor(spark, path)
+    val root = fs.makeQualified(new Path(path))
+    require(fs.exists(root), s"$path does not exist")
+    def leaves(p: Path): Seq[Path] = {
+      val st = fs.listStatus(p).toSeq
+      val hasParquet = st.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val subdirs = st.filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith(".") && !s.getPath.getName.endsWith(".compact-old"))
+      (if (hasParquet) Seq(p) else Seq.empty) ++ subdirs.flatMap(s => leaves(s.getPath))
+    }
+    val ls = leaves(root)
+    require(ls.nonEmpty, s"$path holds no parquet files at any depth")
+    val tmpRoot = fs.makeQualified(new Path(tmpPath))
+    var (b, a) = (0, 0)
+    ls.foreach { leaf =>
+      val rel = leaf.toString.stripPrefix(root.toString).stripPrefix("/")
+      val leafTmp = if (rel.isEmpty) tmpRoot.toString else s"$tmpRoot/$rel"
+      val (lb, la) = compactParquet(spark, leaf.toString, leafTmp, targetBytes)
+      b += lb; a += la
+    }
+    fs.delete(tmpRoot, true) // leaf swaps consumed their tmp dirs; drop the skeleton
+    (b, a)
   }
 }

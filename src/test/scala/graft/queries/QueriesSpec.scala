@@ -115,6 +115,40 @@ class QueriesSpec extends SparkSpec {
     assert(DedupQueries.incrementalDedup(old, uniq).count() === 2)
   }
 
+  test("incremental dedup: a cluster touching the corpus via ANY member is wholly rejected") {
+    import spark.implicits._
+    val ts = (0 until 18).map(i => s"t$i")
+    // corpus holds the chain's TAIL window: batch rep 20 is NOT directly
+    // similar to it (end windows share 4 of 16 shingles, J=0.25 < T) but
+    // member 22 is an exact copy — the whole cluster must go, rep included
+    val old = Seq((1L, ts.slice(6, 18).mkString(" "))).toDF("doc_id", "text")
+    val chain = Seq(
+      (20L, ts.slice(0, 12).mkString(" ")),
+      (21L, ts.slice(3, 15).mkString(" ")),
+      (22L, ts.slice(6, 18).mkString(" "))
+    ).toDF("doc_id", "text")
+    assert(DedupQueries.incrementalDedup(old, chain).count() === 0)
+  }
+
+  test("incremental dedup: persisted LSH band index round-trips through Sinks") {
+    import spark.implicits._
+    def doc(prefix: String) = (0 until 12).map(i => s"$prefix$i").mkString(" ")
+    val old = Seq((1L, doc("a")), (2L, doc("b")), (3L, doc("c"))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, doc("b")), (11L, doc("x")), (12L, doc("x")), (13L, doc("y"))
+    ).toDF("doc_id", "text")
+    // the documented production path: index written once, re-read next batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    graft.sources.Sinks.writeParquet(DedupQueries.lshBandIndex(old), s"$dir/band_index")
+    val idx = spark.read.parquet(s"$dir/band_index")
+    val viaIdx = DedupQueries.incrementalDedup(old, batch, Some(idx))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val derived = DedupQueries.incrementalDedup(old, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIdx === derived)
+    assert(viaIdx === Set(11L, 13L))
+  }
+
   test("d9 ensemble: exact union of d2 and d7 pair sets with true provenance") {
     def pairs(name: String, a: String, b: String) =
       graft.SparkEntry.queries(name)(spark, sf())

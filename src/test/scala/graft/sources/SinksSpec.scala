@@ -27,6 +27,46 @@ class SinksSpec extends SparkSpec {
     assert(!new java.io.File(s"$tmp/li_small.compact").exists())
   }
 
+  test("partitioned compaction: per-leaf file counts drop, data identical, pruning intact") {
+    val orders = Tables.orders(spark, sf())
+      .withColumn("o_year", year(col("o_orderdate")))
+    // over-parallel partitioned ingest: up to 8 files in every o_year= leaf
+    orders.repartition(8).write.partitionBy("o_year").parquet(s"$tmp/orders_psmall")
+    val (nBefore, nAfter) = Sinks.compactPartitionedParquet(
+      spark, s"$tmp/orders_psmall", s"$tmp/orders_psmall.compact",
+      targetBytes = 64L * 1024 * 1024)
+    assert(nAfter < nBefore, s"$nAfter !< $nBefore")
+    val back = spark.read.parquet(s"$tmp/orders_psmall")
+    assert(back.count() === orders.count())
+    // exact (integer) sum identity — float sums vary with partition order
+    assert(back.agg(sum("o_orderkey")).head.getLong(0) ===
+      orders.agg(sum("o_orderkey")).head.getLong(0))
+    // hive layout survived: partition pruning still reaches the scan
+    val y = new java.io.File(s"$tmp/orders_psmall").listFiles()
+      .filter(_.isDirectory).map(_.getName).find(_.startsWith("o_year="))
+      .get.stripPrefix("o_year=").toInt
+    val pruned = back.where(col("o_year") === y)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"), plan)
+    assert(pruned.count() === orders.where(col("o_year") === y).count())
+    assert(!new java.io.File(s"$tmp/orders_psmall.compact").exists())
+  }
+
+  test("compaction self-heals an orphaned .compact-old from a crashed swap") {
+    import org.apache.hadoop.fs.Path
+    val df = Tables.nation(spark, sf())
+    df.repartition(4).write.parquet(s"$tmp/nat_c")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"$tmp/nat_c"), spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between the two swap renames: data only at the aside
+    assert(fs.rename(new Path(s"$tmp/nat_c"), new Path(s"$tmp/nat_c.compact-old")))
+    val (nBefore, _) = Sinks.compactParquet(
+      spark, s"$tmp/nat_c", s"$tmp/nat_c.tmp", targetBytes = 64L * 1024 * 1024)
+    assert(nBefore === 4) // restored aside was compacted, not rejected
+    assert(spark.read.parquet(s"$tmp/nat_c").count() === df.count())
+    assert(!fs.exists(new Path(s"$tmp/nat_c.compact-old")))
+  }
+
   test("partitioned parquet: hive layout + partition pruning at the scan") {
     val orders = Tables.orders(spark, sf())
       .withColumn("o_year", year(col("o_orderdate")))
