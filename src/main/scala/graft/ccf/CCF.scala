@@ -208,9 +208,15 @@ object CCF {
    * graph runs ~4 extra cheap rounds and hands PointerJump a pair set
    * O(blowupFactor x |E|), while a web/social-shaped graph (pair sets peak
    * ~2-3x input) never switches and keeps CCF's cheaper rounds.
+   *
+   * `variant` picks the kernel for the CCF phase (VERDICT r06 #6): on shapes
+   * that trip the blowup detector, [[SecondarySort]]'s fused dedup rides the
+   * sort shuffle and roughly halves per-round shuffle volume on exactly the
+   * blowup rounds that dominate before the switch; results are identical
+   * either way (variant agreement is spec-proven).
    */
   def auto(edges: DataFrame, maxIterations: Int = 100, blowupFactor: Long = 8L,
-           denseDegree: Double = 16.0): CCFResult = {
+           denseDegree: Double = 16.0, variant: Variant = Basic): CCFResult = {
     require(edges.columns.length == 2,
       s"edge list must have 2 columns, got ${edges.columns.mkString(", ")}")
     if (denseDegree > 0) {
@@ -225,7 +231,7 @@ object CCF {
       if (m > 0 && 2.0 * m / nV > denseDegree)
         return PointerJump.run(edges, maxIterations)
     }
-    runSwitchable(edges, Basic, maxIterations, blowupFactor) match {
+    runSwitchable(edges, variant, maxIterations, blowupFactor) match {
       case Left(r) => r
       case Right(sw) if sw.iterations >= maxIterations =>
         // budget exhausted exactly at the switch point: honor the cap the

@@ -125,9 +125,11 @@ object GraphQueries {
     // intermediate pair set doubles per round, so the run starts as CCF and
     // finishes under PointerJump, with no caller hint. Same fixpoint answer
     // either way (CCF.auto scaladoc proves the hand-off invariant); same
-    // oracle as ccf_chain.
+    // oracle as ccf_chain. SecondarySort kernel for the CCF phase (VERDICT
+    // r06 #6): the pre-switch blowup rounds are exactly where its fused
+    // dedup halves shuffle volume — same reason ccf_chain uses it.
     "ccf_auto_chain" -> ((s, _) =>
-      CCF.auto(Generators.chainDF(s, 500)).assignments),
+      CCF.auto(Generators.chainDF(s, 500), variant = CCF.SecondarySort).assignments),
 
     // TRIANGLE COUNTING per node (beyond the reference — the standard graph
     // co-occurrence statistic next to connected components). Formulation is
