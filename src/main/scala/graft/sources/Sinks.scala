@@ -155,10 +155,26 @@ object Sinks {
     val root = fs.makeQualified(new Path(path))
     require(fs.exists(root), s"$path does not exist")
     def leaves(p: Path): Seq[Path] = {
+      // Self-heal FIRST: a leaf crashed between the two swap renames exists
+      // only as `X.compact-old` — its base `X` is gone, so a plain walk would
+      // silently skip that partition's data. Restore every such orphan before
+      // classifying this level's entries.
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.endsWith(".compact-old"))
+        .foreach { s =>
+          val base = s.getPath.toString.stripSuffix(".compact-old")
+          restoreOrphanedAside(fs, base)
+        }
       val st = fs.listStatus(p).toSeq
       val hasParquet = st.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       val subdirs = st.filter(s => s.isDirectory &&
         !s.getPath.getName.startsWith(".") && !s.getPath.getName.endsWith(".compact-old"))
+      // A directory holding both parquet files and partition subdirectories is
+      // not a valid hive layout; compacting the ancestor would rename the whole
+      // subtree aside and destroy descendant partitions. Refuse loudly.
+      require(!(hasParquet && subdirs.nonEmpty),
+        s"$p holds both parquet files and subdirectories (${subdirs.map(_.getPath.getName).mkString(", ")}) — " +
+          "mixed layouts are not compactable; fix the layout before compacting")
       (if (hasParquet) Seq(p) else Seq.empty) ++ subdirs.flatMap(s => leaves(s.getPath))
     }
     val ls = leaves(root)

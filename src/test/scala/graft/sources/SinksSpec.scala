@@ -67,6 +67,49 @@ class SinksSpec extends SparkSpec {
     assert(!fs.exists(new Path(s"$tmp/nat_c.compact-old")))
   }
 
+  test("partitioned compaction self-heals a leaf crashed between the swap renames") {
+    import org.apache.hadoop.fs.Path
+    val orders = Tables.orders(spark, sf())
+      .withColumn("o_year", year(col("o_orderdate")))
+    orders.repartition(4).write.partitionBy("o_year").parquet(s"$tmp/orders_crash")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between the two swap renames on ONE leaf: its data
+    // exists only at <leaf>.compact-old, the base leaf directory is gone
+    val leafName = new java.io.File(s"$tmp/orders_crash").listFiles()
+      .filter(_.isDirectory).map(_.getName).find(_.startsWith("o_year=")).get
+    val leaf = new Path(s"$tmp/orders_crash/$leafName")
+    assert(fs.rename(leaf, new Path(s"$tmp/orders_crash/$leafName.compact-old")))
+    val (nBefore, nAfter) = Sinks.compactPartitionedParquet(
+      spark, s"$tmp/orders_crash", s"$tmp/orders_crash.compact",
+      targetBytes = 64L * 1024 * 1024)
+    assert(nAfter < nBefore, s"$nAfter !< $nBefore")
+    // the crashed leaf was restored AND compacted: no partition lost
+    assert(fs.exists(leaf))
+    assert(!fs.exists(new Path(s"$tmp/orders_crash/$leafName.compact-old")))
+    val back = spark.read.parquet(s"$tmp/orders_crash")
+    assert(back.count() === orders.count())
+    assert(back.agg(sum("o_orderkey")).head.getLong(0) ===
+      orders.agg(sum("o_orderkey")).head.getLong(0))
+    val y = leafName.stripPrefix("o_year=").toInt
+    assert(back.where(col("o_year") === y).count() ===
+      orders.where(col("o_year") === y).count())
+  }
+
+  test("partitioned compaction refuses a mixed files+subdirs layout loudly") {
+    val nation = Tables.nation(spark, sf())
+    // broken layout: parquet files AND a partition subdirectory at one level
+    nation.repartition(2).write.parquet(s"$tmp/mixed_layout")
+    nation.repartition(2).write.parquet(s"$tmp/mixed_layout/k=1")
+    val err = intercept[IllegalArgumentException] {
+      Sinks.compactPartitionedParquet(
+        spark, s"$tmp/mixed_layout", s"$tmp/mixed_layout.compact")
+    }
+    assert(err.getMessage.contains("mixed layouts are not compactable"), err.getMessage)
+    // nothing was renamed or destroyed
+    assert(spark.read.parquet(s"$tmp/mixed_layout/k=1").count() === nation.count())
+  }
+
   test("partitioned parquet: hive layout + partition pruning at the scan") {
     val orders = Tables.orders(spark, sf())
       .withColumn("o_year", year(col("o_orderdate")))
