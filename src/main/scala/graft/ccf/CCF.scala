@@ -1,5 +1,6 @@
 package graft.ccf
 
+import graft.Checkpoints.EagerOps
 import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
@@ -55,12 +56,14 @@ import org.apache.spark.sql.functions._
  *    accumulators in transformations over-count on task retry/recompute; a
  *    count is deterministic and drives convergence reproducibly.
  *
- * Per-round lineage is truncated with an eager `localCheckpoint` — without it
+ * Per-round lineage is truncated with an eager checkpoint — without it
  * the logical plan (and analysis time) grows with the iteration count, the #1
- * DataFrame trap for iterative algorithms (SURVEY.md §7.4). On a real cluster
- * with flaky executors one would use reliable `checkpoint()` to a DFS dir
- * instead; local checkpointing trades fault-tolerance for speed, the right
- * call for iterative refinement where a lost block means rerunning the job.
+ * DataFrame trap for iterative algorithms (SURVEY.md §7.4). The default is
+ * `localCheckpoint` (speed over fault-tolerance — a lost block reruns the
+ * job); on a real cluster with preemption, set `spark.graft.checkpointDir`
+ * to a DFS path and every round routes through reliable `checkpoint()`
+ * instead (see [[graft.Checkpoints]]; CCFSpec proves both modes converge
+ * identically).
  *
  * 100 TB notes: each round shuffles O(|pairs|) rows hash-partitioned by node
  * id — the same distribution as the reference's MapReduce jobs, which the CCF
@@ -266,7 +269,7 @@ object CCF {
     val inObs = Observation()
     val inCkpt = edges.toDF("src", "dst")
       .observe(inObs, count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     val nInput = observedOrCount(inObs, "input")(Map("n" -> inCkpt.count()))("n")
     // Reset the checkpoint's carried-over Statistics to the observed truth —
     // localCheckpoint copies the origin plan's ESTIMATE, and per-round join
@@ -341,7 +344,7 @@ object CCF {
       val emitted0 = tagged
         .observe(obs, coalesce(sum(when(col("isNew"), 1L)), lit(0L)).as("newPairs"),
           count(lit(1)).as("rows"))
-        .localCheckpoint(true) // materialize once, truncate lineage
+        .eagerCheckpoint() // materialize once, truncate lineage
       // the previous round's checkpoint is no longer referenced (this round's
       // lazy distinct has been evaluated into `emitted`)
       if (olderCkpt != null) freeCheckpoint(olderCkpt)

@@ -1,5 +1,6 @@
 package graft.ccf
 
+import graft.Checkpoints.EagerOps
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
@@ -60,7 +61,7 @@ object PointerJump {
     val inObs = Observation()
     val bi0 = CCF.bidirect(edges.toDF("src", "dst")).distinct()
       .observe(inObs, count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     // bounded-wait metric reads throughout (VERDICT r06 #2): raw
     // Observation.get hangs forever if metric delivery ever breaks;
     // CCF.observedOrCount falls back loudly to counting the checkpoint.
@@ -88,7 +89,7 @@ object PointerJump {
     val lbl0 = bi.groupBy(col("src").as("node"))
       .agg(least(col("src"), min(col("dst"))).as("lab"))
       .observe(lblObs, count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     // the label table is exactly one row per node, every round
     val nNodes = CCF.observedOrCount(lblObs, "pj labels")(Map("n" -> lbl0.count()))("n")
     var lbl = org.apache.spark.sql.graft.Bridge.withStats(lbl0, nNodes)
@@ -116,7 +117,7 @@ object PointerJump {
           .select(col("node"), col("lab"), least(col("lab"), col("nm")).as("newlab"))
           .observe(obs, coalesce(sum(when(col("newlab") =!= col("lab"), 1L)), lit(0L)).as("changed"))
           .select(col("node"), col("newlab").as("lab"))
-          .localCheckpoint(true)
+          .eagerCheckpoint()
         // fallback recomputes changed by diffing the materialized checkpoint
         // against the still-live previous label table — read BEFORE freeing it
         val changed = CCF.observedOrCount(obs, s"pj round $iteration")(Map(

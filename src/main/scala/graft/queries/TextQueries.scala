@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.EagerOps
 import graft.sources.Tables
 import graft.text.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -155,7 +156,7 @@ object TextQueries {
     val tf0 = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
     // Stage tf: it feeds both the df aggregation and the weight join —
     // unstaged, the grams scan + partial agg execute twice.
-    val tf = if (stage) tf0.localCheckpoint(true) else tf0
+    val tf = if (stage) tf0.eagerCheckpoint() else tf0
     val dfq = tf.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
     val nDf = documents.agg(count(lit(1)).as("n"))
@@ -165,7 +166,7 @@ object TextQueries {
           .as("wt"))
     // Stage the weight table: it feeds the self-join's BOTH sides plus the
     // norm aggregation — unstaged, the tf→df join subplan executes 3x.
-    val wts = if (stage) wts0.localCheckpoint(true) else wts0
+    val wts = if (stage) wts0.eagerCheckpoint() else wts0
     // order-deterministic Σ: the codegen SortedTermSum sorts (g, term)
     // structs by (g, term) and folds sequentially — bit-identical to the
     // oracle's `list(term ORDER BY g, term)` + list_reduce
@@ -179,7 +180,7 @@ object TextQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("a.g").as("g"),
         (col("a.wt") * col("b.wt")).as("t"))
     // staged: feeds the phase-1 prefilter AND the phase-2 semi-join
-    val joined = if (stage) joined0.localCheckpoint(true) else joined0
+    val joined = if (stage) joined0.eagerCheckpoint() else joined0
     // Phase 1 prefilter: a plain codegen SUM over the full pair fan-out
     // (1.3M rows / 1.1M pairs at sf0.1 — hash aggregate, no per-pair lists),
     // thresholded with an ε margin. Order-nondeterministic, but |raw − num|

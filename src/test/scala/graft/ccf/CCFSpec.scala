@@ -34,6 +34,23 @@ class CCFSpec extends SparkSpec {
     assert(r.converged)
   }
 
+  test("reliable-checkpoint mode (spark.graft.checkpointDir) converges identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(graft.Checkpoints.DirKey, dir)
+    try {
+      val r = CCF.run(edges(fig5: _*))
+      assert(asgn(r) === fig5Expected)
+      assert(r.converged)
+      // the rounds really went through reliable checkpoint(): files on disk
+      val rddDirs = new java.io.File(spark.sparkContext.getCheckpointDir.get
+        .stripPrefix("file:")).listFiles()
+      assert(rddDirs != null && rddDirs.exists(_.getName.startsWith("rdd-")),
+        s"no rdd-* checkpoint dirs under $dir")
+    } finally {
+      spark.conf.unset(graft.Checkpoints.DirKey)
+    }
+  }
+
   test("membership rollup re-adds the representative, sorted") {
     val r = CCF.run(edges(fig5: _*))
     val members = CCF.membership(r.assignments)
