@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.EagerOps
 import graft.sources.Tables
 import graft.text.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -70,7 +71,8 @@ object DedupQueries {
   private val shCache = new SessionCache[String]
 
   private def shingleSets(s: SparkSession, d: String): DataFrame =
-    shCache.getOrElseUpdate(s, d)(shingleSetsOf(docs(s, d)).localCheckpoint(true))
+    shCache.getOrElseUpdate(s, d)(SharedBuilds.timed("shingle_sets")(
+      shingleSetsOf(docs(s, d)).eagerCheckpoint()))
 
   private[queries] def shingleSetsOf(documents: DataFrame): DataFrame =
     documents
@@ -89,9 +91,12 @@ object DedupQueries {
 
   private[queries] def cachedEntryCount: Int = pairsCache.size
 
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate(s, d)(
-      jaccardPairsOf(shingleSets(s, d), MaxShingleDf).localCheckpoint(true))
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // hoist the shingle build so a cold cache attributes it to "shingle_sets"
+    val sh = shingleSets(s, d)
+    pairsCache.getOrElseUpdate(s, d)(SharedBuilds.timed("jaccard_pairs")(
+      jaccardPairsOf(sh, MaxShingleDf).eagerCheckpoint()))
+  }
 
   /** Capped-candidate + exact-verify Jaccard pair pipeline (parametric cap so
     * the planted-hot-shingle spec can exercise a small one). Postings with
@@ -178,6 +183,17 @@ object DedupQueries {
     * pass it to [[incrementalDedup]] as `oldIndex`. */
   def lshBandIndex(docs: DataFrame): DataFrame = lshBands(shingleSetsOf(docs))
 
+  /** Append an admitted batch's band keys to the persisted index — the write
+    * half of the production ingest loop: after [[incrementalDedup]] admits a
+    * batch, call this so the NEXT batch's band join sees today's admissions.
+    * Parquet append: O(admitted × bands) rows written, the corpus index is
+    * never rewritten. (Idempotence is the caller's: append once per admitted
+    * batch. A crashed ingest re-appends harmlessly — duplicate (doc_id, bkey)
+    * rows only re-propose the same candidates, which verify identically.) */
+  def appendBandIndex(admitted: DataFrame, indexPath: String): Unit =
+    lshBandIndex(admitted).write
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(indexPath)
+
   /** INCREMENTAL dedup — the daily-ingest shape: admit only the docs of a
     * NEW batch that (a) belong to no in-batch similarity CLUSTER that
     * touches the EXISTING corpus, and (b) are the representative (min
@@ -206,25 +222,34 @@ object DedupQueries {
     * (the shCache hazard above). */
   def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame,
                        oldIndex: Option[DataFrame] = None): DataFrame = {
-    val newSh = shingleSetsOf(newDocs).localCheckpoint(true)
+    val newSh = shingleSetsOf(newDocs).eagerCheckpoint()
     val oldIdx = oldIndex.getOrElse(lshBandIndex(oldDocs))
-    val newBands = lshBands(newSh).localCheckpoint(true)
+    val newBands = lshBands(newSh).eagerCheckpoint()
     // candidate (new, old) pairs from band collisions — tiny; checkpointed
     // because it feeds both the semi-join below and the verify join
     val candOld = newBands.as("n")
       .join(oldIdx.as("o"), col("n.bkey") === col("o.bkey"))
       .select(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
       .distinct()
-      .localCheckpoint(true)
+      .eagerCheckpoint()
+    // Contract check (ADVICE r07): every indexed candidate must have corpus
+    // text in oldDocs — a stale/partial index would otherwise SILENTLY drop
+    // its candidates at the inner joins below and admit near-duplicates of
+    // unseen corpus content. O(candidates) anti-join, one small job.
+    val candIds = candOld.select(col("doc_old").as("doc_id")).distinct()
+    val missing = candIds.join(oldDocs.select("doc_id"), Seq("doc_id"), "left_anti").count()
+    require(missing == 0L,
+      s"incrementalDedup: $missing band-index candidate doc_id(s) have no corpus " +
+        "text in oldDocs — the index is stale or oldDocs is partial; refusing to " +
+        "admit (near-duplicates of the missing corpus content could slip through)")
     // shingle ONLY the candidate corpus docs (O(candidates), not O(corpus))
-    val oldCandSh = shingleSetsOf(oldDocs.join(
-      candOld.select(col("doc_old").as("doc_id")).distinct(), "doc_id"))
+    val oldCandSh = shingleSetsOf(oldDocs.join(candIds, "doc_id"))
     val dupVsOld = candOld
       .join(newSh.select(col("doc_id").as("doc_new"), col("sh").as("sn")), "doc_new")
       .join(oldCandSh.select(col("doc_id").as("doc_old"), col("sh").as("so")), "doc_old")
       .where(jaccard(col("sn"), col("so")) >= JaccardT)
       .select("doc_new")
-      .localCheckpoint(true) // feeds the anti-join AND the contaminated-rep lookup
+      .eagerCheckpoint() // feeds the anti-join AND the contaminated-rep lookup
     val batchPairs = newBands.as("a").join(newBands.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

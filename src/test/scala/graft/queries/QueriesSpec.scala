@@ -149,6 +149,53 @@ class QueriesSpec extends SparkSpec {
     assert(viaIdx === Set(11L, 13L))
   }
 
+  test("incremental dedup: closed ingest loop — batch 2 sees batch 1's admissions via the appended index") {
+    import spark.implicits._
+    def doc(prefix: String) = (0 until 12).map(i => s"$prefix$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val corpusPath = s"$dir/corpus"
+    val idxPath = s"$dir/band_index"
+    // bootstrap: corpus text store + band index, both persisted
+    val corpus0 = Seq((1L, doc("a")), (2L, doc("b"))).toDF("doc_id", "text")
+    graft.sources.Sinks.writeParquet(corpus0, corpusPath)
+    DedupQueries.appendBandIndex(corpus0, idxPath)
+    def corpus() = spark.read.parquet(corpusPath)
+    def idx() = spark.read.parquet(idxPath)
+    // batch 1: a corpus dup (dropped) and a novel doc (admitted)
+    val b1 = Seq((10L, doc("b")), (11L, doc("x"))).toDF("doc_id", "text")
+    val adm1 = DedupQueries.incrementalDedup(corpus(), b1, Some(idx()))
+    assert(adm1.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
+    // the production writes: admitted text -> corpus store, bands -> index
+    adm1.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
+    DedupQueries.appendBandIndex(adm1, idxPath)
+    // batch 2 duplicates ONLY batch 1's admission — visible solely through
+    // the persisted index read back from disk (no in-session state survives)
+    val b2 = Seq((20L, doc("x")), (21L, doc("z"))).toDF("doc_id", "text")
+    val adm2 = DedupQueries.incrementalDedup(corpus(), b2, Some(idx()))
+    assert(adm2.select("doc_id").collect().map(_.getLong(0)).toSet === Set(21L))
+    adm2.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
+    DedupQueries.appendBandIndex(adm2, idxPath)
+    // re-running batch 1 against the grown stores is a no-op: 10 still hits
+    // corpus doc 2, 11 now hits its own admitted copy
+    assert(DedupQueries.incrementalDedup(corpus(), b1, Some(idx())).count() === 0)
+  }
+
+  test("incremental dedup: stale index (candidate without corpus text) fails loudly") {
+    import spark.implicits._
+    def doc(prefix: String) = (0 until 12).map(i => s"$prefix$i").mkString(" ")
+    val full = Seq((1L, doc("a")), (2L, doc("b"))).toDF("doc_id", "text")
+    val idx = DedupQueries.lshBandIndex(full)
+    // oldDocs is missing doc 2's text, but the index still carries its bands
+    val partial = full.where(col("doc_id") === 1L)
+    val batch = Seq((10L, doc("b"))).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      DedupQueries.incrementalDedup(partial, batch, Some(idx)).count()
+    }
+    assert(err.getMessage.contains("no corpus"), err.getMessage)
+    // with the full corpus text present the same index admits nothing (10 is a dup)
+    assert(DedupQueries.incrementalDedup(full, batch, Some(idx)).count() === 0)
+  }
+
   test("d9 ensemble: exact union of d2 and d7 pair sets with true provenance") {
     def pairs(name: String, a: String, b: String) =
       graft.SparkEntry.queries(name)(spark, sf())
@@ -205,6 +252,19 @@ class QueriesSpec extends SparkSpec {
       fixture.select((col("src") + big).as("src"), (col("dst") + big).as("dst")))
       .collect().map(r => (r.getLong(0) - big) -> r.getLong(1)).toMap
     assert(wide === got)
+    // edge-count auto-selection (VERDICT r07 #4): cap at 0 edges so the
+    // broadcast hint is dropped and the SHUFFLED closing join runs — both the
+    // packed and unpacked variants must agree with the broadcast results
+    spark.conf.set(GraphQueries.MaxBroadcastEdgesKey, "0")
+    try {
+      val shuffledPacked = GraphQueries.trianglesOf(fixture)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(shuffledPacked === got)
+      val shuffledWide = GraphQueries.trianglesOf(
+        fixture.select((col("src") + big).as("src"), (col("dst") + big).as("dst")))
+        .collect().map(r => (r.getLong(0) - big) -> r.getLong(1)).toMap
+      assert(shuffledWide === got)
+    } finally spark.conf.unset(GraphQueries.MaxBroadcastEdgesKey)
     // agreement with the orientation-free formulation on the real graph
     val e = graft.graph.GraphBuilders.copurchaseEdges(spark, sf())
     val naive = e.as("e1")
