@@ -147,6 +147,14 @@ object Sinks {
     * IO-bound maintenance, and serializing leaves bounds cluster-wide write
     * amplification to one partition's worth at a time.
     *
+    * Streaming-sink prefixes: a structured-streaming parquet sink keeps a
+    * `_spark_metadata` transaction log at the root that pins the exact
+    * pre-compaction file set — readers honoring it would miss every
+    * compacted file. Compaction FINALIZES the prefix: the log is deleted
+    * (loudly) and the prefix reverts to plain directory-listing semantics.
+    * Only compact a RETIRED sink prefix — a stream still appending through
+    * its checkpoint must not have its log removed.
+    *
     * Returns (filesBefore, filesAfter) summed over all leaves. */
   def compactPartitionedParquet(spark: SparkSession, path: String, tmpPath: String,
                                 targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
@@ -154,6 +162,13 @@ object Sinks {
     val fs = fsFor(spark, path)
     val root = fs.makeQualified(new Path(path))
     require(fs.exists(root), s"$path does not exist")
+    val sinkLog = new Path(root, "_spark_metadata")
+    if (fs.exists(sinkLog)) {
+      System.err.println(s"[graft.sinks] $path carries a streaming-sink " +
+        "_spark_metadata log; deleting it (compaction finalizes the prefix " +
+        "to plain-listing semantics — do not compact a live sink)")
+      fs.delete(sinkLog, true)
+    }
     def leaves(p: Path): Seq[Path] = {
       // Self-heal FIRST: a leaf crashed between the two swap renames exists
       // only as `X.compact-old` — its base `X` is gone, so a plain walk would

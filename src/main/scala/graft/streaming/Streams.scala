@@ -267,6 +267,39 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming lake ingest: events → DATE-PARTITIONED parquet file sink —
+    * the layout every long-lived ingest lands on (and the one
+    * [[graft.sources.Sinks.compactPartitionedParquet]] maintains: a
+    * per-trigger micro-batch leaves small files in every `event_date=` leaf).
+    * Exactly-once via the checkpoint + the sink's `_spark_metadata` log;
+    * downstream batch readers prune on `event_date`.
+    *
+    * 100 TB notes: partitioning by event date keeps each trigger's append
+    * localized to the dates it carries; the partition column comes from the
+    * event time (not processing time) so replays land in the same leaves.
+    * Compact a RETIRED prefix only — compaction finalizes the sink's metadata
+    * log away (see compactPartitionedParquet's scaladoc). */
+  def runEventsToPartitionedParquet(spark: SparkSession, dir: String,
+                                    outPath: String, checkpointPath: String,
+                                    parallelism: Option[Int] = None): Unit = {
+    val dated = eventStream(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+    // the sink writes one file per task per leaf — `parallelism` models a
+    // real ingest's task count (each trigger then drops up to that many
+    // files into every date leaf it touches: the small-file genesis that
+    // compactPartitionedParquet exists to clean up)
+    val q = parallelism.fold(dated)(n => dated.repartition(n))
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .partitionBy("event_date")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run sessionization end-to-end (AvailableNow, memory sink); returns the
     * CLOSED sessions emitted by the stream (open sessions remain in state —
     * the streaming contract). */

@@ -119,4 +119,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(sorted(streamed.collect()) === sorted(batch.collect()))
   }
+
+  test("lake maintenance: file sink -> date partitions -> compaction -> pruned re-read") {
+    // The composed pipeline the r6/r7 sink features exist for: a streaming
+    // ingest lands date-partitioned parquet with many small files; the
+    // maintenance pass compacts each leaf; readers still prune and see
+    // identical data.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lake").toString
+    val lake = s"$tmp/events_lake"
+    Streams.runEventsToPartitionedParquet(spark, sf(), lake, s"$tmp/ckpt",
+      parallelism = Some(4))
+    val batch = graft.sources.Tables.events(spark, sf())
+      .withColumn("event_date", to_date(col("ts")))
+    // stream == batch before compaction (exactly-once file sink)
+    val before = spark.read.parquet(lake)
+    assert(before.count() === batch.count())
+    val (nBefore, nAfter) = graft.sources.Sinks.compactPartitionedParquet(
+      spark, lake, s"$tmp/events_lake.compact", targetBytes = 64L * 1024 * 1024)
+    assert(nAfter < nBefore, s"$nAfter !< $nBefore")
+    // the sink's transaction log was finalized away — plain listing reads work
+    assert(!new java.io.File(s"$lake/_spark_metadata").exists())
+    val after = spark.read.parquet(lake)
+    assert(after.count() === batch.count())
+    assert(after.agg(sum("event_id")).head.getLong(0) ===
+      batch.agg(sum("event_id")).head.getLong(0))
+    // partition pruning survives compaction: filter on event_date reaches the
+    // scan as a PartitionFilter and returns exactly that date's rows
+    val d = new java.io.File(lake).listFiles().filter(_.isDirectory)
+      .map(_.getName).find(_.startsWith("event_date=")).get
+      .stripPrefix("event_date=")
+    val pruned = after.where(col("event_date") === lit(d).cast("date"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"), plan)
+    assert(pruned.count() ===
+      batch.where(col("event_date") === lit(d).cast("date")).count())
+  }
 }
