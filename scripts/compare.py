@@ -41,8 +41,12 @@ def main():
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
+        # testdata tables are single files; Spark-written ones (e.g. the
+        # ScaleUp sf1 rehearsal dirs) are directories of part files
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        pat = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     results = {}
     for name in sorted(oracle):
         if only and name not in only:

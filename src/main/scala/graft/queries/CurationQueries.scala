@@ -160,6 +160,29 @@ object CurationQueries {
           (shared.cast("double") / col("n_grams") >= ContamT).as("flagged"))
     }),
 
+    // Bloom-pruned decontamination (the c4 semi-join shape at 100 TB): which
+    // candidate docs share ANY 8-gram with the benchmark set. The benchmark
+    // grams build a broadcast-sized bloom (distributed build, driver merge);
+    // the corpus gram stream is pruned MAP-SIDE by the codegen'd
+    // [[graft.functions.BloomMightContainLong]] probe — zero shuffle for the
+    // ~99.9% of grams that miss — and only survivors (true hits + fpp
+    // false positives) reach the exact verify join. No false negatives, so
+    // the result is EXACT and shares c4's oracle family. At 100 TB this
+    // turns a corpus-wide shuffle into a local filter + a tiny join.
+    "c7_decontam_bloom" -> ((s, d) => {
+      val g8 = docs(s, d).select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.shingleHashes(col("text"), 8, HashP)).as("g"))
+      val bench = g8.where(col("doc_id") % 20 === 0).select("g").distinct()
+      // size the bloom from the benchmark's own cardinality (one tiny job
+      // over the already-distinct bench side)
+      val bloom = graft.functions.BloomFunctions.buildLongBloom(
+        bench, "g", bench.count(), fpp = 1e-3)
+      g8.where(col("doc_id") % 20 =!= 0)
+        .where(graft.functions.BloomFunctions.mightContain(bloom, col("g")))
+        .join(bench, "g") // exact verify: removes the bloom's false positives
+        .select("doc_id").distinct()
+    }),
+
     // PII redaction: count + scrub emails/phones with codegen'd regexp
     // (RegExpReplace/RegExpCount are plain scalar expressions — the whole
     // query is scan → project, embarrassingly parallel, zero shuffle; at
@@ -281,6 +304,18 @@ object CurationQueries {
          |  CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_grams AS contamination,
          |  CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_grams >= $ContamT AS flagged
          |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""".stripMargin,
+
+    // exact semantics despite the engine's bloom prune (no false negatives;
+    // false positives die at the verify join) — the oracle is bloom-free
+    "c7_decontam_bloom" ->
+      s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),
+         |g8 AS (SELECT DISTINCT doc_id, g FROM (
+         |  SELECT doc_id, unnest([$gram8Sql for i in range(0, len(ws) - 7)]) AS g
+         |  FROM tt)),
+         |bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 20 = 0),
+         |cand AS (SELECT doc_id, g FROM g8 WHERE doc_id % 20 <> 0)
+         |SELECT DISTINCT c.doc_id AS doc_id
+         |FROM cand c JOIN bench b ON c.g = b.g""".stripMargin,
 
     "c5_pii_redact" ->
       s"""WITH aug AS (SELECT doc_id, $piiTextSql AS t FROM documents),

@@ -162,8 +162,40 @@ object EventQueries {
       ebins.join(ibins, "bin")
         .where(col("ts") >= col("w_start") && col("ts") < col("w_end"))
         .select(col("incident_id"), col("event_id"), col("ts"))
-    })
+    }),
+
+    // FUNNEL (e10, r08): strictly-ordered view -> click -> purchase
+    // conversion per user — the standard product-analytics sequence match.
+    // Formulated as a chain of per-user first-time aggregates (t1 = first
+    // view; t2 = first click AFTER t1; t3 = first purchase AFTER t2): each
+    // stage is a type-filtered scan joined to the previous stage's
+    // 1-row-per-user frame, then a map-side-combinable MIN. Every join and
+    // groupBy in the chain is keyed on user_id, so Spark reuses ONE hash
+    // exchange per stage input and the stage frames (O(users) rows) never
+    // re-shuffle the event stream. No window over all events per user, no
+    // collect_list of a user's history — state per stage is one timestamp.
+    "e10_funnel" -> ((s, d) => funnelOf(ev(s, d)))
   )
+
+  /** Strictly-ordered 3-stage funnel over an (user_id, ts, event_type)
+    * stream — parametric for the planted-fixture spec; see the e10 notes. */
+  private[queries] def funnelOf(e: DataFrame): DataFrame = {
+    def firstAfter(etype: String, prev: DataFrame, prevTs: String, out: String) =
+      e.where(col("event_type") === etype)
+        .join(prev.select(col("user_id"), col(prevTs)), "user_id")
+        .where(col("ts") > col(prevTs))
+        .groupBy("user_id").agg(min("ts").as(out))
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = firstAfter("click", v, "t1", "t2")
+    val p = firstAfter("purchase", c, "t2", "t3")
+    v.join(c.select("user_id", "t2"), Seq("user_id"), "left")
+      .join(p.select("user_id", "t3"), Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .otherwise(1).as("stage_reached"))
+  }
 
   val oracles: Map[String, String] = Map(
     "e1_hourly_agg" ->
@@ -272,6 +304,23 @@ object EventQueries {
     "e4_daily_users" ->
       """SELECT CAST(ts AS DATE) AS day,
         |       COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // strict ordering (>) at every stage, exactly as the engine's chain
+    "e10_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT v.user_id AS user_id,
+        |  CASE WHEN p.t3 IS NOT NULL THEN 3
+        |       WHEN c.t2 IS NOT NULL THEN 2
+        |       ELSE 1 END AS stage_reached
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
   )
 }

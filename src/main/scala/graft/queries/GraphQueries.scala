@@ -147,7 +147,20 @@ object GraphQueries {
     // here rather than by salting). Each triangle {a,b,c} is generated
     // exactly once, as a wedge at its orientation-minimum vertex, then
     // credited to all three corners.
-    "g1_triangles" -> ((s, dir) => trianglesOf(edges(s, dir)))
+    "g1_triangles" -> ((s, dir) => trianglesOf(edges(s, dir))),
+
+    // PAGERANK (g2, r08) — the second classic iterative graph analytic next
+    // to connected components: damped power iteration over the bidirected
+    // co-purchase graph (symmetric, so no dangling-mass term). Fixed
+    // [[PagerankIters]] rounds make the result closed-form and
+    // oracle-expressible as an UNROLLED chain of CTEs (no recursion needed).
+    // Per-neighbor float sums go through the same order-deterministic
+    // (key, term)-sorted sequential fold as t6 (`SortedTermSum` here,
+    // `list(x ORDER BY src, x)` + list_reduce in the oracle) so ranks are
+    // bit-identical across engines. At 100 TB you would swap the fold for a
+    // plain codegen SUM (order-free within fp tolerance) — the join/agg
+    // shape per round is unchanged; the fold is the oracle-parity choice.
+    "g2_pagerank" -> ((s, dir) => pagerankOf(edges(s, dir), PagerankIters))
   )
 
   /** Per-node triangle counts over a canonical (src < dst, distinct) edge
@@ -213,6 +226,63 @@ object GraphQueries {
       else wedges.join(build, Seq("x", "y"))
     tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Damped (0.85) PageRank over a canonical (src < dst) edge set, treated
+    * as undirected via [[CCF.bidirect]] — parametric in rounds for the g2
+    * notes above and the fixture spec.
+    *
+    * Scale shape per round: ONE shuffle of the out-edge stream hash-joined
+    * against the O(nodes) rank table, then ONE aggregation exchange keyed by
+    * destination (collect_list is bounded by in-degree; a hub-skewed graph
+    * would swap the fold for plain SUM + AQE skew splitting — see g2 notes).
+    * The out-edge table (edges + contributor degree) is built once and
+    * eagerly checkpointed; each round's rank table is checkpointed so
+    * planning stays O(1) in rounds (same pattern as the CCF fixpoint). */
+  private[queries] def pagerankOf(e0: DataFrame, iters: Int): DataFrame = {
+    val bi = CCF.bidirect(e0)
+    val deg = bi.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // the per-round join's build input: each out-edge with its contributor's
+    // out-degree attached (materialized once, reused every round)
+    val outE = bi.join(deg, "src").eagerCheckpoint()
+    val n = deg.count()
+    var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = outE.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          struct(col("src").as("g"), (col("rank") / col("outdeg")).as("t")).as("c"))
+        .groupBy("dst")
+        .agg(graft.functions.VectorFunctions.sortedTermSum(collect_list(col("c"))).as("s"))
+        .select(col("dst").as("node"),
+          (lit(0.15 / n) + lit(0.85) * col("s")).as("rank"))
+        .eagerCheckpoint()
+    }
+    ranks.select(col("node"), col("rank").as("pagerank"))
+  }
+
+  private[queries] val PagerankIters = 5
+
+  /** Unrolled PageRank oracle: r0 (uniform) then `iters` chained CTE steps,
+    * each the exact SQL twin of one [[pagerankOf]] round (CAST(0.15/0.85 AS
+    * DOUBLE) so DuckDB's decimal literals don't change the IEEE op chain). */
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (SELECT e2.dst AS node,
+         |  CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) * list_reduce(
+         |    list_prepend(CAST(0 AS DOUBLE),
+         |      list(r.rank / d.outdeg ORDER BY e2.src, r.rank / d.outdeg)),
+         |    (a, x) -> a + x) AS rank
+         |  FROM bi e2 JOIN r${k - 1} r ON e2.src = r.node
+         |              JOIN deg d ON e2.src = d.src
+         |  CROSS JOIN nn GROUP BY e2.dst, nn.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |bi AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |deg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM bi GROUP BY 1),
+       |nn AS (SELECT COUNT(*)::BIGINT AS n FROM deg),
+       |r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / nn.n AS rank FROM deg CROSS JOIN nn),
+       |$steps
+       |SELECT node, rank AS pagerank FROM r$iters""".stripMargin
   }
 
   /** Above this many edges the closing join's edge list is not broadcast
@@ -284,6 +354,10 @@ object GraphQueries {
          |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
          |SELECT node, COUNT(*) AS n_triangles
          |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
-         |GROUP BY node""".stripMargin
+         |GROUP BY node""".stripMargin,
+
+    // exact twin of pagerankOf: same op order, same (src, value) sorted
+    // sequential fold per destination — ranks bit-identical across engines
+    "g2_pagerank" -> pagerankSql(PagerankIters)
   )
 }

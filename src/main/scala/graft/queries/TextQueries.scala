@@ -41,6 +41,28 @@ object TextQueries {
         .orderBy(col("n").desc, col("word").asc)
         .limit(50)),
 
+    // HEAVY HITTERS, the scale path for "which tokens dominate the corpus":
+    // t2's full groupBy shuffles every (word, partial-count) pair — fine for
+    // a top-50 report, wasteful when only the > n/(K+1) outliers matter. One
+    // Misra-Gries-style pass (`stat.freqItems` — per-partition bounded maps,
+    // driver merge; its guarantee: every item with frequency > support·n IS
+    // in the candidate set) yields ≤K candidates; an exact recount touches
+    // the stream once more but aggregates only K keys (map-side combine,
+    // K rows per partition shuffled). The superset guarantee + exact
+    // recount + strict threshold makes the RESULT exact — bloom-style
+    // prune-then-verify, applied to aggregation.
+    "t8_heavy_hitters" -> ((s, d) => {
+      val tok = docs(s, d).select(explode(tokens(col("text"))).as("word"))
+      val cands = tok.stat.freqItems(Seq("word"), 1.0 / (HeavyK + 1))
+        .head.getSeq[String](0)
+      val total = tok.agg(count(lit(1)).as("n_total"))
+      tok.where(col("word").isInCollection(cands))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .where(col("n") > col("n_total").cast("double") / (HeavyK + 1).toDouble)
+        .select(col("word"), col("n"), col("n_total"))
+    }),
+
     // Quality scoring: type-token ratio + stopword ratio -> score + keep flag.
     "t3_quality" -> ((s, d) => {
       val t = tokens(col("text"))
@@ -139,6 +161,11 @@ object TextQueries {
 
   /** TF-IDF cosine near-dup threshold (calibrated: planted dups ≥0.8,
     * background ≤0.2 with a thin partial-overlap band at sf0.1). */
+  /** t8: report tokens with frequency strictly above n/(K+1) — the classic
+    * heavy-hitter threshold at which a K-counter Misra-Gries pass cannot
+    * miss an item. */
+  private val HeavyK = 50
+
   private val TfidfT = 0.5
 
   /** TF-IDF pair pipeline core, parametric over the df cap (so the
@@ -233,6 +260,16 @@ object TextQueries {
       s"""SELECT word, COUNT(*) AS n
          |FROM (SELECT unnest($toks) AS word FROM documents)
          |GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""".stripMargin,
+
+    // exact despite the engine's sketch pass: freqItems candidates are a
+    // guaranteed superset of the > n/(K+1) items, and the recount is exact
+    "t8_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest($toks) AS word FROM documents),
+         |tot AS (SELECT COUNT(*) AS n_total FROM w)
+         |SELECT word, COUNT(*) AS n, n_total
+         |FROM w, tot
+         |GROUP BY word, n_total
+         |HAVING COUNT(*) > n_total / ${HeavyK + 1}.0""".stripMargin,
 
     "t3_quality" ->
       s"""SELECT doc_id, ttr, stopword_ratio,

@@ -196,6 +196,34 @@ class QueriesSpec extends SparkSpec {
     assert(DedupQueries.incrementalDedup(full, batch, Some(idx)).count() === 0)
   }
 
+  test("c7 bloom-pruned decontam equals the bloom-free exact semi-join") {
+    val bloomRes = graft.queries.CurationQueries.defs("c7_decontam_bloom")(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    // exact-only formulation: no bloom anywhere
+    val g8 = graft.sources.Tables.documents(spark, sf()).select(col("doc_id"),
+      explode(graft.functions.VectorFunctions.shingleHashes(col("text"), 8,
+        graft.text.TextFunctions.HashP)).as("g"))
+    val bench = g8.where(col("doc_id") % 20 === 0).select("g").distinct()
+    val exact = g8.where(col("doc_id") % 20 =!= 0)
+      .join(bench, "g").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(bloomRes === exact)
+    assert(bloomRes.nonEmpty)
+  }
+
+  test("t8 heavy hitters: sketch+recount equals the exact full aggregation") {
+    val viaSketch = graft.queries.TextQueries.defs("t8_heavy_hitters")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val tok = graft.sources.Tables.documents(spark, sf())
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("word"))
+    val n = tok.count()
+    val exact = tok.groupBy("word").count()
+      .where(col("count") > n / 51.0)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(viaSketch === exact)
+    assert(viaSketch.nonEmpty)
+  }
+
   test("d9 ensemble: exact union of d2 and d7 pair sets with true provenance") {
     def pairs(name: String, a: String, b: String) =
       graft.SparkEntry.queries(name)(spark, sf())
@@ -278,6 +306,45 @@ class QueriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(oriented === naive)
     assert(oriented.nonEmpty)
+  }
+
+  test("g2 pagerank: uniform on a cycle; mass conserved; hubs outrank leaves") {
+    import spark.implicits._
+    // 4-cycle is vertex-transitive: every node's rank is exactly 1/4 at
+    // every iteration (the fold sums two identical halves — no fp drift)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val pc = GraphQueries.pagerankOf(cycle, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pc.keySet === Set(1L, 2L, 3L, 4L))
+    pc.values.foreach(v => assert(math.abs(v - 0.25) < 1e-15))
+    // star K1,4: symmetric graph => total mass conserved at 1; the center
+    // must outrank the (identical-by-symmetry) leaves
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val ps = GraphQueries.pagerankOf(star, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ps.values.sum - 1.0) < 1e-9)
+    val leaves = (2L to 5L).map(ps)
+    assert(leaves.toSet.size === 1)
+    assert(leaves.head < ps(1L))
+  }
+
+  test("e10 funnel: planted fixture — strict ordering, out-of-order stages don't count") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val e = Seq(
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "purchase"), // full funnel
+      (2L, ts(0), "view"), (2L, ts(1), "click"),                          // stops at click
+      (3L, ts(0), "view"),                                                // view only
+      (4L, ts(5), "view"), (4L, ts(1), "click"), (4L, ts(6), "purchase"), // click BEFORE view
+      (5L, ts(0), "click"), (5L, ts(1), "purchase"),                      // never viewed
+      (6L, ts(0), "view"), (6L, ts(0), "click"), (6L, ts(1), "purchase")  // same-instant click: strict > excludes
+    ).toDF("user_id", "ts", "event_type")
+    val got = graft.queries.EventQueries.funnelOf(e)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 4: purchase exists but no click-after-view => stage 1
+    // 5: absent (funnel entry requires a view)
+    // 6: click at exactly t1 doesn't count => stage 1
+    assert(got === Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 1, 6L -> 1))
   }
 
   test("d2 hot-shingle df cap: hot-only pairs dropped, rare-shingle dups keep exact jaccard") {
