@@ -13,6 +13,11 @@ import org.apache.spark.sql.types.LongType
  *   graft_polyhash(s[, mod])      — polynomial rolling string hash
  *   graft_shingle_hashes(s, k[, mod]) — distinct hashed word-k-gram shingles
  *   graft_lsh_bucket(v, planes, dim)  — hyperplane-sign LSH bucket
+ *   graft_sorted_term_sum(arr)    — order-deterministic (key,term) fold sum
+ *   graft_minhash_sig(sh, n[, mod])   — one-pass n-hash MinHash signature
+ *   graft_bloom_might_contain(k, bytes) — bloom probe (bytes a BINARY literal,
+ *     e.g. from BloomFunctions.buildLongBloom — the SQL route to c7-style
+ *     map-side prune-then-verify joins)
  *
  * Two registration paths:
  *  - `GraftFunctions.registerAll(spark)` on any existing session;
@@ -39,6 +44,18 @@ object GraftFunctions {
 
   private def intLit(e: Expression, what: String): Int = longLit(e, what).toInt
 
+  // accept any constant-foldable binary expression (unhex('...'), a plain
+  // literal, ...): the builder runs at analysis time, BEFORE constant folding,
+  // so fold here instead of pattern-matching on Literal
+  private def binLit(e: Expression, what: String): Array[Byte] = e match {
+    case f if f.foldable && f.dataType == org.apache.spark.sql.types.BinaryType =>
+      f.eval() match {
+        case v: Array[Byte] => v
+        case null => throw new IllegalArgumentException(s"$what must not be null")
+      }
+    case other => throw new IllegalArgumentException(s"$what must be a constant binary expression, got $other")
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> { args: Seq[Expression] =>
       require(args.length == 2, "graft_dot(a, b)")
@@ -56,6 +73,19 @@ object GraftFunctions {
     "graft_lsh_bucket" -> { args: Seq[Expression] =>
       require(args.length == 3, "graft_lsh_bucket(v, planes, dim)")
       LshBucket(args(0), intLit(args(1), "planes"), intLit(args(2), "dim"))
+    },
+    "graft_sorted_term_sum" -> { args: Seq[Expression] =>
+      require(args.length == 1, "graft_sorted_term_sum(arr<struct<g,t>>)")
+      SortedTermSum(args(0))
+    },
+    "graft_minhash_sig" -> { args: Seq[Expression] =>
+      require(args.length == 2 || args.length == 3, "graft_minhash_sig(shingles, n[, mod])")
+      MinHashSignature(args(0), intLit(args(1), "n"),
+        if (args.length == 3) longLit(args(2), "mod") else graft.text.TextFunctions.HashP)
+    },
+    "graft_bloom_might_contain" -> { args: Seq[Expression] =>
+      require(args.length == 2, "graft_bloom_might_contain(key, bloomBytes)")
+      BloomMightContainLong(args(0), binLit(args(1), "bloomBytes"))
     }
   )
 
