@@ -20,15 +20,20 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * nanosecond Long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in all
-    * our sessions). Convert to a microsecond timestamp — lossless here (the
-    * data has no sub-microsecond components) and identical to how DuckDB
-    * reads the same file (TIMESTAMP, µs). */
+  /** The driver's `events.ts` is parquet TIMESTAMP(NANOS), which Spark only
+    * reads as a nanosecond Long (`spark.sql.legacy.parquet.nanosAsLong=true`,
+    * set in all our sessions) — convert to a microsecond timestamp, lossless
+    * here (no sub-microsecond components) and identical to how DuckDB reads
+    * the same file (TIMESTAMP, µs). Rewritten copies (ScaleUp rehearsal data)
+    * already carry a true µs timestamp column — pass those through. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

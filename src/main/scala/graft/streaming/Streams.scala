@@ -168,6 +168,62 @@ object Streams {
       .select(col("p_user").as("user_id"), col("p_event"), col("c_event"), col("p_ts"), col("c_ts"))
   }
 
+  final case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+  final case class FunnelOut(user_id: Long, stage_reached: Int)
+
+  /** Streaming twin of e10_funnel (strict view → click → purchase) via
+    * mapGroupsWithState: per-user state is EXACTLY three optional first-time
+    * stamps — O(1) regardless of a user's event volume, never a history
+    * buffer. One in-timestamp-order pass equals the batch min-chain: the
+    * first view is min(view ts); the first click strictly after a set t1 is
+    * min(click ts > t1); likewise purchase. Update-mode emission: each
+    * trigger re-emits a touched user's CURRENT stage (an upsert sink keeps
+    * the latest row per user). Same ordering caveat as [[sessionize]]:
+    * per-trigger events are sorted here, cross-trigger order relies on the
+    * source replay / watermark-bounded disorder. */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          for (e <- it.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
+            val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000
+            e.event_type match {
+              case "view" if st.t1.isEmpty =>
+                st = st.copy(t1 = Some(us))
+              case "click" if st.t1.nonEmpty && st.t2.isEmpty && us > st.t1.get =>
+                st = st.copy(t2 = Some(us))
+              case "purchase" if st.t2.nonEmpty && st.t3.isEmpty && us > st.t2.get =>
+                st = st.copy(t3 = Some(us))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          FunnelOut(userId,
+            if (st.t3.nonEmpty) 3 else if (st.t2.nonEmpty) 2
+            else if (st.t1.nonEmpty) 1 else 0)
+      }
+  }
+
+  /** Run the streaming funnel end-to-end; stage-0 rows (users touched before
+    * any view) are filtered to match the batch contract (funnel entry
+    * requires a view). */
+  def runFunnelOnce(spark: SparkSession, dir: String, queryName: String = "funnel"): DataFrame = {
+    import spark.implicits._
+    val q = funnelStream(eventStream(spark, dir).as[Event])
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).where(col("stage_reached") >= 1)
+  }
+
   /** Run the purchase↔click stream-stream join end-to-end. */
   def runStreamJoinOnce(spark: SparkSession, dir: String, queryName: String = "pcjoin"): DataFrame = {
     val q = purchaseClickJoin(eventStream(spark, dir))

@@ -32,13 +32,19 @@ import org.apache.spark.sql.functions._
  *    busier site — windowed-agg groups stay fixed in number and grow in
  *    size, which is the interesting scaling direction for e1/e8.
  *
- * Usage: runMain graft.tools.ScaleUp <srcDir> <dstDir> <copies>
+ * Usage: runMain graft.tools.ScaleUp <srcDir> <dstDir> <copies> [tables]
+ * `tables` (optional, comma-separated) regenerates only those tables —
+ * id strides derive from the SOURCE, so a partial rerun reproduces the
+ * exact rows a full run would have written.
  */
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <copies>")
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleUp <srcDir> <dstDir> <copies> [tables]")
     val (src, dst, n) = (args(0), args(1), args(2).toInt)
+    val tables: Option[Set[String]] =
+      if (args.length == 4) Some(args(3).split(",").toSet) else None
     require(n >= 1, s"copies must be >= 1, got $n")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -49,13 +55,15 @@ object ScaleUp {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst, n)
+    run(spark, src, dst, n, tables)
     spark.stop()
   }
 
-  def run(spark: SparkSession, src: String, dst: String, n: Int): Unit = {
+  def run(spark: SparkSession, src: String, dst: String, n: Int,
+          tables: Option[Set[String]] = None): Unit = {
+    def want(t: String) = tables.forall(_.contains(t))
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def wr(df: DataFrame, t: String, parts: Int): Unit =
+    def wr(df: => DataFrame, t: String, parts: Int): Unit = if (want(t))
       df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
     // key strides: max+1 keeps every copy's id range disjoint
@@ -77,8 +85,10 @@ object ScaleUp {
     def off(c: String, s: Long, i: Int) = (col(c) + lit(s * i)).as(c)
 
     // shared dims: copied once, unchanged
-    rd("region").write.mode("overwrite").parquet(s"$dst/region.parquet")
-    rd("nation").write.mode("overwrite").parquet(s"$dst/nation.parquet")
+    if (want("region"))
+      rd("region").write.mode("overwrite").parquet(s"$dst/region.parquet")
+    if (want("nation"))
+      rd("nation").write.mode("overwrite").parquet(s"$dst/nation.parquet")
 
     wr(tile(cust)((d, i) => d.select(off("c_custkey", cS, i), col("c_name"),
       col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))), "customer", 4)
@@ -93,9 +103,13 @@ object ScaleUp {
       off("l_suppkey", sS, i), col("l_linenumber"), col("l_quantity"),
       col("l_extendedprice"), col("l_discount"), col("l_tax"),
       col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))), "lineitem", 16)
-    // ts read as BIGINT nanos (nanosAsLong); written back as int64 — the
-    // engine's readers treat both physical types identically under the flag
-    wr(tile(ev)((d, i) => d.select(off("event_id", eS, i), col("ts"),
+    // ts arrives as BIGINT nanos (nanosAsLong reads the driver's
+    // TIMESTAMP(NANOS) as Long); write a REAL µs timestamp so every reader
+    // of the rehearsal data — Spark AND the DuckDB oracle — sees the same
+    // timestamp type the original table presents (a raw int64 column would
+    // break every oracle that does timestamp arithmetic on ts)
+    wr(tile(ev)((d, i) => d.select(off("event_id", eS, i),
+      timestamp_micros(expr("ts div 1000")).as("ts"),
       off("user_id", cS, i), col("event_type"), col("value"), col("props"))),
       "events", 8)
     wr(tile(doc)((d, i) =>

@@ -96,6 +96,15 @@ class StreamingSpec extends SparkSpec {
     assert(sorted(streamed.collect()) === sorted(closedBatch.collect()))
   }
 
+  test("streaming funnel equals batch e10_funnel exactly") {
+    // O(1)-state one-pass chain == batch 3-stage min-chain (single-trigger
+    // replay: per-user order holds, so the equality is exact incl. strictness)
+    val streamed = Streams.runFunnelOnce(spark, sf(), "funnel_spec")
+    val batch = EventQueries.defs("e10_funnel")(spark, sf())
+    assert(streamed.count() > 0)
+    assert(sorted(streamed.collect()) === sorted(batch.collect()))
+  }
+
   test("stream-static enrichment equals the batch dimension join") {
     val streamed = Streams.runEnrichOnce(spark, sf(), "enrich_spec")
     val cust = graft.sources.Tables.customer(spark, sf())
