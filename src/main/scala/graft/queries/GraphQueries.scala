@@ -247,18 +247,52 @@ object GraphQueries {
     val outE = bi.join(deg, "src").eagerCheckpoint()
     val n = deg.count()
     var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iters) {
-      ranks = outE.join(ranks, col("src") === col("node"))
-        .select(col("dst"),
-          struct(col("src").as("g"), (col("rank") / col("outdeg")).as("t")).as("c"))
-        .groupBy("dst")
-        .agg(graft.functions.VectorFunctions.sortedTermSum(collect_list(col("c"))).as("s"))
-        .select(col("dst").as("node"),
-          (lit(0.15 / n) + lit(0.85) * col("s")).as("rank"))
-        .eagerCheckpoint()
-    }
+    for (_ <- 1 to iters)
+      ranks = pagerankParityStep(outE, ranks, 0.15 / n).eagerCheckpoint()
     ranks.select(col("node"), col("rank").as("pagerank"))
   }
+
+  /** One parity round (no checkpoint — PlanSpec plans it raw): join, then
+    * the order-deterministic per-dst fold over collected contributions. */
+  private[queries] def pagerankParityStep(outE: DataFrame, ranks: DataFrame,
+                                          base: Double): DataFrame =
+    outE.join(ranks, col("src") === col("node"))
+      .select(col("dst"),
+        struct(col("src").as("g"), (col("rank") / col("outdeg")).as("t")).as("c"))
+      .groupBy("dst")
+      .agg(graft.functions.VectorFunctions.sortedTermSum(collect_list(col("c"))).as("s"))
+      .select(col("dst").as("node"),
+        (lit(base) + lit(0.85) * col("s")).as("rank"))
+
+  /** The 100 TB path for g2: identical per-round join/agg shape but plain
+    * codegen SUM for the neighbor fold — partial aggregation combines
+    * map-side, so each round's exchange carries one partial per (partition,
+    * dst) instead of EVERY contribution row (the collect_list the
+    * order-deterministic fold forces). Order-nondeterministic float sums:
+    * per-node drift vs [[pagerankOf]] is ≤ in_deg·ulp per round — spec pins
+    * agreement to 1e-12. Same relationship as d5 (labeled parity baseline)
+    * vs d7 (scale path). */
+  private[queries] def pagerankFastOf(e0: DataFrame, iters: Int): DataFrame = {
+    val bi = CCF.bidirect(e0)
+    val deg = bi.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val outE = bi.join(deg, "src").eagerCheckpoint()
+    val n = deg.count()
+    var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters)
+      ranks = pagerankFastStep(outE, ranks, 0.15 / n).eagerCheckpoint()
+    ranks.select(col("node"), col("rank").as("pagerank"))
+  }
+
+  /** One fast round (no checkpoint): join, then a plain map-side-combining
+    * SUM per dst. */
+  private[queries] def pagerankFastStep(outE: DataFrame, ranks: DataFrame,
+                                        base: Double): DataFrame =
+    outE.join(ranks, col("src") === col("node"))
+      .select(col("dst"), (col("rank") / col("outdeg")).as("t"))
+      .groupBy("dst")
+      .agg(sum(col("t")).as("s"))
+      .select(col("dst").as("node"),
+        (lit(base) + lit(0.85) * col("s")).as("rank"))
 
   private[queries] val PagerankIters = 5
 

@@ -156,4 +156,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftOuter"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("c7 bloom decontam: map-side bloom probe filters BEFORE the verify join") {
+    val p = plan(CurationQueries.defs("c7_decontam_bloom")(spark, sf()))
+    // the codegen probe sits in a Filter (map-side, pre-shuffle); the verify
+    // join sees only survivors — and nothing degenerates to a cross product
+    assert(p.contains("graft_bloom_might_contain"), p)
+    val probeAt = p.indexOf("graft_bloom_might_contain")
+    val joinAt = p.lastIndexOf("Join")
+    assert(probeAt > joinAt, s"probe must be below (deeper than) the verify join\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t8 heavy hitters: exact recount aggregates only the candidate set") {
+    val p = plan(TextQueries.defs("t8_heavy_hitters")(spark, sf()))
+    // the recount is a two-phase hash aggregate over a candidate-IN-filtered
+    // token stream — never an unfiltered full-vocabulary groupBy feeding the
+    // threshold
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains(" IN ") || p.contains("INSET"), p)
+    val filterAt = p.indexOf(if (p.contains("INSET")) "INSET" else " IN ")
+    val aggAt = p.indexOf("HashAggregate")
+    assert(filterAt > aggAt, s"candidate filter must sit below the recount aggregate\n$p")
+  }
+
+  test("g2 pagerank: parity fold collects per-dst lists; fast path combines map-side") {
+    import spark.implicits._
+    val outE = Seq((1L, 2L, 2L), (2L, 1L, 1L)).toDF("src", "dst", "outdeg")
+    val ranks = Seq((1L, 0.5), (2L, 0.5)).toDF("node", "rank")
+    // parity (gated) round: order-deterministic fold needs every contribution
+    // row at its dst — an object aggregate over collect_list
+    val parity = plan(GraphQueries.pagerankParityStep(outE, ranks, 0.1))
+    assert(parity.contains("collect_list"), parity)
+    // fast (scale) round: plain SUM — partial_sum must appear, proving the
+    // per-round exchange carries partials, not contribution rows
+    val fast = plan(GraphQueries.pagerankFastStep(outE, ranks, 0.1))
+    assert(!fast.contains("collect_list"), fast)
+    assert(fast.contains("partial_sum"), fast)
+  }
 }

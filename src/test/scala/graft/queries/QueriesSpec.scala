@@ -328,6 +328,17 @@ class QueriesSpec extends SparkSpec {
     assert(leaves.head < ps(1L))
   }
 
+  test("g2 pagerank: map-side-combining fast path agrees with the parity fold to 1e-12") {
+    val e = graft.graph.GraphBuilders.copurchaseEdges(spark, sf())
+    val parity = GraphQueries.pagerankOf(e, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fast = GraphQueries.pagerankFastOf(e, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fast.keySet === parity.keySet)
+    assert(parity.nonEmpty)
+    for ((k, v) <- parity) assert(math.abs(fast(k) - v) < 1e-12, s"node $k")
+  }
+
   test("e10 funnel: planted fixture — strict ordering, out-of-order stages don't count") {
     import spark.implicits._
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
