@@ -46,6 +46,46 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .orc(path)
 
+  /** Z-ORDERED parquet: cluster rows along a 2-D Morton curve so file (and
+    * row-group) min/max stats prune on BOTH columns — the lakehouse layout
+    * for two-column range/point lookups without duplicating the table
+    * (a single-column sort leaves every file spanning the full range of the
+    * other column).
+    *
+    * Mechanics, all distributed:
+    *  1. per column: `approx_percentile` over 2^bits evenly-spaced quantiles
+    *     → broadcastable cut arrays (ONE pass, mergeable sketch — never a
+    *     global sort-rank of the data);
+    *  2. bucket id = #cuts below the value (codegen'd fold over the tiny
+    *     broadcast array) — quantile bucketing makes the curve skew-immune:
+    *     equal-population tiles, whatever the value distribution;
+    *  3. Morton-interleave the two bucket ids ([[graft.functions.ZOrder]],
+    *     codegen'd) and range-partition + sort by the z-value into `files`
+    *     output files — each file covers a compact 2-D tile.
+    *
+    * NULLs sort first: a null key buckets to 0 (callers wanting nulls
+    * isolated should filter or fill first). */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    files: Int, bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val cuts = df.agg(
+      percentile_approx(col(colA).cast("double"), typedLit(probs), lit(10000)).as("a"),
+      percentile_approx(col(colB).cast("double"), typedLit(probs), lit(10000)).as("b")).head
+    def bucket(c: String, cutsArr: Seq[Double]) =
+      aggregate(typedLit(cutsArr), lit(0L),
+        (acc, cut) => acc + when(col(c).cast("double") >= cut, 1L).otherwise(0L))
+    val z = graft.functions.ZOrder.interleaveBits(
+      bucket(colA, cuts.getSeq[Double](0)), bucket(colB, cuts.getSeq[Double](1)))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed + sorted managed table: rows are hash-partitioned into
     * `buckets` files by `bucketCol` at write time, so an equi-join of two
     * tables bucketed the same way needs NO shuffle at read time — the

@@ -43,6 +43,7 @@ class GraftExtensionsSpec extends SparkSpec {
     // builder table is the single source for both registration paths
     assert(GraftFunctions.builders.map(_._1).toSet ===
       Set("graft_dot", "graft_polyhash", "graft_shingle_hashes", "graft_lsh_bucket",
-        "graft_sorted_term_sum", "graft_minhash_sig", "graft_bloom_might_contain"))
+        "graft_sorted_term_sum", "graft_minhash_sig", "graft_bloom_might_contain",
+        "graft_interleave_bits"))
   }
 }

@@ -110,6 +110,40 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/mixed_layout/k=1").count() === nation.count())
   }
 
+  test("z-ordered layout: per-file 2-D bounding boxes prune on BOTH columns") {
+    // 256x256 grid, 16 output files. Linear-by-x stripes each span ALL of y,
+    // so a y-only predicate can never skip a file; z-order tiles the plane,
+    // so min/max stats bound BOTH columns per file.
+    val n = 65536L
+    val grid = spark.range(n).select(
+      (col("id") % 256).as("x"), expr("id div 256").as("y"))
+    Sinks.writeZOrdered(grid, s"$tmp/zorder", "x", "y", files = 16)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$tmp/zlinear")
+    def boxes(p: String) = spark.read.parquet(p)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"),
+           min("y").as("y0"), max("y").as("y1"))
+      .collect()
+    // which files COULD hold rows with y in [80, 111] (the min/max skip test
+    // a stats-aware reader runs per file / row group)
+    def touchedY(p: String) = boxes(p).count(r =>
+      !(r.getAs[Long]("y1") < 80 || r.getAs[Long]("y0") > 111))
+    val (zy, ly) = (touchedY(s"$tmp/zorder"), touchedY(s"$tmp/zlinear"))
+    assert(ly === 16, s"every x-stripe spans all y, got $ly")
+    assert(zy <= 6, s"z-order should confine a y-band to ~one tile row, got $zy")
+    // a 2-D box stays pruned too: x,y both in [80, 111]
+    def touchedBox(p: String) = boxes(p).count(r =>
+      !(r.getAs[Long]("x1") < 80 || r.getAs[Long]("x0") > 111 ||
+        r.getAs[Long]("y1") < 80 || r.getAs[Long]("y0") > 111))
+    assert(touchedBox(s"$tmp/zorder") <= 6, s"box: ${touchedBox(s"$tmp/zorder")}")
+    // layout is a pure permutation: same rows, same count
+    val back = spark.read.parquet(s"$tmp/zorder")
+    assert(back.count() === n)
+    assert(back.agg(sum(col("x") * 1000 + col("y"))).head.getLong(0) ===
+      grid.agg(sum(col("x") * 1000 + col("y"))).head.getLong(0))
+  }
+
   test("partitioned parquet: hive layout + partition pruning at the scan") {
     val orders = Tables.orders(spark, sf())
       .withColumn("o_year", year(col("o_orderdate")))
