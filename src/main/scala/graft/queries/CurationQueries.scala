@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
  *    DISTRIBUTED prefix sum (range partition + per-partition scan + a
  *    partition-count-sized offset table — never a global single-reducer
  *    window)
+ *  - c7 bloom-pruned decontamination: c4's semi-join shape with a
+ *    map-side codegen bloom probe — exact despite the approximation
+ *  - c8 per-group quantile gate: keep docs above a per-source percentile
+ *    threshold computed from the data (exact for the oracle; mergeable
+ *    approx sketch as the scale path)
  *
  * Determinism contract: all "randomness" is the shared polynomial hash
  * ([[graft.text.TextFunctions.polyHash]]) of a salted key, mirrored
@@ -219,8 +224,36 @@ object CurationQueries {
     // Row order inside a range partition is unique ((k, doc_id) has no ties)
     // and offsets reconstruct the exact global prefix sum, so the output is
     // IDENTICAL no matter how many partitions the range split chose.
-    "c6_shard_pack" -> ((s, d) => shardPackOf(docs(s, d), ShardBudget))
+    "c6_shard_pack" -> ((s, d) => shardPackOf(docs(s, d), ShardBudget)),
+
+    // PER-GROUP QUANTILE GATE (c8, r08): keep each source's longest-quartile
+    // docs — the "filter by a per-corpus score threshold" stage every
+    // curation pipeline has, with the threshold COMPUTED from the data, not
+    // configured. Exact `percentile` (== DuckDB quantile_cont, parity proven
+    // by q25) per source; thresholds are one tiny row per source, broadcast
+    // back, so the doc stream is filtered with NO second shuffle. The exact
+    // per-group percentile collects each group's values (the oracle-parity
+    // choice); the 100 TB path is the mergeable-sketch approx_percentile
+    // twin [[quantileThresholdsApprox]] — same plan shape minus the collect,
+    // spec pins approx-vs-exact agreement.
+    "c8_quantile_filter" -> ((s, d) => {
+      val dcs = docs(s, d)
+      val th = dcs.groupBy("source")
+        .agg(expr("percentile(n_chars, 0.75)").as("p75"))
+      dcs.join(broadcast(th), "source")
+        .where(col("n_chars").cast("double") >= col("p75"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("p75"))
+    })
   )
+
+  /** The c8 scale path: per-group thresholds from the mergeable
+    * approx_percentile sketch (map-side partial aggregation — the group's
+    * values are never collected anywhere). Same output contract as the
+    * exact aggregate it replaces. */
+  private[queries] def quantileThresholdsApprox(documents: DataFrame,
+                                               p: Double, acc: Int = 10000): DataFrame =
+    documents.groupBy("source")
+      .agg(percentile_approx(col("n_chars").cast("double"), lit(p), lit(acc)).as("p75"))
 
   /** The c6 distributed prefix-sum pipeline on any (doc_id, n_chars) frame —
     * parametric for the property spec (which checks it against a sequential
@@ -339,6 +372,15 @@ object CurationQueries {
          |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY k, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
          |    // $ShardBudget AS shard
-         |FROM h""".stripMargin
+         |FROM h""".stripMargin,
+
+    // Spark exact `percentile` == DuckDB `quantile_cont` (q25 precedent);
+    // identical interpolation makes even >=-boundary decisions agree
+    "c8_quantile_filter" ->
+      """WITH th AS (SELECT source, quantile_cont(n_chars, 0.75) AS p75
+        |            FROM documents GROUP BY source)
+        |SELECT doc_id, d.source AS source, n_chars, p75
+        |FROM documents d JOIN th ON d.source = th.source
+        |WHERE CAST(n_chars AS DOUBLE) >= p75""".stripMargin
   )
 }

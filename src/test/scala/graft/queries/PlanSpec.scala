@@ -180,6 +180,12 @@ class PlanSpec extends SparkSpec {
     assert(filterAt > aggAt, s"candidate filter must sit below the recount aggregate\n$p")
   }
 
+  test("c8 quantile gate: thresholds broadcast back — the doc stream never re-shuffles") {
+    val p = finalPlan(CurationQueries.defs("c8_quantile_filter")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("g2 pagerank: parity fold collects per-dst lists; fast path combines map-side") {
     import spark.implicits._
     val outE = Seq((1L, 2L, 2L), (2L, 1L, 1L)).toDF("src", "dst", "outdeg")

@@ -358,6 +358,23 @@ class QueriesSpec extends SparkSpec {
     assert(got === Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 1, 6L -> 1))
   }
 
+  test("c8 quantile gate: approx thresholds track exact; every source keeps >= a quarter") {
+    val dcs = graft.sources.Tables.documents(spark, sf())
+    val exact = dcs.groupBy("source").agg(expr("percentile(n_chars, 0.75)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = CurationQueries.quantileThresholdsApprox(dcs, 0.75)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, e) <- exact)
+      assert(math.abs(approx(k) - e) / e < 0.05, s"source $k: approx ${approx(k)} vs exact $e")
+    val kept = CurationQueries.defs("c8_quantile_filter")(spark, sf())
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = dcs.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet === tot.keySet) // >= keeps the quantile row itself
+    for ((k, n) <- tot)
+      assert(kept(k) >= n / 4 - 1 && kept(k) < n, s"source $k kept ${kept(k)} of $n")
+  }
+
   test("d2 hot-shingle df cap: hot-only pairs dropped, rare-shingle dups keep exact jaccard") {
     import spark.implicits._
     // 20 identical docs — every shingle hot (df=20); capped at 5, they can't
