@@ -100,6 +100,23 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** UPSERT-BY-PARTITION into a hive-layout prefix: overwrite ONLY the
+    * partition directories present in `updates`, leave every other leaf
+    * byte-untouched (Spark's dynamic partition overwrite, pinned here per
+    * write instead of session-wide). This is the merge-on-rewrite pattern a
+    * partitioned 100 TB lake uses for late/corrected data: the day's
+    * partition is replaced atomically per leaf; untouched history never
+    * rewrites, so cost scales with the UPDATE's partitions, not the table.
+    * Readers see old-or-new per leaf (per-leaf swap), never a half-written
+    * mix inside one. Spec proves untouched-leaf file identity (same names,
+    * same bytes) and replaced-leaf content. */
+  def overwritePartitions(updates: DataFrame, path: String, partitionCols: String*): Unit =
+    updates.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   private def fsFor(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)

@@ -144,6 +144,32 @@ class SinksSpec extends SparkSpec {
       grid.agg(sum(col("x") * 1000 + col("y"))).head.getLong(0))
   }
 
+  test("dynamic partition overwrite: only updated leaves rewrite, history is byte-identical") {
+    val orders = Tables.orders(spark, sf()).withColumn("o_year", year(col("o_orderdate")))
+    Sinks.writePartitionedParquet(orders, s"$tmp/upsert", "o_year")
+    val years = new java.io.File(s"$tmp/upsert").listFiles()
+      .filter(_.isDirectory).map(_.getName.stripPrefix("o_year=").toInt).sorted
+    assert(years.length >= 2, s"need >=2 partitions, got ${years.toSeq}")
+    val (touched, untouched) = (years.head, years.last)
+    def leafFiles(y: Int) = new java.io.File(s"$tmp/upsert/o_year=$y").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
+    val before = leafFiles(untouched)
+    // corrected data for ONE year: totalprice doubled
+    val corrected = orders.where(col("o_year") === touched)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    Sinks.overwritePartitions(corrected, s"$tmp/upsert", "o_year")
+    // untouched leaf: same file names, same mtimes — never rewritten
+    assert(leafFiles(untouched) === before)
+    val back = spark.read.parquet(s"$tmp/upsert")
+    // replaced leaf carries the corrected values; row counts unchanged
+    assert(back.count() === orders.count())
+    val gotSum = back.where(col("o_year") === touched)
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(14,2))"))).head.getDecimal(0)
+    val wantSum = corrected
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(14,2))"))).head.getDecimal(0)
+    assert(gotSum === wantSum)
+  }
+
   test("partitioned parquet: hive layout + partition pruning at the scan") {
     val orders = Tables.orders(spark, sf())
       .withColumn("o_year", year(col("o_orderdate")))
