@@ -142,20 +142,41 @@ object SimilarityQueries {
     // sort runs — the 100 TB shape for "top-k per key" (PlanSpec asserts the
     // plan has an ObjectHashAggregate and no Window/Sort). Output rows are
     // identical to s1 (same total order, same oracle SQL).
-    "s4_knn_topk_agg" -> ((s, d) => {
-      val e = withNorm(embs(s, d))
-      val q = e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
-      val scored = q.join(e, col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
-      scored.groupBy("query_id")
-        .agg(graft.functions.TopK.topK(col("cos"), col("neighbor_id"), TopK).as("tk"))
-        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
-        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-          col("e.id").as("neighbor_id"), col("e.score").as("cos"))
+    "s4_knn_topk_agg" -> ((s, d) => topKAggOf(s, d)),
+
+    // RETRIEVAL (s5, r08): the end-to-end "semantic search" join — ANN
+    // top-k (the s4 bounded-state aggregate) joined back to `documents`
+    // for each hit's content. The top-k frame is O(queries x k) rows —
+    // broadcast it and STREAM the documents scan through a map-side join
+    // (PlanSpec pins BroadcastHashJoin + a pruned doc read): at 100 TB the
+    // doc store is never shuffled to serve a query batch; cost is one
+    // pruned column scan. Snippet via substring keeps the result compact
+    // and deterministic in both engines.
+    "s5_retrieval" -> ((s, d) => {
+      val hits = topKAggOf(s, d)
+      val dcs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), substring(col("text"), 1, 24).as("snippet"))
+      dcs.join(broadcast(hits), col("doc_id") === col("neighbor_id"))
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"),
+          col("source"), col("snippet"))
     })
   )
+
+  /** The s4 pipeline (scored candidates -> bounded-state top-k aggregate),
+    * shared by s4 and the s5 retrieval join. */
+  private def topKAggOf(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embs(s, d))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = q.join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopK.topK(col("cos"), col("neighbor_id"), TopK).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cos"))
+  }
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
@@ -179,6 +200,13 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "s4_knn_topk_agg" -> knnBruteOracle,
+
+    // the s4 oracle joined to documents — same neighbor set, plus content
+    "s5_retrieval" ->
+      s"""WITH base AS ($knnBruteOracle)
+         |SELECT query_id, rank, neighbor_id, cos,
+         |       d.source AS source, substr(d.text, 1, 24) AS snippet
+         |FROM base JOIN documents d ON base.neighbor_id = d.doc_id""".stripMargin,
     "s1_knn_brute" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm

@@ -186,6 +186,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("s5 retrieval: top-k broadcast, documents streamed map-side, no window") {
+    val p = finalPlan(SimilarityQueries.defs("s5_retrieval")(spark, sf()))
+    // the O(queries x k) hit set broadcasts; the doc store is never shuffled
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+  }
+
   test("g2 pagerank: parity fold collects per-dst lists; fast path combines map-side") {
     import spark.implicits._
     val outE = Seq((1L, 2L, 2L), (2L, 1L, 1L)).toDF("src", "dst", "outdeg")
