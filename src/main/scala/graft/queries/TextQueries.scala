@@ -63,6 +63,37 @@ object TextQueries {
         .select(col("word"), col("n"), col("n_total"))
     }),
 
+    // BIGRAM LANGUAGE-MODEL scoring (t9, r08): the LM-based quality signal
+    // real curation pipelines use (CCNet/Gopher filter on LM perplexity) —
+    // here the corpus's own MLE bigram model, P(w2|w1) = c(w1 w2)/c(w1 ·),
+    // and each doc scored by its mean conditional probability. Probabilities
+    // stay RATIONAL (count ratios — no log/exp, whose libm rounding differs
+    // across engines), and the per-doc mean is the t6 order-deterministic
+    // sorted fold, so scores hash bit-identically vs the oracle. Shape: one
+    // instance stream (doc_id, bigram hash, prefix hash) feeds two map-side-
+    // combinable counts + two hash joins back — the inverted-index pattern,
+    // never docs x docs; per-doc state is one bounded fold.
+    "t9_bigram_lm" -> ((s, d) => {
+      val V = graft.functions.VectorFunctions
+      val base = docs(s, d).select(col("doc_id"),
+        V.shingleHashesAll(col("text"), 1, HashP).as("u"),
+        V.shingleHashesAll(col("text"), 2, HashP).as("b"))
+        .where(size(col("b")) >= 1)
+      val inst = base.select(col("doc_id"), explode(
+          expr("transform(b, (x, i) -> struct(u[i] AS pg, x AS g))")).as("z"))
+        .select(col("doc_id"), col("z.pg").as("pg"), col("z.g").as("g"))
+      val cnt = inst.groupBy("g").agg(count(lit(1)).as("c"))
+      val pre = inst.groupBy("pg").agg(count(lit(1)).as("c1"))
+      val p = inst.join(cnt, "g").join(pre, "pg")
+        .select(col("doc_id"), col("g"),
+          (col("c").cast("double") / col("c1").cast("double")).as("p"))
+      p.groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        (graft.functions.VectorFunctions.sortedTermSum(
+          collect_list(struct(col("g").as("g"), col("p").as("t"))))
+          / count(lit(1))).as("avg_p"))
+    }),
+
     // Quality scoring: type-token ratio + stopword ratio -> score + keep flag.
     "t3_quality" -> ((s, d) => {
       val t = tokens(col("text"))
@@ -270,6 +301,28 @@ object TextQueries {
          |FROM w, tot
          |GROUP BY word, n_total
          |HAVING COUNT(*) > n_total / ${HeavyK + 1}.0""".stripMargin,
+
+    // same rational probabilities (count ratios, no libm), same (g, p)
+    // sorted sequential fold — scores bit-identical across engines
+    "t9_bigram_lm" ->
+      s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),
+         |inst AS (
+         |  SELECT doc_id,
+         |    unnest([${polyHashSql("ws[i+1] || ' ' || ws[i+2]")}
+         |            for i in range(0, len(ws) - 1)]) AS g,
+         |    unnest([${polyHashSql("ws[i+1]")}
+         |            for i in range(0, len(ws) - 1)]) AS pg
+         |  FROM tt WHERE len(ws) >= 2),
+         |cnt AS (SELECT g, COUNT(*)::BIGINT AS c FROM inst GROUP BY g),
+         |pre AS (SELECT pg, COUNT(*)::BIGINT AS c1 FROM inst GROUP BY pg),
+         |p AS (SELECT doc_id, inst.g AS g,
+         |        CAST(c AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+         |      FROM inst JOIN cnt ON inst.g = cnt.g
+         |                JOIN pre ON inst.pg = pre.pg)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY g, p)),
+         |    (a, x) -> a + x) / COUNT(*) AS avg_p
+         |FROM p GROUP BY doc_id""".stripMargin,
 
     "t3_quality" ->
       s"""SELECT doc_id, ttr, stopword_ratio,

@@ -358,6 +358,21 @@ class QueriesSpec extends SparkSpec {
     assert(got === Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 1, 6L -> 1))
   }
 
+  test("t9 bigram LM: MLE probabilities bounded in (0,1], n_bigrams == tokens - 1") {
+    val r = TextQueries.defs("t9_bigram_lm")(spark, sf()).collect()
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val p = row.getDouble(2)
+      // each instance's P(w2|w1) = c(bigram)/c(prefix) <= 1 by construction
+      assert(p > 0.0 && p <= 1.0 + 1e-12, s"doc ${row.getLong(0)}: avg_p $p")
+    }
+    val nb = graft.sources.Tables.documents(spark, sf())
+      .select(col("doc_id"),
+        (size(graft.text.TextFunctions.tokens(col("text"))) - 1).as("nb"))
+      .collect().map(x => x.getLong(0) -> x.getInt(1).toLong).toMap
+    for (row <- r) assert(row.getLong(1) === nb(row.getLong(0)))
+  }
+
   test("c8 quantile gate: approx thresholds track exact; every source keeps >= a quarter") {
     val dcs = graft.sources.Tables.documents(spark, sf())
     val exact = dcs.groupBy("source").agg(expr("percentile(n_chars, 0.75)").as("p"))
