@@ -293,6 +293,30 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** CHECKPOINTED INGEST: process whatever is new under `inDir` since the
+    * checkpoint and append it to the parquet file sink at `outDir`, then
+    * stop (Trigger.AvailableNow). Run it again after more files land — or
+    * after a crash — and it resumes from the offset log: the checkpoint
+    * tracks which source files are consumed, and the file sink's
+    * `_spark_metadata` commit log makes partially-written batches invisible
+    * to readers, so the pipeline is END-TO-END EXACTLY-ONCE across restarts
+    * (the production contract that distinguishes a restartable ingest from
+    * a rerun-everything batch job; StreamingSpec proves no-loss,
+    * no-duplication, and idempotent re-run). */
+  def runCheckpointedIngestOnce(spark: SparkSession, inDir: String,
+                                checkpointDir: String, outDir: String): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming document source (same file-source pattern as [[eventStream]]). */
   def documentStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
