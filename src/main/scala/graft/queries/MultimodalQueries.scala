@@ -71,8 +71,42 @@ object MultimodalQueries {
       graft.multimodal.Multimodal.resizeAll(media).toDF()
         .select(col("media_id"), col("width"), col("height"),
           lower(hex(col("payload"))).as("payload_hex"))
+    }),
+
+    // MEDIA NEAR-DUP (m6, r08): same-kind media whose 16-bucket byte
+    // histograms differ by L1 <= [[L1NearDupT]] — the "image dedup by
+    // perceptual signature" stage, run on the codec FEATURES so payloads
+    // are touched once (in m3's batch extraction shape), never re-decoded
+    // per pair. Blocking is EXACT, not heuristic: |sum(ha) - sum(hb)| <=
+    // L1(ha, hb), so any qualifying pair differs by <= T bytes in size and
+    // must land in the same or adjacent n_bytes-div-64 band — each left row
+    // probes its band +/-1 and every qualifying pair is found exactly once
+    // (the right side's band is unique). Candidate fan-out is 3x rows into
+    // an equi-join keyed (kind, band), never all-pairs; the L1 itself is a
+    // codegen'd zip_with/aggregate over two 16-long arrays.
+    "m6_media_neardup" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(docs(s, d))
+      val h = graft.multimodal.Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("histogram16"),
+          expr("n_bytes div 64").as("bkt"))
+      val left = h.select(col("media_id").as("a"), col("kind"),
+        col("histogram16").as("ha"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("probe"))
+      val right = h.select(col("media_id").as("b"), col("kind"),
+        col("histogram16").as("hb"), col("bkt").as("probe"))
+      left.join(right, Seq("kind", "probe"))
+        .where(col("a") < col("b"))
+        .select(col("a").as("media_id_a"), col("b").as("media_id_b"),
+          expr("aggregate(zip_with(ha, hb, (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v)")
+            .as("l1"))
+        .where(col("l1") <= L1NearDupT)
     })
   )
+
+  /** m6 near-dup bound: max L1 histogram distance (<= T byte edits moves at
+    * most T unit counts... each changed byte moves 2; planted near-dups in
+    * the corpus land well under 8, random pairs far above). */
+  private val L1NearDupT = 8L
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" ->
@@ -130,6 +164,28 @@ object MultimodalQueries {
         |       ELSE encode(array_to_string(
         |         [substring(text, CAST((i * n) // 64 AS INT) + 1, 1) for i in range(0, 64)], ''))
         |  END)) AS payload_hex
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // same histogram recomputation as m3, same +/-1 band join, exact L1
+    "m6_media_neardup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id AS media_id,
+         |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |    list_transform(split(text, ''), c -> ord(c)) AS os
+         |  FROM documents),
+         |h AS (
+         |  SELECT media_id, kind, n_bytes // 64 AS bkt,
+         |    [CAST(len(list_filter(os, o -> o // 16 = b)) AS BIGINT)
+         |     for b in range(0, 16)] AS hist
+         |  FROM f),
+         |l AS (SELECT media_id AS a, kind, hist AS ha,
+         |        unnest([bkt - 1, bkt, bkt + 1]) AS probe FROM h),
+         |r AS (SELECT media_id AS b, kind, hist AS hb, bkt AS probe FROM h),
+         |pairs AS (
+         |  SELECT l.a, r.b,
+         |    CAST(list_sum([abs(ha[i+1] - hb[i+1]) for i in range(0, 16)]) AS BIGINT) AS l1
+         |  FROM l JOIN r ON l.kind = r.kind AND l.probe = r.probe AND l.a < r.b)
+         |SELECT a AS media_id_a, b AS media_id_b, l1 FROM pairs WHERE l1 <= $L1NearDupT""".stripMargin
   )
 }

@@ -358,6 +358,24 @@ class QueriesSpec extends SparkSpec {
     assert(got === Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 1, 6L -> 1))
   }
 
+  test("m6 media near-dup: banded join finds exactly the all-pairs L1 matches") {
+    val banded = graft.queries.MultimodalQueries.defs("m6_media_neardup")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // blocking-free formulation: same-kind all-pairs, same L1, no bands
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(
+      graft.sources.Tables.documents(spark, sf()))
+    val h = graft.multimodal.Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("histogram16"))
+    val all = h.as("x").join(h.as("y"),
+        col("x.kind") === col("y.kind") && col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id"), col("y.media_id"),
+        expr("aggregate(zip_with(x.histogram16, y.histogram16, (p, q) -> abs(p - q)), 0L, (acc, v) -> acc + v)").as("l1"))
+      .where(col("l1") <= 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === all)
+    assert(banded.nonEmpty)
+  }
+
   test("t9 bigram LM: MLE probabilities bounded in (0,1], n_bigrams == tokens - 1") {
     val r = TextQueries.defs("t9_bigram_lm")(spark, sf()).collect()
     assert(r.nonEmpty)
