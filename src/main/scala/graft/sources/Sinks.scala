@@ -68,12 +68,18 @@ object Sinks {
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     files: Int, bits: Int = 8): Unit = {
     import org.apache.spark.sql.functions._
-    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
+    // bits is capped at 12: the bucketing fold embeds the 2^bits-1 cut array
+    // as a literal evaluated per row per column, so 4095 cuts is already the
+    // practical ceiling (beyond it the folded literal dominates the write).
+    require(bits >= 1 && bits <= 12, s"bits must be in [1, 12], got $bits")
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     val cuts = df.agg(
       percentile_approx(col(colA).cast("double"), typedLit(probs), lit(10000)).as("a"),
       percentile_approx(col(colB).cast("double"), typedLit(probs), lit(10000)).as("b")).head
+    require(!cuts.isNullAt(0) && !cuts.isNullAt(1),
+      s"cannot Z-order $path: percentile_approx returned null for " +
+        s"${if (cuts.isNullAt(0)) colA else colB} (empty input or all-null column)")
     def bucket(c: String, cutsArr: Seq[Double]) =
       aggregate(typedLit(cutsArr), lit(0L),
         (acc, cut) => acc + when(col(c).cast("double") >= cut, 1L).otherwise(0L))
@@ -207,23 +213,31 @@ object Sinks {
     * Streaming-sink prefixes: a structured-streaming parquet sink keeps a
     * `_spark_metadata` transaction log at the root that pins the exact
     * pre-compaction file set — readers honoring it would miss every
-    * compacted file. Compaction FINALIZES the prefix: the log is deleted
-    * (loudly) and the prefix reverts to plain directory-listing semantics.
-    * Only compact a RETIRED sink prefix — a stream still appending through
-    * its checkpoint must not have its log removed.
+    * compacted file, and deleting it out from under a STILL-LIVE sink
+    * destroys the sink's exactly-once commit log (readers could then observe
+    * uncommitted files). Compaction therefore REFUSES a prefix carrying the
+    * log unless the caller passes `finalizeStreamingSink = true`, which
+    * asserts the sink is retired; only then is the log deleted (loudly) and
+    * the prefix reverted to plain directory-listing semantics.
     *
     * Returns (filesBefore, filesAfter) summed over all leaves. */
   def compactPartitionedParquet(spark: SparkSession, path: String, tmpPath: String,
-                                targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+                                targetBytes: Long = 128L * 1024 * 1024,
+                                finalizeStreamingSink: Boolean = false): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val fs = fsFor(spark, path)
     val root = fs.makeQualified(new Path(path))
     require(fs.exists(root), s"$path does not exist")
     val sinkLog = new Path(root, "_spark_metadata")
     if (fs.exists(sinkLog)) {
-      System.err.println(s"[graft.sinks] $path carries a streaming-sink " +
-        "_spark_metadata log; deleting it (compaction finalizes the prefix " +
-        "to plain-listing semantics — do not compact a live sink)")
+      require(finalizeStreamingSink,
+        s"$path carries a streaming-sink _spark_metadata log; compacting would " +
+          "destroy the sink's exactly-once commit log. If the sink is retired, " +
+          "pass finalizeStreamingSink = true to finalize the prefix to " +
+          "plain-listing semantics; never compact a live sink")
+      System.err.println(s"[graft.sinks] $path: finalizeStreamingSink=true — " +
+        "deleting the streaming-sink _spark_metadata log (prefix reverts to " +
+        "plain-listing semantics)")
       fs.delete(sinkLog, true)
     }
     def leaves(p: Path): Seq[Path] = {

@@ -73,6 +73,11 @@ object Streams {
     t
   }
 
+  /** Epoch micros of an event's timestamp: getTime() millis already include
+    * nanos/1e6, so rebuild from whole seconds + fractional nanos. */
+  private def epochUs(e: Event): Long =
+    math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000
+
   /** Gap-based sessionization (30-min inactivity) via flatMapGroupsWithState —
     * streaming twin of EventQueries.e2_sessions. State per user is O(1): the
     * open session only; closed sessions are emitted downstream.
@@ -99,10 +104,11 @@ object Streams {
           // user within a single micro-batch — fine under replay and normal
           // traffic; a pathological single-user storm would need a
           // per-trigger rate cap upstream, not more state here.
-          for (e <- it.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
-            // epoch micros: getTime() millis already include nanos/1e6, so
-            // rebuild from whole seconds + fractional nanos
-            val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000
+          // Sort by the same epoch-micros value the gap comparison uses —
+          // ordering by getTime (millis) would let two events inside one
+          // millisecond but in different microseconds process out of order.
+          for (e <- it.toSeq.sortBy(ev => (epochUs(ev), ev.event_id))) {
+            val us = epochUs(e)
             if (st == null) {
               st = SessionState(1L, 1L, us, us)
             } else if (us - st.lastUs > GapUs) {
@@ -189,8 +195,10 @@ object Streams {
       .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(None, None, None))
-          for (e <- it.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
-            val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000
+          // Same microsecond-granularity ordering as [[sessionize]]: the
+          // strictness comparisons below are in micros, so the sort must be.
+          for (e <- it.toSeq.sortBy(ev => (epochUs(ev), ev.event_id))) {
+            val us = epochUs(e)
             e.event_type match {
               case "view" if st.t1.isEmpty =>
                 st = st.copy(t1 = Some(us))
@@ -221,7 +229,15 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName).where(col("stage_reached") >= 1)
+    // The memory sink in Update mode APPENDS each trigger's re-emissions
+    // rather than upserting, so a user whose stage advanced across
+    // micro-batches leaves stale lower-stage rows behind. Stages only ever
+    // increase, so max(stage_reached) per user IS the upsert a real
+    // key-value sink would hold.
+    spark.table(queryName)
+      .groupBy(col("user_id"))
+      .agg(max(col("stage_reached")).as("stage_reached"))
+      .where(col("stage_reached") >= 1)
   }
 
   /** Run the purchase↔click stream-stream join end-to-end. */

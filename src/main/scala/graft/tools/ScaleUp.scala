@@ -115,7 +115,11 @@ object ScaleUp {
     wr(tile(doc)((d, i) =>
       if (i == 0) d
       else {
-        val t = regexp_replace(col("text"), "(\\S+)", "$1" + i.toString)
+        // "_" separator keeps suffixed tokens disjoint across copies: a bare
+        // digit suffix would let copy 0's "tok11" collide with copy 1's
+        // "tok1"→"tok11", inflating cross-copy shingle overlap past the
+        // documented exact ×N near-dup scaling
+        val t = regexp_replace(col("text"), "(\\S+)", "$1_" + i.toString)
         d.select(off("doc_id", dS, i), t.as("text"), col("lang"), col("source"),
           length(t).cast("long").as("n_chars"))
       }), "documents", 8)

@@ -164,8 +164,17 @@ class StreamingSpec extends SparkSpec {
     // stream == batch before compaction (exactly-once file sink)
     val before = spark.read.parquet(lake)
     assert(before.count() === batch.count())
+    // the sink is retired at this point; without the explicit finalize flag
+    // compaction must refuse to touch the sink's commit log
+    val refused = intercept[IllegalArgumentException] {
+      graft.sources.Sinks.compactPartitionedParquet(
+        spark, lake, s"$tmp/events_lake.compact", targetBytes = 64L * 1024 * 1024)
+    }
+    assert(refused.getMessage.contains("_spark_metadata"), refused.getMessage)
+    assert(new java.io.File(s"$lake/_spark_metadata").exists())
     val (nBefore, nAfter) = graft.sources.Sinks.compactPartitionedParquet(
-      spark, lake, s"$tmp/events_lake.compact", targetBytes = 64L * 1024 * 1024)
+      spark, lake, s"$tmp/events_lake.compact", targetBytes = 64L * 1024 * 1024,
+      finalizeStreamingSink = true)
     assert(nAfter < nBefore, s"$nAfter !< $nBefore")
     // the sink's transaction log was finalized away — plain listing reads work
     assert(!new java.io.File(s"$lake/_spark_metadata").exists())
