@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.LongType
  *   graft_bloom_might_contain(k, bytes) — bloom probe (bytes a BINARY literal,
  *     e.g. from BloomFunctions.buildLongBloom — the SQL route to c7-style
  *     map-side prune-then-verify joins)
+ *   graft_l1(a, b)                — L1 (Manhattan) array distance
  *   graft_interleave_bits(a, b)   — Morton (Z-order) bit interleave
  *
  * Two registration paths:
@@ -87,6 +88,10 @@ object GraftFunctions {
     "graft_bloom_might_contain" -> { args: Seq[Expression] =>
       require(args.length == 2, "graft_bloom_might_contain(key, bloomBytes)")
       BloomMightContainLong(args(0), binLit(args(1), "bloomBytes"))
+    },
+    "graft_l1" -> { args: Seq[Expression] =>
+      require(args.length == 2, "graft_l1(a, b)")
+      L1Distance(args(0), args(1))
     },
     "graft_interleave_bits" -> { args: Seq[Expression] =>
       require(args.length == 2, "graft_interleave_bits(a, b)")

@@ -92,6 +92,115 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 }
 
 /**
+ * Native Catalyst expression for the L1 (Manhattan) distance between two
+ * dense numeric arrays — the m6 media-near-dup histogram comparison and the
+ * general "perceptual signature" distance. The built-in formulation
+ * `aggregate(zip_with(a, b, (x,y) -> abs(x-y)), 0, (acc,v) -> acc+v)` is
+ * CodegenFallback (interpreted per element, materializing the intermediate
+ * array); this is one codegen'd loop — the same ~20x shape as [[DotProduct]]
+ * (SURVEY.md §7.3).
+ *
+ * Semantics match the replaced HOF pipeline exactly:
+ *  - mismatched lengths → null (zip_with pads with null; abs/sum propagate);
+ *  - any null element → null (same propagation);
+ *  - array<bigint> inputs → exact bigint sum; float/double inputs → the same
+ *    sequential ascending-index fold in double (no reassociation).
+ */
+case class L1Distance(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def prettyName: String = "graft_l1"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private lazy val integral =
+    elemType(left) == org.apache.spark.sql.types.LongType &&
+      elemType(right) == org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType =
+    if (integral) org.apache.spark.sql.types.LongType else DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType | FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint|float|double> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  private def getter(e: Expression): String = elemType(e) match {
+    case org.apache.spark.sql.types.LongType => "getLong"
+    case FloatType => "getFloat"
+    case DoubleType => "getDouble"
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var i = 0
+    if (integral) {
+      var acc = 0L
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += math.abs(x.getLong(i) - y.getLong(i))
+        i += 1
+      }
+      acc
+    } else {
+      def get(arr: ArrayData, e: Expression, j: Int): Double = elemType(e) match {
+        case org.apache.spark.sql.types.LongType => arr.getLong(j).toDouble
+        case FloatType => arr.getFloat(j).toDouble
+        case DoubleType => arr.getDouble(j)
+      }
+      var acc = 0.0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += math.abs(get(x, left, i) - get(y, right, i))
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (jt, cast) = if (integral) ("long", "") else ("double", "(double) ")
+    val lGet = getter(left); val rGet = getter(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  $jt $acc = 0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $jt $d = $cast$a.$lGet($i) - $cast$b.$rGet($i);
+         |      $acc += ($d < 0) ? -$d : $d;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * Native Catalyst expression for the polynomial rolling string hash
  * h = fold over code points: (h*31 + cp) % mod — semantically identical to
  * the `aggregate(transform(split(s,''), ascii), ...)` higher-order pipeline
@@ -539,6 +648,11 @@ object VectorFunctions {
 
   /** L2 norm via the same fold. */
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** L1 (Manhattan) distance, codegen'd: exact bigint sum for array<bigint>
+    * inputs, sequential double fold otherwise (see [[L1Distance]]). */
+  def l1(a: Column, b: Column): Column =
+    Bridge.column(L1Distance(Bridge.expression(a), Bridge.expression(b)))
 
   /** Codegen'd polynomial rolling hash (see [[PolyHash]]). */
   def polyHash(s: Column, mod: Long): Column =

@@ -82,8 +82,10 @@ object MultimodalQueries {
     // must land in the same or adjacent n_bytes-div-64 band — each left row
     // probes its band +/-1 and every qualifying pair is found exactly once
     // (the right side's band is unique). Candidate fan-out is 3x rows into
-    // an equi-join keyed (kind, band), never all-pairs; the L1 itself is a
-    // codegen'd zip_with/aggregate over two 16-long arrays.
+    // an equi-join keyed (kind, band), never all-pairs; the L1 itself is the
+    // codegen'd [[graft.functions.L1Distance]] loop (the zip_with/aggregate
+    // HOF formulation it replaced is CodegenFallback — interpreted per
+    // element; same exact bigint fold, PlanSpec pins the plan).
     "m6_media_neardup" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.mediaFromDocuments(docs(s, d))
       val h = graft.multimodal.Multimodal.extractFeatures(media).toDF()
@@ -97,8 +99,7 @@ object MultimodalQueries {
       left.join(right, Seq("kind", "probe"))
         .where(col("a") < col("b"))
         .select(col("a").as("media_id_a"), col("b").as("media_id_b"),
-          expr("aggregate(zip_with(ha, hb, (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v)")
-            .as("l1"))
+          graft.functions.VectorFunctions.l1(col("ha"), col("hb")).as("l1"))
         .where(col("l1") <= L1NearDupT)
     })
   )

@@ -15,7 +15,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |  graft_lsh_bucket(array(CAST(1.0 AS FLOAT)), 8, 1) AS b,
         |  graft_sorted_term_sum(array(named_struct('g', 2L, 't', CAST(1.5 AS DOUBLE)),
         |                              named_struct('g', 1L, 't', CAST(2.5 AS DOUBLE)))) AS s,
-        |  size(graft_minhash_sig(array(1L, 2L, 3L), 8)) AS nm
+        |  size(graft_minhash_sig(array(1L, 2L, 3L), 8)) AS nm,
+        |  graft_l1(array(1L, 5L, 9L), array(3L, 5L, 2L)) AS l1
         |""".stripMargin).collect().head
     assert(r.getDouble(0) === 11.0)
     // h = ((('a'*31)+'b')*31+'c') % P computed the shared way
@@ -25,6 +26,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(3) >= 0 && r.getInt(3) < 256)
     assert(r.getDouble(4) === 4.0)
     assert(r.getInt(5) === 8)
+    assert(r.getLong(6) === 9L)
   }
 
   test("graft_bloom_might_contain probes a binary-literal bloom from SQL") {
@@ -42,8 +44,8 @@ class GraftExtensionsSpec extends SparkSpec {
   test("extensions class injects the same builders") {
     // builder table is the single source for both registration paths
     assert(GraftFunctions.builders.map(_._1).toSet ===
-      Set("graft_dot", "graft_polyhash", "graft_shingle_hashes", "graft_lsh_bucket",
-        "graft_sorted_term_sum", "graft_minhash_sig", "graft_bloom_might_contain",
-        "graft_interleave_bits"))
+      Set("graft_dot", "graft_l1", "graft_polyhash", "graft_shingle_hashes",
+        "graft_lsh_bucket", "graft_sorted_term_sum", "graft_minhash_sig",
+        "graft_bloom_might_contain", "graft_interleave_bits"))
   }
 }

@@ -28,6 +28,37 @@ class VectorFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("L1Distance == aggregate/zip_with fold: exact bigint, double, nulls, mismatch") {
+    // bigint arrays: exact integer sum, identical to the HOF formulation
+    val longs = Seq(
+      (Array(1L, 5L, 9L), Array(3L, 5L, 2L)),          // 2 + 0 + 7 = 9
+      (Array(0L, 0L), Array(0L, 0L)),
+      (Array(Long.MaxValue / 2, 0L), Array(0L, Long.MaxValue / 2))
+    ).toDF("a", "b")
+    longs.select(
+      VectorFunctions.l1(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => abs(x - y)),
+        lit(0L), (acc, v) => acc + v).as("ref")).collect()
+      .foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // float arrays: same sequential double fold, bit-identical
+    val floats = Seq((Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.75f)))
+      .toDF("a", "b")
+    floats.select(
+      VectorFunctions.l1(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => abs(x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v).as("ref")).collect()
+      .foreach(r => assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    // mismatched lengths and null elements → null (the zip_with propagation)
+    val edge = Seq(
+      (Array[java.lang.Long](1L, 2L), Array[java.lang.Long](1L)),
+      (Array[java.lang.Long](1L, null), Array[java.lang.Long](1L, 2L))
+    ).toDF("a", "b")
+    edge.select(VectorFunctions.l1(col("a"), col("b"))).collect()
+      .foreach(r => assert(r.isNullAt(0)))
+  }
+
   test("PolyHash == split/ascii/fold pipeline on real document text") {
     val docs = graft.sources.Tables.documents(spark, sf()).limit(50)
     val P = TextFunctions.HashP

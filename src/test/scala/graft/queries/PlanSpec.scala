@@ -71,6 +71,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("m6_media_neardup: band equi-join, codegen L1 (no interpreted HOF fallback)") {
+    val p = plan(graft.SparkEntry.queries("m6_media_neardup")(spark, sf()))
+    // blocking is a (kind, band) equi-join, never all-pairs
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the L1 is the codegen'd expression, not the CodegenFallback
+    // aggregate(zip_with(...)) pipeline it replaced
+    assert(p.contains("graft_l1"), p)
+    assert(!p.contains("zip_with") && !p.contains("CodegenFallback"), p)
+  }
+
   test("s4 top-k aggregate: partial ObjectHashAggregate, no window, no sort") {
     val p = finalPlan(SimilarityQueries.defs("s4_knn_topk_agg")(spark, sf()))
     assert(p.contains("ObjectHashAggregate"), p)
