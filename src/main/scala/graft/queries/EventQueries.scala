@@ -20,6 +20,14 @@ object EventQueries {
 
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
 
+  /** Epoch microseconds for either timestamp flavor: `unix_micros` only
+    * accepts TIMESTAMP (ltz), but the testdata parquet can carry
+    * `isAdjustedToUTC=false` (read as TIMESTAMP_NTZ). With the session TZ
+    * pinned UTC the ntz->ltz cast is instant-preserving, and on an
+    * already-ltz column it is a no-op — same epoch either way. */
+  private def epochUs(c: org.apache.spark.sql.Column) =
+    unix_micros(c.cast("timestamp_ltz"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour windows per event type — the streaming-window shape
     // (window() produces the same buckets Structured Streaming would).
@@ -36,7 +44,7 @@ object EventQueries {
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
       // integer microsecond arithmetic: exact on both engines (no float gap)
       val newSession = when(
-        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser) > 1800L * 1000000L, 1)
+        epochUs(col("ts")) - lag(epochUs(col("ts")), 1).over(byUser) > 1800L * 1000000L, 1)
         .otherwise(when(lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
       ev(s, d)
         .withColumn("new_s", newSession)
@@ -155,10 +163,10 @@ object EventQueries {
           (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
       val ibins = inc.select(col("incident_id"), col("w_start"), col("w_end"),
         explode(array_distinct(array(
-          floor(unix_micros(col("w_start")) / binUs),
-          floor(unix_micros(col("w_end")) / binUs)))).as("bin"))
+          floor(epochUs(col("w_start")) / binUs),
+          floor(epochUs(col("w_end")) / binUs)))).as("bin"))
       val ebins = e.select(col("event_id"), col("ts"),
-        floor(unix_micros(col("ts")) / binUs).as("bin"))
+        floor(epochUs(col("ts")) / binUs).as("bin"))
       ebins.join(ibins, "bin")
         .where(col("ts") >= col("w_start") && col("ts") < col("w_end"))
         .select(col("incident_id"), col("event_id"), col("ts"))

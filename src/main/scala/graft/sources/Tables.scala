@@ -20,18 +20,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** The driver's `events.ts` is parquet TIMESTAMP(NANOS), which Spark only
-    * reads as a nanosecond Long (`spark.sql.legacy.parquet.nanosAsLong=true`,
-    * set in all our sessions) — convert to a microsecond timestamp, lossless
-    * here (no sub-microsecond components) and identical to how DuckDB reads
-    * the same file (TIMESTAMP, µs). Rewritten copies (ScaleUp rehearsal data)
-    * already carry a true µs timestamp column — pass those through. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  /** The driver's `events.ts` has shipped as parquet TIMESTAMP(NANOS)
+    * (which Spark only reads as a nanosecond Long —
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in all our sessions)
+    * and, since round 9, as TIMESTAMP(MICROS, isAdjustedToUTC=false) (read
+    * as TIMESTAMP_NTZ). Normalize both to a microsecond TIMESTAMP (ltz):
+    * the nanos->µs div is lossless here (no sub-µs components) and the
+    * ntz->ltz cast is instant-preserving under the UTC session TZ — in
+    * every case the same instants DuckDB reads from the same file.
+    * Rewritten copies (ScaleUp rehearsal data) already carry a true µs ltz
+    * column — pass those through. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(load(spark, dir, "events"))
+
+  /** Normalize whatever flavor `ts` arrived in (see [[events]]) to a
+    * microsecond TIMESTAMP (ltz). Shared with the streaming source, which
+    * reads the same files. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -22,17 +22,19 @@ import java.sql.Timestamp
  */
 object Streams {
 
-  /** Schema of the events stream = batch schema with ts already converted
-    * to a microsecond timestamp (the parquet holds TIMESTAMP(NANOS) read as
-    * Long via nanosAsLong; see [[graft.sources.Tables.events]]). */
+  /** Schema of the events stream = batch schema with ts normalized to a
+    * microsecond TIMESTAMP (ltz). The on-disk flavor has varied across
+    * driver rounds (TIMESTAMP(NANOS)-as-Long, then naive µs), so take the
+    * file's actual schema from a batch peek and share the batch loader's
+    * normalization ([[graft.sources.Tables.normalizeEventTs]]). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
-    spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Streaming hourly windowed aggregation with a 2-hour watermark —
