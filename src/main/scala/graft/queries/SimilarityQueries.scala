@@ -30,6 +30,8 @@ object SimilarityQueries {
   val TopK = 5
   val NumCentroids = 16
   val NumProbes = 4
+  /** Lloyd rounds for the s3 IVF coarse quantizer (spherical k-means). */
+  val KMeansIters = 2
 
   /** Sequential left-fold dot product (double), bit-identical to the oracle —
     * the codegen'd [[graft.functions.DotProduct]] expression (same fold
@@ -84,36 +86,36 @@ object SimilarityQueries {
     }),
 
     // IVF coarse-quantizer ANN — the inverted-file scale path beyond LSH:
-    // partition the corpus into NumCentroids cells (nearest centroid by
-    // cosine), probe the NumProbes cells nearest each query, exact top-k
-    // within the probed cells only. Centroid "training" is an offline step in
-    // any real IVF build; here the quantizer is seeded deterministically with
-    // the first NumCentroids vectors so the DuckDB oracle replicates the
-    // index bit-for-bit.
+    // TRAIN a coarse quantizer with KMeansIters rounds of spherical k-means
+    // (assign by cosine, update to the cell mean — direction-equivalent to
+    // the normalized-mean update, so the sum-of-cosines objective is
+    // monotone), partition the corpus into NumCentroids cells, probe the
+    // NumProbes cells nearest each query, exact top-k within the probed
+    // cells only. Training is deterministic end-to-end: seeds are the first
+    // NumCentroids vectors, every centroid mean is a SortedTermSum fold
+    // (bit-identical across engines), so the DuckDB oracle replays the whole
+    // Lloyd trajectory bit-for-bit via unrolled CTEs (like g2's oracle).
     //
     // 100 TB shape: centroids broadcast (k rows); assignment is a broadcast
     // join + map-side-combinable argmax (max over a (cos, -cid) struct — NO
-    // window shuffle of the n x k scored rows, just n groups); the candidate
-    // join shuffles by cell id (hot cells are AQE-skew-split / salt-able);
+    // window shuffle of the n x k scored rows, just n groups); the training
+    // mean is a (cid, pos)-keyed aggregation, k*Dim groups; at real scale
+    // you train on a deterministic hash-sample (c1-style) rather than the
+    // full corpus — identical plan, sampled input. The candidate join
+    // shuffles by cell id (hot cells are AQE-skew-split / salt-able);
     // scoring joins fetch only probed-cell vectors. Recall/cost dials:
-    // NumCentroids ~ sqrt(n) and NumProbes, same knobs as any IVF index.
+    // NumCentroids ~ sqrt(n), NumProbes, KMeansIters — the same knobs as
+    // any IVF index build.
     "s3_knn_ivf" -> ((s, d) => {
-      val e = withNorm(embs(s, d))
-      val cents = e.where(col("vec_id") < NumCentroids)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"))
-      // cell assignment: argmax cosine, ties to the smaller centroid id
-      val asgn = e.join(broadcast(cents))
-        .select(col("vec_id"),
-          struct((dot(col("embedding"), col("cv")) / (col("nrm") * col("cn"))).as("cos"),
-            (-col("cid")).as("ncid")).as("sc"))
-        .groupBy("vec_id")
-        .agg(max(col("sc")).as("m"))
-        .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+      val en = enOf(edOf(s, d))
+      val cents = trainCentroids(s, d, KMeansIters)
+      val cw = withCn(cents)
+      val asgn = assignCells(en, cents)
       // per-query probe list: the NumProbes nearest cells (k x queries rows — tiny)
-      val q = e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val q = en.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       val pw = Window.partitionBy("query_id").orderBy(col("pcos").desc, col("cid").asc)
-      val probes = q.join(broadcast(cents))
+      val probes = q.join(broadcast(cw))
         .select(col("query_id"), col("cid"),
           (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("pcos"))
         .withColumn("pr", row_number().over(pw))
@@ -125,10 +127,10 @@ object SimilarityQueries {
         .where(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"))
       val scored = cand
-        .join(e, "vec_id")
+        .join(en, "vec_id")
         .join(q.select(col("query_id"), col("qv"), col("qn")), "query_id")
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w))
         .where(col("rank") <= TopK)
@@ -161,6 +163,72 @@ object SimilarityQueries {
           col("source"), col("snippet"))
     })
   )
+
+  // ---- s3 IVF training (spherical k-means), shared with the specs ----
+
+  /** Double-cast embeddings once: training means live in double, and
+    * float->double casts are exact, so cosines match the all-double oracle
+    * bit-for-bit. */
+  private def edOf(s: SparkSession, d: String): DataFrame =
+    embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private def enOf(ed: DataFrame): DataFrame =
+    ed.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  private def withCn(c: DataFrame): DataFrame =
+    c.select(col("cid"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
+
+  /** Cell assignment: argmax cosine, ties to the smaller centroid id —
+    * a broadcast join + map-side-combinable max over a (cos, -cid) struct. */
+  private def assignCells(en: DataFrame, cents: DataFrame): DataFrame =
+    en.join(broadcast(withCn(cents)))
+      .select(col("vec_id"),
+        struct((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cos"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+
+  /** `iters` rounds of deterministic spherical k-means from the first-
+    * NumCentroids seed: assign by cosine, update each cell to its mean
+    * (order-deterministic SortedTermSum folds so the whole trajectory is
+    * bit-identical to the oracle's unrolled CTEs); an empty cell keeps its
+    * previous centroid (standard Lloyd fallback). Returns (cid, cv). */
+  def trainCentroids(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val ed = edOf(s, d)
+    val en = enOf(ed)
+    var cents = ed.where(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val a = assignCells(en, cents)
+      // per-(cell, dim) mean: sorted-by-vec_id sequential fold over exact
+      // count — the oracle twin is list(x ORDER BY vec_id) + list_reduce
+      val sums = ed.join(a, "vec_id")
+        .select(col("cid"), col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((graft.functions.VectorFunctions.sortedTermSum(
+          collect_list(struct(col("vec_id").as("g"), col("x").as("t"))))
+          / count(lit(1))).as("m"))
+      val fresh = sums.groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), col("pm.m").as("cv"))
+      cents = cents.as("c").join(fresh.as("f"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("f.cv"), col("c.cv")).as("cv"))
+    }
+    cents
+  }
+
+  /** Mean best-cell cosine over the corpus — the spherical k-means objective
+    * (monotone non-decreasing over Lloyd rounds; spec-pinned). */
+  def quantizerObjective(s: SparkSession, d: String, iters: Int): Double = {
+    val en = enOf(edOf(s, d))
+    en.join(broadcast(withCn(trainCentroids(s, d, iters))))
+      .select(col("vec_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cos"))
+      .groupBy("vec_id").agg(max(col("cos")).as("best"))
+      .agg(avg(col("best")))
+      .head().getDouble(0)
+  }
 
   /** The s4 pipeline (scored candidates -> bounded-state top-k aggregate),
     * shared by s4 and the s5 retrieval join. */
@@ -234,38 +302,66 @@ object SimilarityQueries {
          |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
          |  FROM scored) WHERE rank <= $TopK""".stripMargin,
 
-    // Mirrors s3 exactly: same seeded centroids, same (cos, -cid) composite
-    // argmax for cell assignment (struct comparison is lexicographic in both
-    // engines; cosines are bit-identical left folds), same probe ranking.
-    "s3_knn_ivf" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+    // Mirrors s3 exactly: same seeded centroids, the same KMeansIters Lloyd
+    // rounds unrolled as CTE triplets (a_i assignment / s_i+n_i mean / c_i
+    // next centroids — the g2-oracle technique), same (cos, -cid) composite
+    // argmax (struct comparison is lexicographic in both engines; cosines
+    // and centroid means are bit-identical sequential folds), same probe
+    // ranking.
+    "s3_knn_ivf" -> {
+      // one Lloyd round: assign against c$prev, rebuild means into c$i
+      def lloyd(i: Int): String = {
+        val prev = s"c${i - 1}"
+        s"""a$i AS (
+           |  SELECT e.vec_id,
+           |         -struct_extract(max(row(${dotSql("e.v", "c.cv")} / (e.nrm * c.cn), -c.cid)), 2) AS cid
+           |  FROM en e CROSS JOIN (
+           |    SELECT cid, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM $prev) c
+           |  GROUP BY e.vec_id),
+           |s$i AS (
+           |  SELECT a.cid, t.pos,
+           |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |           list(e.v[t.pos + 1] ORDER BY e.vec_id)), (acc, x) -> acc + x)
+           |           / count(*) AS m
+           |  FROM ed e JOIN a$i a USING (vec_id) CROSS JOIN range(0, $Dim) t(pos)
+           |  GROUP BY a.cid, t.pos),
+           |n$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM s$i GROUP BY cid),
+           |c$i AS (
+           |  SELECT c.cid, coalesce(n.cv, c.cv) AS cv
+           |  FROM $prev c LEFT JOIN n$i n USING (cid))""".stripMargin
+      }
+      val iters = (1 to KMeansIters).map(lloyd).mkString(",\n")
+      val cFinal = s"c$KMeansIters"
+      s"""WITH ed AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
-         |c AS (
-         |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM e
-         |  WHERE vec_id < $NumCentroids),
+         |en AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM ed),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM ed WHERE vec_id < $NumCentroids),
+         |$iters,
+         |cw AS (SELECT cid, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM $cFinal),
          |asgn AS (
          |  SELECT e.vec_id,
-         |         -struct_extract(max(row(${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn), -c.cid)), 2) AS cid
-         |  FROM e CROSS JOIN c GROUP BY e.vec_id),
+         |         -struct_extract(max(row(${dotSql("e.v", "c.cv")} / (e.nrm * c.cn), -c.cid)), 2) AS cid
+         |  FROM en e CROSS JOIN cw c GROUP BY e.vec_id),
          |probes AS (
          |  SELECT query_id, cid FROM (
          |    SELECT q.vec_id AS query_id, c.cid,
          |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |             ORDER BY ${dotSql("q.embedding", "c.cv")} / (q.nrm * c.cn) DESC, c.cid ASC) AS pr
-         |    FROM e q CROSS JOIN c WHERE q.vec_id < 10)
+         |             ORDER BY ${dotSql("q.v", "c.cv")} / (q.nrm * c.cn) DESC, c.cid ASC) AS pr
+         |    FROM en q CROSS JOIN cw c WHERE q.vec_id < 10)
          |  WHERE pr <= $NumProbes),
          |cand AS (
          |  SELECT p.query_id, a.vec_id FROM probes p JOIN asgn a USING (cid)
          |  WHERE a.vec_id <> p.query_id),
          |scored AS (
          |  SELECT cand.query_id, e.vec_id AS neighbor_id,
-         |         ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos
-         |  FROM cand JOIN e ON e.vec_id = cand.vec_id
-         |            JOIN e q ON q.vec_id = cand.query_id)
+         |         ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS cos
+         |  FROM cand JOIN en e ON e.vec_id = cand.vec_id
+         |            JOIN en q ON q.vec_id = cand.query_id)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
          |  SELECT query_id, neighbor_id, cos,
          |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
          |  FROM scored) WHERE rank <= $TopK""".stripMargin
+    }
   )
 }
