@@ -269,7 +269,12 @@ object GraphQueries {
   private def hint(ranks: DataFrame, bcast: Boolean): DataFrame =
     if (bcast) broadcast(ranks) else ranks
 
-  private val MaxBroadcastNodes = 32L * 1000 * 1000
+  /** 8M nodes x ~16 B/row ≈ 128 MB broadcast per round — large enough to
+    * cover any graph whose rank table plausibly fits every executor, small
+    * enough that a modest driver survives rebroadcasting it once per round
+    * (Spark's hard cap is 8 GB, but the driver holds the build side in
+    * memory for each round's hint). Past it the planner shuffles the join. */
+  private val MaxBroadcastNodes = 8L * 1000 * 1000
   private[queries] val MaxBroadcastNodesKey = "spark.graft.g2.maxBroadcastNodes"
 
   /** One parity round (no checkpoint — PlanSpec plans it raw): join, then
@@ -316,6 +321,44 @@ object GraphQueries {
         (lit(base) + lit(0.85) * col("s")).as("rank"))
 
   private[queries] val PagerankIters = 5
+
+  /** Above this max in-degree the parity fold's per-dst `collect_list`
+    * state (~24 B/contribution → ~24 MB per hub node at the default) risks
+    * a single-task OOM, and [[pagerankAuto]] swaps in the plain-SUM
+    * [[pagerankFastStep]] (map-side partials, skew-immune, ≤1e-12 drift).
+    * Override per session with [[MaxParityInDegreeKey]]. */
+  private val MaxParityInDegree = 1L * 1000 * 1000
+  private[queries] val MaxParityInDegreeKey = "spark.graft.g2.maxParityInDegree"
+
+  /** Strategy pick for [[pagerankAuto]], observed from the degree table the
+    * build already computes (degrees are symmetric here — edges are
+    * bidirected — so max out-degree == max in-degree): "parity" keeps the
+    * order-deterministic fold, "fast" the map-side-partial SUM. The same
+    * observe-then-choose shape as `CCF.auto` (rounds) and g1 (broadcast vs
+    * shuffle) — the third auto-selection. */
+  private[queries] def pagerankStrategy(deg: DataFrame): String = {
+    val cap = deg.sparkSession.conf.getOption(MaxParityInDegreeKey)
+      .map(_.toLong).getOrElse(MaxParityInDegree)
+    val maxDeg = deg.agg(max(col("outdeg"))).head().getLong(0)
+    if (maxDeg > cap) "fast" else "parity"
+  }
+
+  /** Skew-aware PageRank: one pass over the already-materialized degree
+    * table decides between the oracle-parity fold and the hub-safe SUM
+    * path; both share the identical per-round join/agg plan shape. */
+  private[queries] def pagerankAuto(e0: DataFrame, iters: Int): DataFrame = {
+    val bi = CCF.bidirect(e0)
+    val deg = bi.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val outE = bi.join(deg, "src").eagerCheckpoint()
+    val n = deg.count()
+    var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+    val bcast = broadcastRanks(e0, n)
+    val step: (DataFrame, DataFrame, Double) => DataFrame =
+      if (pagerankStrategy(deg) == "fast") pagerankFastStep else pagerankParityStep
+    for (_ <- 1 to iters)
+      ranks = step(outE, hint(ranks, bcast), 0.15 / n).eagerCheckpoint()
+    ranks.select(col("node"), col("rank").as("pagerank"))
+  }
 
   /** Unrolled PageRank oracle: r0 (uniform) then `iters` chained CTE steps,
     * each the exact SQL twin of one [[pagerankOf]] round (CAST(0.15/0.85 AS

@@ -339,6 +339,28 @@ class QueriesSpec extends SparkSpec {
     for ((k, v) <- parity) assert(math.abs(fast(k) - v) < 1e-12, s"node $k")
   }
 
+  test("g2 pagerank: auto-selection swaps to the hub-safe SUM path on skew") {
+    import spark.implicits._
+    val e = graft.graph.GraphBuilders.copurchaseEdges(spark, sf())
+    // co-purchase degrees are modest: auto keeps the oracle-parity fold
+    assert(GraphQueries.pagerankStrategy(
+      graft.ccf.CCF.bidirect(e).groupBy("src").agg(count(lit(1)).as("outdeg"))) === "parity")
+    // force a "hub": drop the threshold below the star center's degree
+    val star = (2L to 40L).map(l => (1L, l)).toDF("src", "dst")
+    val starDeg = graft.ccf.CCF.bidirect(star).groupBy("src").agg(count(lit(1)).as("outdeg"))
+    spark.conf.set(GraphQueries.MaxParityInDegreeKey, "10")
+    try {
+      assert(GraphQueries.pagerankStrategy(starDeg) === "fast")
+      // and the auto result on the skewed graph still agrees with parity
+      val auto = GraphQueries.pagerankAuto(star, 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val parity = GraphQueries.pagerankOf(star, 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(auto.keySet === parity.keySet)
+      for ((k, v) <- parity) assert(math.abs(auto(k) - v) < 1e-12, s"node $k")
+    } finally spark.conf.unset(GraphQueries.MaxParityInDegreeKey)
+  }
+
   test("e10 funnel: planted fixture — strict ordering, out-of-order stages don't count") {
     import spark.implicits._
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
@@ -477,6 +499,20 @@ class QueriesSpec extends SparkSpec {
     // the exact top-5 (planted near-dup structure makes cells coherent)
     val recall = ivfSet.intersect(bruteSet).size.toDouble / bruteSet.size
     assert(recall >= 0.5, s"IVF recall@${SimilarityQueries.TopK} too low: $recall")
+  }
+
+  test("knn: IVF k-means training is monotone in the spherical objective") {
+    // spherical k-means (assign by cosine, update to the cell mean) never
+    // decreases the mean best-cell cosine; each Lloyd round must improve on
+    // the raw first-k seed quantizer or leave it unchanged
+    val objs = (0 to SimilarityQueries.KMeansIters)
+      .map(i => SimilarityQueries.quantizerObjective(spark, sf(), i))
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"objective decreased across a Lloyd round: $objs")
+    }
+    // and training moved the quantizer: the trained objective strictly beats
+    // the untrained seed (planted cluster structure makes this robust)
+    assert(objs.last > objs.head, s"training had no effect: $objs")
   }
 
   test("sessions: per-user session ids are dense from 1 and ordered by time") {
