@@ -46,11 +46,12 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .orc(path)
 
-  /** Z-ORDERED parquet: cluster rows along a 2-D Morton curve so file (and
-    * row-group) min/max stats prune on BOTH columns — the lakehouse layout
-    * for two-column range/point lookups without duplicating the table
-    * (a single-column sort leaves every file spanning the full range of the
-    * other column).
+  /** Z-ORDERED parquet: cluster rows along an N-D Morton curve so file (and
+    * row-group) min/max stats prune on EVERY z-ordered column — the
+    * lakehouse layout for multi-column range/point lookups without
+    * duplicating the table (a single-column sort leaves every file spanning
+    * the full range of the other columns). Same N-column surface as
+    * Delta/Iceberg's OPTIMIZE ZORDER.
     *
     * Mechanics, all distributed:
     *  1. per column: `approx_percentile` over 2^bits evenly-spaced quantiles
@@ -59,38 +60,67 @@ object Sinks {
     *  2. bucket id = #cuts below the value (codegen'd fold over the tiny
     *     broadcast array) — quantile bucketing makes the curve skew-immune:
     *     equal-population tiles, whatever the value distribution;
-    *  3. Morton-interleave the two bucket ids ([[graft.functions.ZOrder]],
-    *     codegen'd) and range-partition + sort by the z-value into `files`
-    *     output files — each file covers a compact 2-D tile.
+    *  3. Morton-interleave the bucket ids ([[graft.functions.ZOrder]],
+    *     codegen'd; 64/n bits per column) and range-partition + sort by the
+    *     z-value into `files` output files — each file covers a compact
+    *     N-D tile.
     *
     * NULLs sort first: a null key buckets to 0 (callers wanting nulls
     * isolated should filter or fill first). */
-  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-                    files: Int, bits: Int = 8): Unit = {
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    files: Int, bits: Int): Unit = {
     import org.apache.spark.sql.functions._
+    require(cols.size >= 2 && cols.size <= 8,
+      s"z-order takes 2..8 columns, got ${cols.size}")
     // bits is capped at 12: the bucketing fold embeds the 2^bits-1 cut array
     // as a literal evaluated per row per column, so 4095 cuts is already the
-    // practical ceiling (beyond it the folded literal dominates the write).
-    require(bits >= 1 && bits <= 12, s"bits must be in [1, 12], got $bits")
+    // practical ceiling (beyond it the folded literal dominates the write);
+    // past 2 columns the interleave itself holds only 64/n bits per column.
+    val maxBits = math.min(12, 64 / cols.size)
+    require(bits >= 1 && bits <= maxBits,
+      s"bits must be in [1, $maxBits] for ${cols.size} columns, got $bits")
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     val cuts = df.agg(
-      percentile_approx(col(colA).cast("double"), typedLit(probs), lit(10000)).as("a"),
-      percentile_approx(col(colB).cast("double"), typedLit(probs), lit(10000)).as("b")).head
-    require(!cuts.isNullAt(0) && !cuts.isNullAt(1),
-      s"cannot Z-order $path: percentile_approx returned null for " +
-        s"${if (cuts.isNullAt(0)) colA else colB} (empty input or all-null column)")
+      percentile_approx(col(cols.head).cast("double"), typedLit(probs), lit(10000)),
+      cols.tail.map(c =>
+        percentile_approx(col(c).cast("double"), typedLit(probs), lit(10000))): _*).head
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(!cuts.isNullAt(i),
+        s"cannot Z-order $path: percentile_approx returned null for $c " +
+          "(empty input or all-null column)")
+    }
     def bucket(c: String, cutsArr: Seq[Double]) =
       aggregate(typedLit(cutsArr), lit(0L),
         (acc, cut) => acc + when(col(c).cast("double") >= cut, 1L).otherwise(0L))
-    val z = graft.functions.ZOrder.interleaveBits(
-      bucket(colA, cuts.getSeq[Double](0)), bucket(colB, cuts.getSeq[Double](1)))
+    val z = graft.functions.ZOrder.interleaveBitsN(
+      cols.zipWithIndex.map { case (c, i) => bucket(c, cuts.getSeq[Double](i)) })
+    // File assignment ranges over the TILE id (the code's top ceil(log2
+    // files) bits), not the raw code: repartitionByRange picks boundaries by
+    // SAMPLING, and a boundary landing mid-tile makes the two adjacent files
+    // both span that tile's parent box — enough slop to erase the whole
+    // pruning win on the curve's 4th-level axis (measured: a z-band touched
+    // 15/16 files instead of 4). Quantile bucketing makes tiles
+    // equal-population, so whole-tile range assignment keeps files balanced
+    // while every file's min/max box stays a union of complete tiles.
+    val codeBits = cols.size * bits
+    val tileBits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(files - 1, 1).toLong)
+    require(files <= (1L << codeBits),
+      s"files=$files exceeds the ${1L << codeBits} addressable tiles at " +
+        s"${cols.size} columns x $bits bits")
+    val shift = math.max(codeBits - tileBits.toInt, 0)
     df.withColumn("__z", z)
-      .repartitionByRange(files, col("__z"))
+      .withColumn("__tile", shiftright(col("__z"), shift))
+      .repartitionByRange(files, col("__tile"))
       .sortWithinPartitions("__z")
-      .drop("__z")
+      .drop("__z", "__tile")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Two-column convenience form (the historical signature). */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    files: Int, bits: Int = 8): Unit =
+    writeZOrdered(df, path, Seq(colA, colB), files, bits)
 
   /** Bucketed + sorted managed table: rows are hash-partitioned into
     * `buckets` files by `bucketCol` at write time, so an equi-join of two

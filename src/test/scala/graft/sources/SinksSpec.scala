@@ -144,6 +144,30 @@ class SinksSpec extends SparkSpec {
       grid.agg(sum(col("x") * 1000 + col("y"))).head.getLong(0))
   }
 
+  test("z-ordered layout: 3 columns — per-file 3-D boxes prune on the third axis too") {
+    // 32x32x32 cube, 16 files. Linear-by-x can never skip on z; 3-D Morton
+    // tiles confine a z-band to a fraction of the files.
+    val n = 32768L
+    val cube = spark.range(n).select(
+      (col("id") % 32).as("x"), (expr("id div 32") % 32).as("y"),
+      expr("id div 1024").as("z"))
+    Sinks.writeZOrdered(cube, s"$tmp/z3", Seq("x", "y", "z"), files = 16, bits = 8)
+    cube.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$tmp/z3linear")
+    def touchedZ(p: String) = spark.read.parquet(p)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("z").as("z0"), max("z").as("z1"))
+      .collect().count(r =>
+        !(r.getAs[Long]("z1") < 8 || r.getAs[Long]("z0") > 15))
+    assert(touchedZ(s"$tmp/z3linear") === 16, "x-stripes span all z")
+    assert(touchedZ(s"$tmp/z3") <= 8, s"3-D tiles should skip most files for a z-band, got ${touchedZ(s"$tmp/z3")}")
+    // pure permutation: same rows
+    val back = spark.read.parquet(s"$tmp/z3")
+    assert(back.count() === n)
+    assert(back.agg(sum(col("x") * 100000 + col("y") * 100 + col("z"))).head.getLong(0) ===
+      cube.agg(sum(col("x") * 100000 + col("y") * 100 + col("z"))).head.getLong(0))
+  }
+
   test("dynamic partition overwrite: only updated leaves rewrite, history is byte-identical") {
     val orders = Tables.orders(spark, sf()).withColumn("o_year", year(col("o_orderdate")))
     Sinks.writePartitionedParquet(orders, s"$tmp/upsert", "o_year")
