@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.EagerOps
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -161,6 +162,22 @@ object SimilarityQueries {
       dcs.join(broadcast(hits), col("doc_id") === col("neighbor_id"))
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"),
           col("source"), col("snippet"))
+    }),
+
+    // K-MEANS CLUSTERING (s6, r09): the trained coarse quantizer as a
+    // first-class operator — every embedding assigned to its (trained) cell,
+    // rolled up per cluster. This is the topic-bucketing / diversity-
+    // sampling primitive a training-data pipeline runs over embeddings at
+    // corpus scale: train on a hash-sample, broadcast k centroids, one
+    // map-side-combinable argmax pass, one k-group aggregate — no shuffle of
+    // the corpus beyond the n-row argmax exchange.
+    "s6_kmeans_clusters" -> ((s, d) => {
+      val en = enOf(edOf(s, d))
+      val cents = trainCentroids(s, d, KMeansIters)
+      assignCells(en, cents)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("rep_vec"))
+        .select(col("cid").as("cluster_id"), col("n_members"), col("rep_vec"))
     })
   )
 
@@ -212,8 +229,13 @@ object SimilarityQueries {
       val fresh = sums.groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), col("pm.m").as("cv"))
+      // checkpoint each round's k-row centroid table: the final plan
+      // references cents from the cell assignment, the probe ranking AND
+      // the next round — without truncation every reference re-executes
+      // the whole training lineage (k rows to materialize, at any scale)
       cents = cents.as("c").join(fresh.as("f"), Seq("cid"), "left")
         .select(col("cid"), coalesce(col("f.cv"), col("c.cv")).as("cv"))
+        .eagerCheckpoint()
     }
     cents
   }
@@ -308,41 +330,8 @@ object SimilarityQueries {
     // argmax (struct comparison is lexicographic in both engines; cosines
     // and centroid means are bit-identical sequential folds), same probe
     // ranking.
-    "s3_knn_ivf" -> {
-      // one Lloyd round: assign against c$prev, rebuild means into c$i
-      def lloyd(i: Int): String = {
-        val prev = s"c${i - 1}"
-        s"""a$i AS (
-           |  SELECT e.vec_id,
-           |         -struct_extract(max(row(${dotSql("e.v", "c.cv")} / (e.nrm * c.cn), -c.cid)), 2) AS cid
-           |  FROM en e CROSS JOIN (
-           |    SELECT cid, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM $prev) c
-           |  GROUP BY e.vec_id),
-           |s$i AS (
-           |  SELECT a.cid, t.pos,
-           |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           |           list(e.v[t.pos + 1] ORDER BY e.vec_id)), (acc, x) -> acc + x)
-           |           / count(*) AS m
-           |  FROM ed e JOIN a$i a USING (vec_id) CROSS JOIN range(0, $Dim) t(pos)
-           |  GROUP BY a.cid, t.pos),
-           |n$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM s$i GROUP BY cid),
-           |c$i AS (
-           |  SELECT c.cid, coalesce(n.cv, c.cv) AS cv
-           |  FROM $prev c LEFT JOIN n$i n USING (cid))""".stripMargin
-      }
-      val iters = (1 to KMeansIters).map(lloyd).mkString(",\n")
-      val cFinal = s"c$KMeansIters"
-      s"""WITH ed AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |en AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM ed),
-         |c0 AS (SELECT vec_id AS cid, v AS cv FROM ed WHERE vec_id < $NumCentroids),
-         |$iters,
-         |cw AS (SELECT cid, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM $cFinal),
-         |asgn AS (
-         |  SELECT e.vec_id,
-         |         -struct_extract(max(row(${dotSql("e.v", "c.cv")} / (e.nrm * c.cn), -c.cid)), 2) AS cid
-         |  FROM en e CROSS JOIN cw c GROUP BY e.vec_id),
+    "s3_knn_ivf" ->
+      s"""WITH $kmeansOracleCtes,
          |probes AS (
          |  SELECT query_id, cid FROM (
          |    SELECT q.vec_id AS query_id, c.cid,
@@ -361,7 +350,52 @@ object SimilarityQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
          |  SELECT query_id, neighbor_id, cos,
          |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |  FROM scored) WHERE rank <= $TopK""".stripMargin
-    }
+         |  FROM scored) WHERE rank <= $TopK""".stripMargin,
+
+    // s6: the trained quantizer's cell assignment itself, rolled up — same
+    // kmeans CTE prefix, then a plain per-cluster aggregate.
+    "s6_kmeans_clusters" ->
+      s"""WITH $kmeansOracleCtes
+         |SELECT cid AS cluster_id, COUNT(*) AS n_members, MIN(vec_id) AS rep_vec
+         |FROM asgn GROUP BY cid""".stripMargin
   )
+
+  /** Shared oracle prefix: double-cast embeddings, norms, seed centroids,
+    * KMeansIters unrolled Lloyd rounds, trained-centroid norms (cw) and the
+    * final cell assignment (asgn). One Lloyd round = assignment a_i /
+    * per-dim deterministic mean s_i+n_i / next centroids c_i. */
+  private def kmeansOracleCtes: String = {
+    def lloyd(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT e.vec_id,
+         |         -struct_extract(max(row(${dotSql("e.v", "c.cv")} / (e.nrm * c.cn), -c.cid)), 2) AS cid
+         |  FROM en e CROSS JOIN (
+         |    SELECT cid, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM $prev) c
+         |  GROUP BY e.vec_id),
+         |s$i AS (
+         |  SELECT a.cid, t.pos,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list(e.v[t.pos + 1] ORDER BY e.vec_id)), (acc, x) -> acc + x)
+         |           / count(*) AS m
+         |  FROM ed e JOIN a$i a USING (vec_id) CROSS JOIN range(0, $Dim) t(pos)
+         |  GROUP BY a.cid, t.pos),
+         |n$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM s$i GROUP BY cid),
+         |c$i AS (
+         |  SELECT c.cid, coalesce(n.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN n$i n USING (cid))""".stripMargin
+    }
+    val iters = (1 to KMeansIters).map(lloyd).mkString(",\n")
+    s"""ed AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM ed),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM ed WHERE vec_id < $NumCentroids),
+       |$iters,
+       |cw AS (SELECT cid, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM c$KMeansIters),
+       |asgn AS (
+       |  SELECT e.vec_id,
+       |         -struct_extract(max(row(${dotSql("e.v", "c.cv")} / (e.nrm * c.cn), -c.cid)), 2) AS cid
+       |  FROM en e CROSS JOIN cw c GROUP BY e.vec_id)""".stripMargin
+  }
 }

@@ -81,6 +81,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("zip_with") && !p.contains("CodegenFallback"), p)
   }
 
+  test("s6 k-means: cell assignment broadcasts centroids, never shuffles the corpus into the join") {
+    val p = plan(graft.SparkEntry.queries("s6_kmeans_clusters")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus side of the assignment join must not sort-merge
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("s4 top-k aggregate: partial ObjectHashAggregate, no window, no sort") {
     val p = finalPlan(SimilarityQueries.defs("s4_knn_topk_agg")(spark, sf()))
     assert(p.contains("ObjectHashAggregate"), p)

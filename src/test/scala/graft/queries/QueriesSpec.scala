@@ -515,6 +515,17 @@ class QueriesSpec extends SparkSpec {
     assert(objs.last > objs.head, s"training had no effect: $objs")
   }
 
+  test("s6 k-means clusters: a partition of the corpus, bounded by k") {
+    val rows = SimilarityQueries.defs("s6_kmeans_clusters")(spark, sf()).collect()
+    val n = graft.sources.Tables.embeddings(spark, sf()).count()
+    assert(rows.map(_.getLong(1)).sum === n, "cluster sizes must sum to the corpus")
+    assert(rows.length <= SimilarityQueries.NumCentroids)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    // the representative is a member, so it can't precede its cluster's id
+    // space; every size is positive
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
   test("sessions: per-user session ids are dense from 1 and ordered by time") {
     val s = EventQueries.defs("e2_sessions")(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
