@@ -186,18 +186,18 @@ object SimilarityQueries {
   /** Double-cast embeddings once: training means live in double, and
     * float->double casts are exact, so cosines match the all-double oracle
     * bit-for-bit. */
-  private def edOf(s: SparkSession, d: String): DataFrame =
+  private[queries] def edOf(s: SparkSession, d: String): DataFrame =
     embs(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  private def enOf(ed: DataFrame): DataFrame =
+  private[queries] def enOf(ed: DataFrame): DataFrame =
     ed.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  private def withCn(c: DataFrame): DataFrame =
+  private[queries] def withCn(c: DataFrame): DataFrame =
     c.select(col("cid"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
 
   /** Cell assignment: argmax cosine, ties to the smaller centroid id —
     * a broadcast join + map-side-combinable max over a (cos, -cid) struct. */
-  private def assignCells(en: DataFrame, cents: DataFrame): DataFrame =
+  private[queries] def assignCells(en: DataFrame, cents: DataFrame): DataFrame =
     en.join(broadcast(withCn(cents)))
       .select(col("vec_id"),
         struct((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cos"),

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted-IVF lifecycle: build == inline s3, incremental append == full
+  * rebuild (same centroids), and search scans ONLY probed cell partitions. */
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val tmp = java.nio.file.Files.createTempDirectory("ivf").toString
+
+  private def corpus = {
+    val e = graft.sources.Tables.embeddings(spark, sf())
+    e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
+
+  private def queries = corpus.where(col("vec_id") < 10)
+    .select(col("vec_id").as("query_id"), col("v").as("qv"))
+
+  test("search over the persisted index == inline s3 exactly") {
+    IvfIndex.build(spark, sf(), s"$tmp/idx")
+    val persisted = IvfIndex.search(spark, s"$tmp/idx", queries)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val inline = SimilarityQueries.defs("s3_knn_ivf")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(persisted === inline)
+    assert(persisted.nonEmpty)
+  }
+
+  test("incremental append == rebuilding the posting lists in one shot") {
+    // train on the first half only, then ingest the second half as a batch:
+    // posting lists must equal assigning everything against those centroids
+    val n = corpus.count()
+    val half = n / 2
+    IvfIndex.build(spark, sf(), s"$tmp/inc")
+    // rebuild cells from scratch with half, then append the rest
+    val cents = IvfIndex.centroids(spark, s"$tmp/inc")
+    val first = corpus.where(col("vec_id") < half)
+    val second = corpus.where(col("vec_id") >= half)
+    // build a fresh index dir seeded with the same centroids
+    cents.write.parquet(s"$tmp/inc2/centroids.parquet")
+    IvfIndex.append(spark, s"$tmp/inc2", first)
+    IvfIndex.append(spark, s"$tmp/inc2", second)
+    val incremental = IvfIndex.cells(spark, s"$tmp/inc2")
+      .select("cid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = IvfIndex.cells(spark, s"$tmp/inc")
+      .select("cid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incremental === oneShot)
+    // and search over the incrementally-built index matches too
+    val a = IvfIndex.search(spark, s"$tmp/inc2", queries)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = IvfIndex.search(spark, s"$tmp/inc", queries)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a === b)
+  }
+
+  test("search reads only probed cell partitions (partition pruning)") {
+    IvfIndex.build(spark, sf(), s"$tmp/prune")
+    // which cells does the query batch probe?
+    val probed = {
+      val dot = graft.functions.VectorFunctions.dot _
+      val q = queries.withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      val cw = IvfIndex.centroids(spark, s"$tmp/prune")
+        .select(col("cid"), col("cv"),
+          sqrt(dot(col("cv"), col("cv"))).as("cn"))
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("pcos").desc, col("cid").asc)
+      q.join(broadcast(cw))
+        .select(col("query_id"), col("cid"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("pcos"))
+        .withColumn("pr", row_number().over(pw))
+        .where(col("pr") <= SimilarityQueries.NumProbes)
+        .select("cid").distinct().collect().map(_.getLong(0)).toSet
+    }
+    val allCells = IvfIndex.cells(spark, s"$tmp/prune")
+      .select("cid").distinct().collect().map(_.getLong(0)).toSet
+    assume(probed.size < allCells.size, "need unprobed cells for the pruning claim")
+    // the files actually scanned by the search's posting read are confined
+    // to probed cid= directories
+    val filtered = IvfIndex.cells(spark, s"$tmp/prune")
+      .where(col("cid").isin(probed.toSeq: _*))
+    val readDirs = filtered.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+      .map(f => f.split("/cid=")(1).split("/")(0).toLong).toSet
+    assert(readDirs === probed)
+  }
+}
