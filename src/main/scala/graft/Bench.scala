@@ -62,6 +62,7 @@ object Bench {
     for (pass <- 1 to passes) {
       graft.queries.DedupQueries.clearCaches(spark)
       graft.queries.GraphQueries.clearCaches(spark)
+      graft.queries.SimilarityQueries.clearCaches(spark)
       graft.queries.SharedBuilds.reset()
       for ((name, fn) <- qseq) {
         val b0 = graft.queries.SharedBuilds.accruedSeconds
