@@ -342,6 +342,59 @@ object Streams {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
+  /** Streaming embedding source (same file-source pattern as the others). */
+  def embeddingStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+
+  /** ONLINE VECTOR INGEST: assign each streamed embedding to its IVF cell
+    * entirely map-side — the k trained centroids (bounded, driver-collected)
+    * unroll into a literal argmax expression over the row alone, so the
+    * stream needs no aggregation, no state, no watermark and no shuffle, and
+    * replays assign identically under any trigger layout. This is the
+    * streaming complement of [[graft.queries.IvfIndex.append]] (same
+    * assignment semantics — the batch twin is
+    * `SimilarityQueries.assignCells`; StreamingSpec pins set equality), the
+    * shape a production vector store runs between index rebuilds.
+    *
+    * Determinism note: each centroid norm is a sequential left fold driver-
+    * side — the same op order as the codegen DotProduct fold — so streamed
+    * cosines are bit-identical to the batch path's. */
+  def assignVectorsStream(vectors: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dot _
+    val v = col("embedding").cast("array<double>")
+    val nrm = sqrt(dot(v, v))
+    val scored = cents.map { case (cid, cv) =>
+      val cn = cv.foldLeft(0.0)((a, x) => a + x * x)
+      struct((dot(v, typedlit(cv)) / (nrm * lit(math.sqrt(cn)))).as("cos"),
+        lit(-cid).as("ncid"))
+    }
+    vectors.select(col("vec_id"),
+      (array_max(array(scored: _*))("ncid") * -1).as("cid"))
+  }
+
+  /** Driver-side centroid collection for the literal argmax (k rows). */
+  def collectCentroids(cents: DataFrame): Seq[(Long, Seq[Double])] =
+    cents.select("cid", "cv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
+  /** Run the streaming vector ingest end-to-end (AvailableNow, memory sink). */
+  def runVectorIngestOnce(spark: SparkSession, dir: String,
+                          cents: Seq[(Long, Seq[Double])],
+                          queryName: String = "vector_ingest"): DataFrame = {
+    val q = assignVectorsStream(embeddingStream(spark, dir), cents)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming twin of the curation hash-sampler (c1_hash_sample): the salted
     * deterministic hash is a pure row-local filter — no state, no watermark —
     * so the IDENTICAL transform runs on the stream and selects the identical

@@ -129,6 +129,25 @@ class StreamingSpec extends SparkSpec {
     assert(sorted(streamed.collect()) === sorted(batch.collect()))
   }
 
+  test("streaming vector ingest equals the batch IVF cell assignment exactly") {
+    // map-side literal argmax on the stream == broadcast-join argmax in batch
+    // (same (cos, -cid) composite, bit-identical cosines)
+    val cents = graft.queries.SimilarityQueries.trainCentroids(
+      spark, sf(), graft.queries.SimilarityQueries.KMeansIters)
+    val streamed = Streams.runVectorIngestOnce(
+        spark, sf(), Streams.collectCentroids(cents), "vec_ingest_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin: the persisted index's posting lists carry the same
+    // (vec_id, cid) assignment (IvfIndex.build -> assignCells)
+    val tmp = java.nio.file.Files.createTempDirectory("vecingest").toString
+    graft.queries.IvfIndex.build(spark, sf(), s"$tmp/idx")
+    val batch = graft.queries.IvfIndex.cells(spark, s"$tmp/idx")
+      .select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("checkpointed ingest: restart resumes from the offset log — exactly once end-to-end") {
     val ev = graft.sources.Tables.events(spark, sf())
     val dir = java.nio.file.Files.createTempDirectory("graft-ck").toString
