@@ -103,14 +103,15 @@ object ScaleUp {
       off("l_suppkey", sS, i), col("l_linenumber"), col("l_quantity"),
       col("l_extendedprice"), col("l_discount"), col("l_tax"),
       col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))), "lineitem", 16)
-    // ts arrives as BIGINT nanos (nanosAsLong reads the driver's
-    // TIMESTAMP(NANOS) as Long); write a REAL µs timestamp so every reader
-    // of the rehearsal data — Spark AND the DuckDB oracle — sees the same
+    // normalize ts to a REAL µs timestamp whatever flavor the driver data
+    // carries (BIGINT nanos via nanosAsLong, naive µs read as ntz, or ltz —
+    // Tables.normalizeEventTs handles all three) so every reader of the
+    // rehearsal data — Spark AND the DuckDB oracle — sees the same
     // timestamp type the original table presents (a raw int64 column would
     // break every oracle that does timestamp arithmetic on ts)
-    wr(tile(ev)((d, i) => d.select(off("event_id", eS, i),
-      timestamp_micros(expr("ts div 1000")).as("ts"),
-      off("user_id", cS, i), col("event_type"), col("value"), col("props"))),
+    wr(tile(graft.sources.Tables.normalizeEventTs(ev))((d, i) =>
+      d.select(off("event_id", eS, i), col("ts"),
+        off("user_id", cS, i), col("event_type"), col("value"), col("props"))),
       "events", 8)
     wr(tile(doc)((d, i) =>
       if (i == 0) d
