@@ -10,6 +10,17 @@ class SinksSpec extends SparkSpec {
 
   private lazy val tmp = Files.createTempDirectory("graft-sinks").toString
 
+  test("events.ts always normalizes to a microsecond ltz TIMESTAMP") {
+    // the driver's testdata has shipped ts as nanos-as-long, naive micros
+    // (ntz) and ltz across rounds; every flavor must surface as TIMESTAMP
+    // (ltz) or unix_micros-based queries fail analysis (r09 regression)
+    assert(Tables.events(spark, sf()).schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    // and the streaming source agrees with the batch loader
+    assert(graft.streaming.Streams.eventStream(spark, sf()).schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("compaction: many small files -> sized files, identical data, source swapped") {
     val li = Tables.lineitem(spark, sf()).select("l_orderkey", "l_partkey", "l_quantity")
     val expected = li.count()
