@@ -220,11 +220,34 @@ object SimilarityQueries {
     centsCache.getOrElseUpdate(s, (d, iters))(SharedBuilds.timed("kmeans_centroids")(
       trainCentroidsUncached(s, d, iters)))
 
-  private def trainCentroidsUncached(s: SparkSession, d: String, iters: Int): DataFrame = {
+  private def trainCentroidsUncached(s: SparkSession, d: String, iters: Int): DataFrame =
+    lloydTrain(edOf(s, d),
+      edOf(s, d).where(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv")),
+      iters)
+
+  /** The 100 TB training path, as code rather than a comment: fit the
+    * quantizer on a deterministic salted-hash SAMPLE of the corpus (the c1
+    * sampler's replay-stable shape — never rand()), so the per-(cell, dim)
+    * collect-based means are bounded by sample size, not corpus size. Seeds
+    * are the k lowest vec_ids PRESENT in the sample (the unsampled gated
+    * path keeps its `vec_id < k` contract untouched). `permille` = sample
+    * rate in 1/1000ths. Spec pins that sample-trained centroids still beat
+    * the untrained seed on the FULL corpus and stay close to full
+    * training. */
+  def trainCentroidsSampled(s: SparkSession, d: String, iters: Int,
+                            permille: Int = 100): DataFrame = {
     val ed = edOf(s, d)
+    val sample = ed.where(pmod(xxhash64(col("vec_id"), lit("ivf-train")), lit(1000)) < permille)
+    lloydTrain(sample,
+      sample.orderBy("vec_id").limit(NumCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv")),
+      iters)
+  }
+
+  private def lloydTrain(ed: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     val en = enOf(ed)
-    var cents = ed.where(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    var cents = seeds
     for (_ <- 1 to iters) {
       val a = assignCells(en, cents)
       // per-(cell, dim) mean: sorted-by-vec_id sequential fold over exact
@@ -257,9 +280,14 @@ object SimilarityQueries {
 
   /** Mean best-cell cosine over the corpus — the spherical k-means objective
     * (monotone non-decreasing over Lloyd rounds; spec-pinned). */
-  def quantizerObjective(s: SparkSession, d: String, iters: Int): Double = {
+  def quantizerObjective(s: SparkSession, d: String, iters: Int): Double =
+    objectiveOf(s, d, trainCentroids(s, d, iters))
+
+  /** The same objective for an arbitrary centroid table (sampled-training
+    * quality checks run this over the FULL corpus). */
+  def objectiveOf(s: SparkSession, d: String, cents: DataFrame): Double = {
     val en = enOf(edOf(s, d))
-    en.join(broadcast(withCn(trainCentroids(s, d, iters))))
+    en.join(broadcast(withCn(cents)))
       .select(col("vec_id"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cos"))
       .groupBy("vec_id").agg(max(col("cos")).as("best"))

@@ -515,6 +515,20 @@ class QueriesSpec extends SparkSpec {
     assert(objs.last > objs.head, s"training had no effect: $objs")
   }
 
+  test("knn: sample-trained centroids stay close to full training on the full corpus") {
+    // the 100 TB training path: fit on a 50% deterministic hash-sample,
+    // evaluate on everything — must beat the untrained seed and retain most
+    // of full training's objective gain
+    val sampled = SimilarityQueries.trainCentroidsSampled(
+      spark, sf(), SimilarityQueries.KMeansIters, permille = 500)
+    val sampledObj = SimilarityQueries.objectiveOf(spark, sf(), sampled)
+    val fullObj = SimilarityQueries.quantizerObjective(
+      spark, sf(), SimilarityQueries.KMeansIters)
+    val seedObj = SimilarityQueries.quantizerObjective(spark, sf(), 0)
+    assert(sampledObj > seedObj, s"sampled $sampledObj vs seed $seedObj")
+    assert(sampledObj >= 0.9 * fullObj, s"sampled $sampledObj vs full $fullObj")
+  }
+
   test("s6 k-means clusters: a partition of the corpus, bounded by k") {
     val rows = SimilarityQueries.defs("s6_kmeans_clusters")(spark, sf()).collect()
     val n = graft.sources.Tables.embeddings(spark, sf()).count()
