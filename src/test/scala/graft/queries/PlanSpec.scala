@@ -81,6 +81,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("zip_with") && !p.contains("CodegenFallback"), p)
   }
 
+  test("s3 IVF: centroid joins broadcast; no non-broadcast all-pairs anywhere") {
+    val p = plan(graft.SparkEntry.queries("s3_knn_ivf")(spark, sf()))
+    // the k-row centroid joins (argmax assignment, probe ranking) must ride
+    // a broadcast build side; a CartesianProduct would mean a non-broadcast
+    // all-pairs. The candidate/scored equi-joins may sort-merge or hash —
+    // both are legitimate large-side shapes.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("s6 k-means: cell assignment broadcasts centroids, never shuffles the corpus into the join") {
     val p = plan(graft.SparkEntry.queries("s6_kmeans_clusters")(spark, sf()))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
