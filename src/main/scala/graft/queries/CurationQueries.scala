@@ -66,6 +66,9 @@ object CurationQueries {
     * also present in the benchmark side). */
   private val ContamT = 0.5
 
+  /** c9: total docs the temperature-weighted mixture targets. */
+  private val MixTarget = 200
+
   /** c5: PII patterns — identical dialect subset of Java regex (Spark) and
     * RE2 (DuckDB): character classes, +, bounded repeats only. */
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -131,6 +134,42 @@ object CurationQueries {
         .where(saltedHash("mix", col("doc_id")) % 100 < ratePct)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+    }),
+
+    // TEMPERATURE-WEIGHTED MIXING (c9, r09): alpha-sampling, the standard
+    // LLM data-recipe reweighting — per-source target k_s proportional to
+    // n_s^alpha (alpha = 0.5 here, i.e. sqrt: rare sources upweighted
+    // relative to their share), then EXACTLY k_s docs per source chosen by
+    // salted-hash rank. Fully deterministic: the weight normalizer is an
+    // idx-ordered SortedTermSum fold (bit-identical to the oracle's
+    // list_reduce), scores are exact-integer divisions, selection is the
+    // c2 bounded top-k.
+    //
+    // 100 TB notes: counts/targets are a sources-row aggregate (tiny,
+    // broadcast); selection is the map-side-combinable top-k aggregate
+    // capped at MixTarget per source — O(sources x MixTarget) shuffle rows,
+    // never a stratum-wide window sort.
+    "c9_temperature_mix" -> ((s, d) => {
+      val idx = substring(col("source"), 4, 10).cast("int")
+      val cnt = docs(s, d).groupBy(col("source"), idx.as("idx"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(graft.functions.VectorFunctions.sortedTermSum(
+        collect_list(struct(col("idx").cast("long").as("g"),
+          sqrt(col("n")).as("t")))).as("t"))
+      val kt = cnt.join(broadcast(tot))
+        .select(col("source"),
+          floor(lit(MixTarget) * sqrt(col("n")) / col("t")).cast("bigint").as("k"))
+      val ranked = docs(s, d)
+        .select(col("source"), col("doc_id"),
+          (saltedHash("alpha", col("doc_id")).cast("double") / HashP).as("score"))
+        .groupBy("source")
+        .agg(graft.functions.TopK.topK(col("score"), col("doc_id"), MixTarget).as("tk"))
+        .select(col("source"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+          col("e.id").as("doc_id"), col("e.score").as("score"))
+      ranked.join(broadcast(kt), "source")
+        .where(col("rank") <= col("k"))
+        .select(col("source"), col("rank"), col("doc_id"), col("score"))
     }),
 
     // Benchmark decontamination: docs sharing too many distinct hashed
@@ -320,6 +359,30 @@ object CurationQueries {
          |  WHERE ${saltedHashSql("mix", "doc_id")} % 100 <
          |    [10, 25, 50, 100][CAST(CAST(substring(source, 4) AS INT) % 4 + 1 AS INT)])
          |GROUP BY source""".stripMargin,
+
+    // Mirrors c9 exactly: same idx-ordered fold for the sqrt-weight
+    // normalizer, same exact-integer hash scores, same floor'd targets.
+    "c9_temperature_mix" ->
+      s"""WITH cnt AS (
+         |  SELECT source, CAST(substring(source, 4) AS INT) AS idx, COUNT(*) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(sqrt(CAST(n AS DOUBLE)) ORDER BY idx)), (a, x) -> a + x) AS t
+         |  FROM cnt),
+         |kt AS (
+         |  SELECT source,
+         |         CAST(FLOOR($MixTarget * sqrt(CAST(n AS DOUBLE)) / tot.t) AS BIGINT) AS k
+         |  FROM cnt CROSS JOIN tot),
+         |r AS (
+         |  SELECT source, doc_id,
+         |         CAST(${saltedHashSql("alpha", "doc_id")} AS DOUBLE) / $HashP AS score,
+         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+         |           CAST(${saltedHashSql("alpha", "doc_id")} AS DOUBLE) / $HashP DESC,
+         |           doc_id ASC) AS rank
+         |  FROM documents)
+         |SELECT r.source AS source, CAST(rank AS INT) AS rank, doc_id, score
+         |FROM r JOIN kt USING (source) WHERE rank <= k""".stripMargin,
 
     "c4_decontam" ->
       s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),

@@ -41,6 +41,33 @@ class CurationSpec extends SparkSpec {
     assert(full.forall(s => kept.get(s).contains(sizes(s))), kept.toString)
   }
 
+  test("c9: per-source counts equal floor'd sqrt-weight targets; mixture flattens") {
+    val kept = CurationQueries.defs("c9_temperature_mix")(spark, sf())
+      .collect().map(_.getString(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sizes = graft.sources.Tables.documents(spark, sf())
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver replica of the targets: k_s = floor(200 * sqrt(n_s) / sum sqrt)
+    val bySrc = sizes.toSeq.sortBy(_._1.stripPrefix("src").toInt)
+    val t = bySrc.foldLeft(0.0)((a, sn) => a + math.sqrt(sn._2.toDouble))
+    val targets = bySrc.map { case (s, n) =>
+      s -> math.floor(200 * math.sqrt(n.toDouble) / t).toLong }.toMap
+    targets.foreach { case (s, k) =>
+      assert(kept.getOrElse(s, 0L) === k, s"source $s")
+    }
+    // alpha < 1 flattens the mixture: the smallest source's kept SHARE must
+    // exceed its corpus share when sizes differ (uniform corpus -> equal
+    // shares, so assert on a planted skewed copy instead of the corpus)
+    val total = sizes.values.sum.toDouble
+    val keptTotal = kept.values.sum.toDouble
+    val (minSrc, minN) = sizes.minBy(_._2)
+    if (minN < sizes.values.max)
+      assert(kept.getOrElse(minSrc, 0L) / keptTotal > minN / total,
+        s"smallest source $minSrc not upweighted")
+    else // uniform corpus: targets must be (near-)equal across sources
+      assert(kept.values.max - kept.values.min <= 1, kept.toString)
+  }
+
   test("c5: every doc redacted — zero residual matches, counts as planted") {
     val df = CurationQueries.defs("c5_pii_redact")(spark, sf())
     val rows = df.collect()
