@@ -140,14 +140,25 @@ object CCF {
   /**
    * Run CCF to convergence.
    *
-   * Per round, ONE Spark job: the round's tagged emits are eagerly
-   * `localCheckpoint`'ed (truncating lineage), and the NewPair counter rides
-   * that same materialization as an observed metric (`Dataset.observe` —
-   * computed task-side during the checkpoint job, delivered with its
-   * completion event), instead of a second count() job over the checkpoint.
-   * The CCF-Dedup `distinct` stays LAZY — it fuses into the next round's plan
-   * (its exchange pipelines with the next aggregation). Lineage depth stays
-   * O(1): at most one distinct on top of a checkpoint.
+   * ENGINE SELECTION BY SIZE (observe-then-choose, like [[auto]]'s density
+   * rule): below [[MicroFixpoint.Threshold]] input pairs (when the kernel
+   * supports the key type), the whole fixpoint runs on [[MicroFixpoint]] —
+   * the same algorithm on the RDD layer, where a round costs one lightweight
+   * job with zero per-round Catalyst planning. Measured on the reference's
+   * 34-run matrix, per-round planning + exchange setup for the declarative
+   * path is ~150 ms while the data is <100k rows — two orders of magnitude
+   * over the compute. At scale the declarative path below wins (codegen,
+   * AQE skew handling, partial aggregation) and is the engine of record.
+   *
+   * Declarative path: per round, ONE Spark job — the round's tagged emits
+   * are eagerly `localCheckpoint`'ed (truncating lineage), and the NewPair
+   * counter rides that same materialization as an observed metric
+   * (`Dataset.observe` — computed task-side during the checkpoint job,
+   * delivered with its completion event), instead of a second count() job
+   * over the checkpoint. The CCF-Dedup `distinct` stays LAZY — it fuses into
+   * the next round's plan (its exchange pipelines with the next
+   * aggregation). Lineage depth stays O(1): at most one distinct on top of a
+   * checkpoint.
    *
    * NOT thread-safe per session: the fixpoint scopes
    * `spark.sql.shuffle.partitions` (and, for sub-100k-pair inputs, disables
@@ -264,19 +275,59 @@ object CCF {
     muteCheckpointWarnsOnce()
     require(edges.columns.length == 2, s"edge list must have 2 columns, got ${edges.columns.length}")
 
-    // Initial materialization + size estimate in one job: count(*) observed
-    // on the input's checkpoint (a prior version ran a separate count()).
-    val inObs = Observation()
-    val inCkpt = edges.toDF("src", "dst")
-      .observe(inObs, count(lit(1)).as("n"))
-      .eagerCheckpoint()
-    val nInput = observedOrCount(inObs, "input")(Map("n" -> inCkpt.count()))("n")
-    // Reset the checkpoint's carried-over Statistics to the observed truth —
-    // localCheckpoint copies the origin plan's ESTIMATE, and per-round join
-    // estimates compound (square) across checkpoints until planning time
-    // drowns in BigInteger arithmetic (see Bridge.withStats).
-    var pairs = org.apache.spark.sql.graft.Bridge.withStats(inCkpt, nInput)
-    var prevCkpt: DataFrame = pairs // checkpoint backing `pairs`
+    val inputDF = edges.toDF("src", "dst")
+    // When the optimized input is a driver-local relation its row count is
+    // already known — skip the materialization job entirely; round 1 reads the
+    // local rows directly (they appear twice in the plan via bidirect, which
+    // is free for driver-local data). Arbitrary plans (scans, joins, prior
+    // fixpoint outputs) keep the observe+checkpoint job so they are evaluated
+    // exactly once.
+    val localCount: Option[Long] =
+      inputDF.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          Some(lr.data.length.toLong)
+        case _ => None
+      }
+    var pairs: DataFrame = null
+    var prevCkpt: DataFrame = null // checkpoint backing `pairs` (null: local input)
+    val nInput = localCount match {
+      case Some(n) =>
+        pairs = inputDF
+        n
+      case None =>
+        // Initial materialization + size estimate in one job: count(*)
+        // observed on the input's checkpoint (a prior version ran a separate
+        // count()).
+        val inObs = Observation()
+        val inCkpt = inputDF.observe(inObs, count(lit(1)).as("n")).eagerCheckpoint()
+        val n = observedOrCount(inObs, "input")(Map("n" -> inCkpt.count()))("n")
+        // Reset the checkpoint's carried-over Statistics to the observed truth —
+        // localCheckpoint copies the origin plan's ESTIMATE, and per-round join
+        // estimates compound (square) across checkpoints until planning time
+        // drowns in BigInteger arithmetic (see Bridge.withStats).
+        pairs = org.apache.spark.sql.graft.Bridge.withStats(inCkpt, n)
+        prevCkpt = pairs
+        n
+    }
+
+    // Size-gated engine choice (see class scaladoc of [[MicroFixpoint]]):
+    // sub-threshold graphs run the identical algorithm on the RDD layer,
+    // where a round is one lightweight job with no per-round planning cost.
+    // Not taken when the blowup detector is armed (blowupFactor > 0 — the
+    // [[auto]] path owns its own engine policy), for key types without a
+    // typed kernel, or when the session opted into reliable checkpoints
+    // (spark.graft.checkpointDir signals a preemptible cluster, where the
+    // declarative loop's per-round DFS checkpoint is the point — the micro
+    // engine keeps state in executor blocks only).
+    val reliableCkpt = edges.sparkSession.conf
+      .getOption(graft.Checkpoints.DirKey).exists(_.nonEmpty)
+    if (blowupFactor == 0L && !reliableCkpt && nInput < MicroFixpoint.Threshold) {
+      val parts = math.max(1, (nInput / 32000L + 1L).toInt)
+      MicroFixpoint.runDF(pairs, variant, maxIterations, parts) match {
+        case Some(r) => return Left(r)
+        case None    => () // unsupported key type: declarative path below
+      }
+    }
     var olderCkpt: DataFrame = null // checkpoint 2 rounds back (freeable)
     var iteration = 0
     var converged = false
@@ -511,7 +562,7 @@ object CCF {
     * the paper's Fig. 3 reducer, O(1) memory. With `dedupAdjacent`, duplicate
     * values within a group (adjacent after the sort) are emitted once — the
     * fused CCF-Dedup (see [[iterateSecondarySort]]). */
-  private def streamGroups[K](it: Iterator[(K, K)], dedupAdjacent: Boolean = false)(implicit ord: Ordering[K]): Iterator[(K, K, Boolean)] = {
+  private[ccf] def streamGroups[K](it: Iterator[(K, K)], dedupAdjacent: Boolean = false)(implicit ord: Ordering[K]): Iterator[(K, K, Boolean)] = {
     new Iterator[(K, K, Boolean)] {
       private var nextRow: (K, K, Boolean) = _
       private var cur: Option[(K, K)] = if (it.hasNext) Some(it.next()) else None

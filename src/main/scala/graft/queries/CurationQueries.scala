@@ -150,7 +150,10 @@ object CurationQueries {
     // capped at MixTarget per source — O(sources x MixTarget) shuffle rows,
     // never a stratum-wide window sort.
     "c9_temperature_mix" -> ((s, d) => {
-      val idx = substring(col("source"), 4, 10).cast("int")
+      // unbounded substring (two-arg SQL form), textually identical to the
+      // oracle's `substring(source, 4)` — a bounded-length variant would
+      // order the normalizer fold differently for long source suffixes
+      val idx = expr("substring(source, 4)").cast("int")
       val cnt = docs(s, d).groupBy(col("source"), idx.as("idx"))
         .agg(count(lit(1)).as("n"))
       val tot = cnt.agg(graft.functions.VectorFunctions.sortedTermSum(

@@ -70,7 +70,7 @@ object DedupQueries {
     * cache/checkpoint on a cluster for exactly the same reason. */
   private val shCache = new SessionCache[String]
 
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
+  private[queries] def shingleSets(s: SparkSession, d: String): DataFrame =
     shCache.getOrElseUpdate(s, d)(SharedBuilds.timed("shingle_sets")(
       shingleSetsOf(docs(s, d)).eagerCheckpoint()))
 
@@ -163,18 +163,48 @@ object DedupQueries {
   /** (doc_id, bkey) LSH band keys of a (doc_id, sh) shingle-set frame.
     * Signature = one codegen'd pass (graft.functions.MinHashSignature)
     * updating NumHashes running minima per doc, staged in its own Project so
-    * the band slices reference the bound column, not 8 recomputations. */
-  private def lshBands(sh: DataFrame): DataFrame =
+    * the band slices reference the bound column, not `bands` recomputations.
+    *
+    * `bands` x `rowsPerBand` is the recall/precision dial a production dedup
+    * pass tunes (P(candidate at similarity j) = 1-(1-j^rows)^bands): more
+    * bands with shorter rows raises recall at lower similarity (and
+    * candidate volume); fewer, longer bands sharpens the threshold. The
+    * defaults (8x4 over the 32-hash signature) are the gated d3 setting;
+    * DedupSpec pins that the planted ≥0.9-Jaccard dups survive a 16x2
+    * re-dial. Must satisfy bands*rowsPerBand <= NumHashes. */
+  private[queries] def lshBands(sh: DataFrame, bands: Int = NumBands,
+                                rowsPerBand: Int = RowsPerBand): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= NumHashes,
+      s"banding $bands x $rowsPerBand exceeds the $NumHashes-hash signature")
     sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
       .select(
         col("doc_id"),
-        explode(sequence(lit(0), lit(NumBands - 1))).as("band"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"),
         col("sig"))
       .select(col("doc_id"),
         concat_ws(":", col("band"),
           array_join(transform(
-            slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand)),
+            slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
             _.cast("string")), "-")).as("bkey"))
+  }
+
+  /** The full d3 pipeline on a (doc_id, sh) shingle frame, parametric in the
+    * banding dial: band-bucket candidate join, exact-Jaccard verification at
+    * `threshold`. The gated key runs the 8x4 default. */
+  private[queries] def minhashLshOf(sh: DataFrame, bands: Int = NumBands,
+                                    rowsPerBand: Int = RowsPerBand,
+                                    threshold: Double = JaccardT): DataFrame = {
+    val bk = lshBands(sh, bands, rowsPerBand)
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .where(jaccard(col("sa"), col("sb")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+  }
 
   /** The corpus's persistable LSH band index: (doc_id, bkey) — ONE row per
     * doc per band. This is the table a production ingest writes once per
@@ -304,19 +334,7 @@ object DedupQueries {
     // Signature = one codegen'd pass (graft.functions.MinHashSignature)
     // updating 32 running minima per doc; staged in its own Project so the
     // band slices below reference the bound column, not 8 recomputations.
-    "d3_minhash_lsh" -> ((s, d) => {
-      val sh = shingleSets(s, d) // already hashed shingles
-      val bands = lshBands(sh)
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
-        .where(jaccard(col("sa"), col("sb")) >= JaccardT)
-        .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
-    }),
+    "d3_minhash_lsh" -> ((s, d) => minhashLshOf(shingleSets(s, d))),
 
     // SimHash document fingerprint (32-bit): token-hash bit votes → sign bits.
     // On this shared-vocabulary synthetic corpus SimHash has poor precision

@@ -105,7 +105,10 @@ object Sinks {
     // while every file's min/max box stays a union of complete tiles.
     val codeBits = cols.size * bits
     val tileBits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(files - 1, 1).toLong)
-    require(files <= (1L << codeBits),
+    // codeBits can legitimately reach 63 (7x9) or 64 (8x8), where `1L <<
+    // codeBits` wraps; files is an Int, so any codeBits >= 31 addresses more
+    // tiles than `files` can express — only check the small-codeBits case.
+    require(codeBits >= 31 || files <= (1L << codeBits),
       s"files=$files exceeds the ${1L << codeBits} addressable tiles at " +
         s"${cols.size} columns x $bits bits")
     val shift = math.max(codeBits - tileBits.toInt, 0)

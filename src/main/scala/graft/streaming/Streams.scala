@@ -26,15 +26,38 @@ object Streams {
     * microsecond TIMESTAMP (ltz). The on-disk flavor has varied across
     * driver rounds (TIMESTAMP(NANOS)-as-Long, then naive µs), so take the
     * file's actual schema from a batch peek and share the batch loader's
-    * normalization ([[graft.sources.Tables.normalizeEventTs]]). */
+    * normalization ([[graft.sources.Tables.normalizeEventTs]]).
+    *
+    * When no events file exists yet at definition time (the normal
+    * stream-before-data pattern — the feed directory starts empty), the peek
+    * fails and we fall back to the static schema below (the current driver
+    * flavor: naive-µs `ts`, which `normalizeEventTs` casts to ltz). A feed
+    * whose first files arrive in a DIFFERENT historical flavor must be
+    * defined after at least one file exists so the peek can see it. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    val fileSchema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val fileSchema =
+      try spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => staticEventSchema
+      }
     graft.sources.Tables.normalizeEventTs(
       spark.readStream
         .schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
+  }
+
+  /** Fallback events schema for defining the stream before any data lands
+    * (FIXTURES.md events table, naive-µs ts flavor). */
+  private[graft] val staticEventSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
   }
 
   /** Streaming hourly windowed aggregation with a 2-hour watermark —

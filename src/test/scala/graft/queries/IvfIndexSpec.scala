@@ -75,13 +75,18 @@ class IvfIndexSpec extends SparkSpec {
     val allCells = IvfIndex.cells(spark, s"$tmp/prune")
       .select("cid").distinct().collect().map(_.getLong(0)).toSet
     assume(probed.size < allCells.size, "need unprobed cells for the pruning claim")
-    // the files actually scanned by the search's posting read are confined
-    // to probed cid= directories
+    // Assert pruning from the PLAN, not from surviving rows (post-filter
+    // input_file_name() only reflects rows that passed the filter — it would
+    // hold even with a full scan): the FileSourceScan under the search's
+    // posting read must select exactly the probed cid= partitions, and the
+    // unpruned read must select all of them.
+    def partitionsSelected(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.selectedPartitions.partitionCount).sum
     val filtered = IvfIndex.cells(spark, s"$tmp/prune")
       .where(col("cid").isin(probed.toSeq: _*))
-    val readDirs = filtered.select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0))
-      .map(f => f.split("/cid=")(1).split("/")(0).toLong).toSet
-    assert(readDirs === probed)
+    assert(partitionsSelected(filtered) === probed.size)
+    assert(partitionsSelected(IvfIndex.cells(spark, s"$tmp/prune")) === allCells.size)
   }
 }

@@ -31,6 +31,26 @@ class QueriesSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("minhash-LSH banding dial: 16x2 re-dial keeps full recall at the planted dups") {
+    // The b x r banding is the recall/precision knob a production dedup pass
+    // tunes (P(candidate) = 1-(1-j^r)^b). Re-dialing to 16 bands x 2 rows
+    // RAISES candidate recall at every similarity level, and the exact
+    // verification step keeps precision — so the verified pair set must
+    // still contain every exact >=T pair. Fails if the dial stops being
+    // honored (e.g. a hard-coded 8x4 sneaking back into the band slicing).
+    val sh = DedupQueries.shingleSets(spark, sf())
+    val exact = DedupQueries.defs("d2_ngram_jaccard")(spark, sf())
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val redialed = DedupQueries.minhashLshOf(sh, bands = 16, rowsPerBand = 2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(redialed))
+    assert(exact.nonEmpty)
+    // and an over-budget dial is rejected, not silently truncated
+    intercept[IllegalArgumentException] {
+      DedupQueries.minhashLshOf(sh, bands = 16, rowsPerBand = 4)
+    }
+  }
+
   test("e7 binned range join == naive non-equi range join") {
     val binned = EventQueries.defs("e7_range_join")(spark, sf())
       .select("incident_id", "event_id")
