@@ -78,6 +78,9 @@ private[queries] object SessionCache {
   private val ids = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
 
-  private def idOf(s: SparkSession): String =
+  /** Minted per-session UUID (see class scaladoc for why not
+    * identityHashCode) — shared with the non-DataFrame memo maps (e.g. the
+    * persisted-IVF index directory in [[SimilarityQueries]]). */
+  private[queries] def idOf(s: SparkSession): String =
     ids.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
 }

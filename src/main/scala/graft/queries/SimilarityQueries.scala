@@ -178,8 +178,41 @@ object SimilarityQueries {
         .groupBy("cid")
         .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("rep_vec"))
         .select(col("cid").as("cluster_id"), col("n_members"), col("rep_vec"))
+    }),
+
+    // PERSISTED-INDEX SEARCH (s7, r10): the same multi-probe IVF search as
+    // s3, but over the ON-DISK index ([[IvfIndex]]: centroids.parquet + the
+    // hive-partitioned cid= posting lists) instead of an inline cell
+    // assignment — the full production lifecycle (build once, search many,
+    // append without re-reading the corpus) under the oracle gate. Search
+    // reads ONLY probed cell partitions (IvfIndexSpec asserts partition
+    // pruning from the executed plan); results are identical to s3 because
+    // the persisted quantizer is the same deterministic trained one, so the
+    // s3 oracle transfers verbatim.
+    "s7_ivf_index_search" -> ((s, d) => {
+      val idx = indexDir(s, d)
+      val q = enOf(edOf(s, d)).where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      IvfIndex.search(s, idx, q)
     })
   )
+
+  /** Per-(session, dir) persisted-index directory for s7 — built once into a
+    * temp dir via [[IvfIndex.build]] (attributed as the "ivf_index_persist"
+    * shared build), reused until [[clearCaches]]. The map holds only paths
+    * (no plans), keyed by the same minted session UUID as [[SessionCache]]. */
+  private val idxDirs = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def indexDir(s: SparkSession, d: String): String = {
+    // hoist prerequisite builds so a cold cache bills them separately
+    val _ = trainCentroids(s, d, KMeansIters)
+    idxDirs.getOrElseUpdate((SessionCache.idOf(s), d),
+      SharedBuilds.timed("ivf_index_persist") {
+        val dir = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+        IvfIndex.build(s, d, dir)
+        dir
+      })
+  }
 
   // ---- s3 IVF training (spherical k-means), shared with the specs ----
 
@@ -274,9 +307,13 @@ object SimilarityQueries {
     if (iters == 0) cents.eagerCheckpoint() else cents
   }
 
-  /** Evict this session's memoized centroid checkpoints (long-lived
-    * services; one-shot Verify/Bench processes never need it). */
-  def clearCaches(s: SparkSession): Unit = centsCache.clear(s)
+  /** Evict this session's memoized centroid checkpoints and forget its
+    * persisted-index dirs (the next s7 access rebuilds — bench passes each
+    * re-pay the build; the orphaned temp files are the OS tmp reaper's). */
+  def clearCaches(s: SparkSession): Unit = {
+    centsCache.clear(s)
+    idxDirs.keys.filter(_._1 == SessionCache.idOf(s)).foreach(idxDirs.remove)
+  }
 
   /** Mean best-cell cosine over the corpus — the spherical k-means objective
     * (monotone non-decreasing over Lloyd rounds; spec-pinned). */
@@ -367,33 +404,12 @@ object SimilarityQueries {
          |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
          |  FROM scored) WHERE rank <= $TopK""".stripMargin,
 
-    // Mirrors s3 exactly: same seeded centroids, the same KMeansIters Lloyd
-    // rounds unrolled as CTE triplets (a_i assignment / s_i+n_i mean / c_i
-    // next centroids — the g2-oracle technique), same (cos, -cid) composite
-    // argmax (struct comparison is lexicographic in both engines; cosines
-    // and centroid means are bit-identical sequential folds), same probe
-    // ranking.
-    "s3_knn_ivf" ->
-      s"""WITH $kmeansOracleCtes,
-         |probes AS (
-         |  SELECT query_id, cid FROM (
-         |    SELECT q.vec_id AS query_id, c.cid,
-         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |             ORDER BY ${dotSql("q.v", "c.cv")} / (q.nrm * c.cn) DESC, c.cid ASC) AS pr
-         |    FROM en q CROSS JOIN cw c WHERE q.vec_id < 10)
-         |  WHERE pr <= $NumProbes),
-         |cand AS (
-         |  SELECT p.query_id, a.vec_id FROM probes p JOIN asgn a USING (cid)
-         |  WHERE a.vec_id <> p.query_id),
-         |scored AS (
-         |  SELECT cand.query_id, e.vec_id AS neighbor_id,
-         |         ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS cos
-         |  FROM cand JOIN en e ON e.vec_id = cand.vec_id
-         |            JOIN en q ON q.vec_id = cand.query_id)
-         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
-         |  SELECT query_id, neighbor_id, cos,
-         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |  FROM scored) WHERE rank <= $TopK""".stripMargin,
+    "s3_knn_ivf" -> ivfSearchOracle,
+
+    // s7 searches the persisted index with the SAME trained quantizer and
+    // probe/top-k rule as s3 (search ≡ s3 is also spec-asserted), so the
+    // oracle transfers verbatim.
+    "s7_ivf_index_search" -> ivfSearchOracle,
 
     // s6: the trained quantizer's cell assignment itself, rolled up — same
     // kmeans CTE prefix, then a plain per-cluster aggregate.
@@ -402,6 +418,34 @@ object SimilarityQueries {
          |SELECT cid AS cluster_id, COUNT(*) AS n_members, MIN(vec_id) AS rep_vec
          |FROM asgn GROUP BY cid""".stripMargin
   )
+
+  /** The s3/s7 oracle: mirrors the IVF search exactly — same seeded
+    * centroids, the same KMeansIters Lloyd rounds unrolled as CTE triplets
+    * (a_i assignment / s_i+n_i mean / c_i next centroids — the g2-oracle
+    * technique), same (cos, -cid) composite argmax (struct comparison is
+    * lexicographic in both engines; cosines and centroid means are
+    * bit-identical sequential folds), same probe ranking. */
+  private def ivfSearchOracle: String =
+    s"""WITH $kmeansOracleCtes,
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.vec_id AS query_id, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${dotSql("q.v", "c.cv")} / (q.nrm * c.cn) DESC, c.cid ASC) AS pr
+       |    FROM en q CROSS JOIN cw c WHERE q.vec_id < 10)
+       |  WHERE pr <= $NumProbes),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id FROM probes p JOIN asgn a USING (cid)
+       |  WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, e.vec_id AS neighbor_id,
+       |         ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS cos
+       |  FROM cand JOIN en e ON e.vec_id = cand.vec_id
+       |            JOIN en q ON q.vec_id = cand.query_id)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= $TopK""".stripMargin
 
   /** Shared oracle prefix: double-cast embeddings, norms, seed centroids,
     * KMeansIters unrolled Lloyd rounds, trained-centroid norms (cw) and the
