@@ -205,6 +205,56 @@ class SinksSpec extends SparkSpec {
     assert(gotSum === wantSum)
   }
 
+  test("nightly sequence: upsert -> compaction -> pruned read composes (VERDICT r9 #3)") {
+    // The maintenance sequence a production lake actually runs, as ONE flow:
+    // late-data dynamic-partition upsert into an over-parallel lake, then
+    // whole-lake compaction, then a partition-pruned read — proving contents,
+    // untouched-leaf file identity across the upsert, and that
+    // PartitionFilters survive the composition (each step was only spec'd
+    // solo before).
+    val orders = Tables.orders(spark, sf()).withColumn("o_year", year(col("o_orderdate")))
+    val lake = s"$tmp/nightly"
+    // over-parallel ingest: every o_year= leaf holds up to 6 small files
+    orders.repartition(6).write.partitionBy("o_year").parquet(lake)
+    val years = new java.io.File(lake).listFiles()
+      .filter(_.isDirectory).map(_.getName.stripPrefix("o_year=").toInt).sorted
+    assert(years.length >= 2, s"need >=2 partitions, got ${years.toSeq}")
+    val (touched, untouched) = (years.head, years.last)
+    def leafFiles(y: Int) = new java.io.File(s"$lake/o_year=$y").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
+    val beforeUpsert = leafFiles(untouched)
+
+    // 1) the late-data upsert: one year's totalprice corrected
+    val corrected = orders.where(col("o_year") === touched)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    Sinks.overwritePartitions(corrected, lake, "o_year")
+    // untouched leaf untouched by the upsert: same files, same mtimes
+    assert(leafFiles(untouched) === beforeUpsert)
+
+    // 2) the compaction pass over the whole lake
+    val (nBefore, nAfter) = Sinks.compactPartitionedParquet(
+      spark, lake, s"$lake.compact", targetBytes = 64L * 1024 * 1024)
+    assert(nAfter < nBefore, s"$nAfter !< $nBefore")
+    assert(!new java.io.File(s"$lake.compact").exists())
+
+    // 3) the pruned read over the composed result
+    val expected = orders.where(col("o_year") =!= touched).unionByName(corrected)
+    val back = spark.read.parquet(lake)
+    assert(back.count() === expected.count())
+    def sums(df: org.apache.spark.sql.DataFrame) = df
+      .agg(sum("o_orderkey"), sum(expr("CAST(o_totalprice AS DECIMAL(16,2))"))).head
+    assert(sums(back).getLong(0) === sums(expected).getLong(0))
+    assert(sums(back).getDecimal(1) === sums(expected).getDecimal(1))
+    // partition pruning reaches the scan AFTER upsert+compaction, on both
+    // the corrected and an untouched partition
+    for (y <- Seq(touched, untouched)) {
+      val pruned = back.where(col("o_year") === y)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(o_year"), plan)
+      assert(pruned.count() === expected.where(col("o_year") === y).count())
+    }
+  }
+
   test("partitioned parquet: hive layout + partition pruning at the scan") {
     val orders = Tables.orders(spark, sf())
       .withColumn("o_year", year(col("o_orderdate")))

@@ -148,6 +148,62 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("sub-millisecond ordering: same-ms out-of-order events still match the batch twins") {
+    // Two events ONE MILLISECOND apart is the granularity getTime() can see;
+    // inside a millisecond only epoch-micros ordering works. Plant pairs in
+    // the SAME millisecond, different microseconds, stored in REVERSED order
+    // (and with ids that make any millis-granular sort pick the later event
+    // first) — the exact shape the r9 µs-sort fix addressed; this spec FAILS
+    // if the per-trigger sort reverts to ts.getTime:
+    //  - funnel user 10: view at T+100µs (id 2), click at T+200µs (id 1),
+    //    file order click-first. µs sort → view then click → stage 2; a
+    //    millis sort processes the click before any view → stage 1.
+    //  - session user 20: ids 3/4 at S+200µs/S+100µs, file order id3-first,
+    //    then a closer event 31 min later. The emitted session's start/end
+    //    are the first/last PROCESSED stamps — a millis sort yields
+    //    (start=S+200µs, end=S+100µs), the batch oracle (min/max) does not.
+    val dir = java.nio.file.Files.createTempDirectory("graft-us-fixture").toString
+    val base = 1704067200L * 1000000L // 2024-01-01 00:00:00 UTC in µs
+    val rows = Seq(
+      // (event_id, us, user_id, event_type) — THIS order is the file order
+      (1L, base + 5000200L, 10L, "click"),
+      (2L, base + 5000100L, 10L, "view"),
+      (6L, base + 7000000L, 10L, "purchase"), // later ms: completes the chain
+      (3L, base + 9000200L, 20L, "view"),
+      (4L, base + 9000100L, 20L, "view"),
+      (5L, base + 9000100L + 31L * 60 * 1000000L, 20L, "view")) // closes session 1
+    import spark.implicits._
+    rows.toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"), col("user_id"),
+        col("event_type"), lit(1.0).as("value"), lit("""{"k": 1}""").as("props"))
+      .coalesce(1)
+      .write.parquet(s"$dir/_stage")
+    // single FILE named events.parquet, the driver's testdata layout (the
+    // stream source's pathGlobFilter matches leaf file names)
+    val part = new java.io.File(s"$dir/_stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+    val funnelStreamed = Streams.runFunnelOnce(spark, dir, "funnel_us_spec")
+    val funnelBatch = EventQueries.defs("e10_funnel")(spark, dir)
+    assert(sorted(funnelStreamed.collect()) === sorted(funnelBatch.collect()))
+    // and the planted user really exercised the same-ms path to stage 3
+    assert(funnelStreamed.where(col("user_id") === 10).head.getInt(1) === 3)
+
+    val sessStreamed = Streams.runSessionizeOnce(spark, dir, "sessions_us_spec")
+    val sessBatch = EventQueries.defs("e2_sessions")(spark, dir)
+    val w = Window.partitionBy("user_id")
+    val closedBatch = sessBatch
+      .withColumn("max_sid", max("session_id").over(w))
+      .where(col("session_id") =!= col("max_sid"))
+      .drop("max_sid")
+    assert(sorted(sessStreamed.collect()) === sorted(closedBatch.collect()))
+    // the planted session's bounds are the µs-precise min/max
+    val s20 = sessStreamed.where(col("user_id") === 20).head
+    assert(s20.getAs[java.sql.Timestamp]("session_start").getNanos === 100000)
+    assert(s20.getAs[java.sql.Timestamp]("session_end").getNanos === 200000)
+  }
+
   test("checkpointed ingest: restart resumes from the offset log — exactly once end-to-end") {
     val ev = graft.sources.Tables.events(spark, sf())
     val dir = java.nio.file.Files.createTempDirectory("graft-ck").toString
