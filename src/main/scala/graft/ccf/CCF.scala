@@ -266,9 +266,11 @@ object CCF {
 
   /** Hand-off state when the blowup detector fires: the current pair set (same
     * components as the input — see [[auto]]), the checkpoints backing it (for
-    * the caller to free once done), and the rounds/history so far. */
-  private final case class Switched(pairs: DataFrame, ckpts: Seq[DataFrame],
-                                    iterations: Int, history: Seq[Long])
+    * the caller to free once done; empty from the micro engine, whose rounds
+    * live in persist blocks the ContextCleaner reclaims), and the
+    * rounds/history so far. */
+  private[ccf] final case class Switched(pairs: DataFrame, ckpts: Seq[DataFrame],
+                                         iterations: Int, history: Seq[Long])
 
   private def runSwitchable(edges: DataFrame, variant: Variant, maxIterations: Int,
                             blowupFactor: Long): Either[CCFResult, Switched] = {
@@ -313,18 +315,19 @@ object CCF {
     // Size-gated engine choice (see class scaladoc of [[MicroFixpoint]]):
     // sub-threshold graphs run the identical algorithm on the RDD layer,
     // where a round is one lightweight job with no per-round planning cost.
-    // Not taken when the blowup detector is armed (blowupFactor > 0 — the
-    // [[auto]] path owns its own engine policy), for key types without a
-    // typed kernel, or when the session opted into reliable checkpoints
-    // (spark.graft.checkpointDir signals a preemptible cluster, where the
-    // declarative loop's per-round DFS checkpoint is the point — the micro
-    // engine keeps state in executor blocks only).
+    // The armed blowup detector ([[auto]], blowupFactor > 0) runs inside the
+    // micro loop on the same observed row counts, so the auto path gets the
+    // same latency rounds and the same mid-fixpoint hand-off. Not taken for
+    // key types without a typed kernel, or when the session opted into
+    // reliable checkpoints (spark.graft.checkpointDir signals a preemptible
+    // cluster, where the declarative loop's per-round DFS checkpoint is the
+    // point — the micro engine keeps state in executor blocks only).
     val reliableCkpt = edges.sparkSession.conf
       .getOption(graft.Checkpoints.DirKey).exists(_.nonEmpty)
-    if (blowupFactor == 0L && !reliableCkpt && nInput < MicroFixpoint.Threshold) {
+    if (!reliableCkpt && nInput < MicroFixpoint.Threshold) {
       val parts = math.max(1, (nInput / 32000L + 1L).toInt)
-      MicroFixpoint.runDF(pairs, variant, maxIterations, parts) match {
-        case Some(r) => return Left(r)
+      MicroFixpoint.runDF(pairs, variant, maxIterations, parts, blowupFactor, nInput) match {
+        case Some(r) => return r
         case None    => () // unsupported key type: declarative path below
       }
     }

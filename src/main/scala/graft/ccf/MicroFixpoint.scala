@@ -54,24 +54,37 @@ object MicroFixpoint {
   val Threshold: Long = 100000L
 
   /** Fixpoint outcome on the RDD layer; `assignments` is (node, component),
-    * representative has no row — the same contract as [[CCF.CCFResult]]. */
+    * representative has no row — the same contract as [[CCF.CCFResult]].
+    * When `switched` (blowup detector fired — see [[CCF.auto]]), it is the
+    * CURRENT pair set instead (same components as the input; pre-dedup). */
   final case class MicroResult[K](assignments: RDD[(K, K)], iterations: Int,
-                                  converged: Boolean, history: Seq[Long])
+                                  converged: Boolean, history: Seq[Long],
+                                  switched: Boolean = false)
 
   /** Run the fixpoint for any ordered key type. `parts0` sizes the first
-    * round's shuffles (later rounds re-size from observed counts). */
+    * round's shuffles; later rounds re-size from the OBSERVED pair count up
+    * to `maxParts` (the session's shuffle-partition default) — intermediate
+    * pair sets can blow up orders of magnitude past the input (string-keyed
+    * chains), and a cap derived from the input size would serialize exactly
+    * those rounds. With `blowupFactor > 0`, runs [[CCF.auto]]'s blowup
+    * detector on the same observed per-round row counts: 2 consecutive
+    * rounds past `blowupFactor x nInput` end the run with
+    * `switched = true`. */
   def run[K: ClassTag](pairs0: RDD[(K, K)], variant: CCF.Variant, maxIterations: Int,
-                       parts0: Int)(implicit ord: Ordering[K]): MicroResult[K] = {
+                       parts0: Int, blowupFactor: Long = 0L, nInput: Long = 0L,
+                       maxParts: Int = 32)(implicit ord: Ordering[K]): MicroResult[K] = {
     val sc = pairs0.sparkContext
     var pairs = pairs0
     var prevCached: RDD[_] = null
     var olderCached: RDD[_] = null
     var iteration = 0
     var converged = false
+    var switched = false
+    var consecutiveBlowups = 0
     var parts = math.max(1, parts0)
     val history = scala.collection.mutable.ArrayBuffer.empty[Long]
     val trace = sys.env.get("SPARK_GRAFT_CCF_TRACE").contains("1")
-    while (iteration < maxIterations && !converged) {
+    while (iteration < maxIterations && !converged && !switched) {
       iteration += 1
       val t0 = if (trace) System.nanoTime() else 0L
       val tagged = iterate(pairs, variant, dedupAdjacent = iteration > 1, parts)
@@ -94,7 +107,11 @@ object MicroFixpoint {
       prevCached = tagged
       history += newPairs
       converged = newPairs == 0L
-      parts = math.max(1, math.min(parts0, (rows / 32000L + 1L).toInt))
+      if (blowupFactor > 0L && rows > blowupFactor * math.max(1L, nInput)) {
+        consecutiveBlowups += 1
+        if (consecutiveBlowups >= 2) switched = true
+      } else consecutiveBlowups = 0
+      parts = math.max(1, math.min(maxParts, (rows / 32000L + 1L).toInt))
       // CCF-Dedup is FUSED into the next round's group stage for both
       // variants (adjacent-skip in the sorted kernel; per-key value-set in
       // the grouped kernel) — round-2+ emits are single-orientation
@@ -107,9 +124,12 @@ object MicroFixpoint {
     }
     // Converged emits are one (key, min) row per key — already distinct; the
     // maxIterations-without-convergence path deduplicates defensively (its
-    // pair set is pre-dedup), matching the declarative loop's tail.
-    val assignments = if (converged) pairs else pairs.distinct(parts)
-    MicroResult(assignments, iteration, converged, history.toSeq)
+    // pair set is pre-dedup), matching the declarative loop's tail. The
+    // switched hand-off passes the pre-dedup pair set as-is (the successor
+    // engine's topology build tolerates duplicates).
+    val assignments =
+      if (converged || switched) pairs else pairs.distinct(parts)
+    MicroResult(assignments, iteration, converged, history.toSeq, switched)
   }
 
   /** One CCF-Iterate round → (src, dst, isNew) rows, pre-dedup. */
@@ -171,25 +191,35 @@ object MicroFixpoint {
   /** DataFrame adapter: run the micro engine when the key type has a kernel
     * (string/long/int — the same set the SecondarySort streaming kernel
     * supports), else None and the caller stays on the declarative path.
-    * `pairs` must be a materialized-or-cheap 2-column (src, dst) frame. */
+    * `pairs` must be a materialized-or-cheap 2-column (src, dst) frame.
+    * Returns Left(result) on convergence / iteration cap, Right(switched
+    * hand-off) when the armed blowup detector fired (see [[CCF.auto]]). */
   private[ccf] def runDF(pairs: DataFrame, variant: CCF.Variant, maxIterations: Int,
-                         parts: Int): Option[CCF.CCFResult] = {
+                         parts: Int, blowupFactor: Long, nInput: Long)
+      : Option[Either[CCF.CCFResult, CCF.Switched]] = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    def toResult[K](r: MicroResult[K], toDF: RDD[(K, K)] => DataFrame): CCF.CCFResult =
-      CCF.CCFResult(toDF(r.assignments).toDF("node", "component"), r.iterations,
-        r.converged, r.history, engine = "ccf")
+    val maxParts = math.max(1,
+      try spark.conf.get("spark.sql.shuffle.partitions").toInt catch { case _: Throwable => 32 })
+    def toResult[K](r: MicroResult[K], toDF: RDD[(K, K)] => DataFrame)
+        : Either[CCF.CCFResult, CCF.Switched] =
+      if (r.switched)
+        Right(CCF.Switched(toDF(r.assignments).toDF("src", "dst"),
+          Seq.empty, r.iterations, r.history))
+      else
+        Left(CCF.CCFResult(toDF(r.assignments).toDF("node", "component"), r.iterations,
+          r.converged, r.history, engine = "ccf"))
     val tupled = pairs.toDF("_1", "_2")
     pairs.schema.fields(0).dataType.typeName match {
       case "string" =>
         val rdd = tupled.as[(String, String)].rdd
-        Some(toResult[String](run(rdd, variant, maxIterations, parts), _.toDF()))
+        Some(toResult[String](run(rdd, variant, maxIterations, parts, blowupFactor, nInput, maxParts), _.toDF()))
       case "long" =>
         val rdd = tupled.as[(Long, Long)].rdd
-        Some(toResult[Long](run(rdd, variant, maxIterations, parts), _.toDF()))
+        Some(toResult[Long](run(rdd, variant, maxIterations, parts, blowupFactor, nInput, maxParts), _.toDF()))
       case "integer" =>
         val rdd = tupled.as[(Int, Int)].rdd
-        Some(toResult[Int](run(rdd, variant, maxIterations, parts), _.toDF()))
+        Some(toResult[Int](run(rdd, variant, maxIterations, parts, blowupFactor, nInput, maxParts), _.toDF()))
       case _ => None
     }
   }
