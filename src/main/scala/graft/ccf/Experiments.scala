@@ -71,13 +71,16 @@ object Experiments {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed JVM/planner warmup: one throwaway fixpoint per variant so run 1
-    // of the matrix doesn't absorb one-time class-loading/JIT cost. The
-    // reference pays the same warmup inside its first row (its row 1 is 3-5x
-    // its steady state for the identical reason); per-run numbers after this
-    // are steady-state on both sides.
-    for (v <- Seq(CCF.Basic, CCF.SecondarySort))
-      CCF.run(Generators.toDF(spark, Generators.chainGraph(10)), v)
+    // Untimed JVM/planner warmup: a few throwaway fixpoints per variant so
+    // the matrix's first rows don't absorb one-time class-loading/C2-JIT
+    // cost. The reference pays the same warmup inside its first row (its
+    // row 1 is 3-5x its steady state for the identical reason). One tiny run
+    // is not enough — measured on this box, the shuffle/reducer loops only
+    // reach steady state after ~6 invocations (rows 3-6 of the matrix were
+    // still 2-4x their isolated-steady-state times with a single-run
+    // warmup) — so run 4 small random fixpoints per variant.
+    for (v <- Seq(CCF.Basic, CCF.SecondarySort); _ <- 1 to 4)
+      CCF.run(Generators.toDF(spark, Generators.randomGraph(100, 300)), v)
     val rs = runAll(spark)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), toCsv(rs))
     println(s"wrote ${rs.size} rows to $out")
