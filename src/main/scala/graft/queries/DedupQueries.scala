@@ -444,8 +444,53 @@ object DedupQueries {
             (col("a.nrm") * col("b.nrm"))).as("cos"))
         .where(col("cos") >= 0.4)
         .select(col("vec_a"), col("vec_b"), col("cos"))
+    }),
+
+    // SEMANTIC dedup (d10, r10): cluster-then-near-dup — assign every
+    // embedding to its trained k-means cell (the s6 quantizer, memoized
+    // across s3/s6/s7/d10), generate candidate pairs WITHIN a cell only,
+    // verify by exact cosine, and for each pair above the threshold remove
+    // the member with the HIGHER cosine to its cell centroid (keeping the
+    // farther-from-centroid example preserves diversity; ties to the larger
+    // id). Per-vector verdict: (vec_id, cluster_id, ccos, removed).
+    //
+    // 100 TB notes: candidate generation is the trained quantizer's
+    // broadcast argmax (one map-side pass over the corpus), then ONE
+    // shuffle keyed by cid; pairwise work is Σ n_c² over cells, bounded by
+    // training k to ~n²/k — k grows with the corpus so per-cell population
+    // stays fixed (the published semantic-dedup recipe). Unlike d7's
+    // random-hyperplane buckets the cells adapt to the data, so recall at
+    // a given candidate budget is higher. The removal rule is per-pair
+    // (no transitive closure), so the whole pass is join + aggregate —
+    // no fixpoint.
+    "d10_semantic_dedup" -> ((s, d) => {
+      val en = SimilarityQueries.enOf(SimilarityQueries.edOf(s, d))
+      val cents = SimilarityQueries.trainCentroids(s, d, SimilarityQueries.KMeansIters)
+      val asgn = SimilarityQueries.assignCells(en, cents)
+      // per-vector centroid cosine (the keep-rule's ranking key), computed
+      // with the same sequential-fold dot the oracle replays bit-for-bit
+      val cc = en.join(asgn, "vec_id")
+        .join(broadcast(SimilarityQueries.withCn(cents)), "cid")
+        .select(col("cid"), col("vec_id"), col("v"), col("nrm"),
+          (graft.functions.VectorFunctions.dot(col("v"), col("cv")) /
+            (col("nrm") * col("cn"))).as("ccos"))
+      val losers = cc.as("a").join(cc.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .where((graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))) >= SemDedupT)
+        .select(when(struct(col("a.ccos"), col("a.vec_id")) >
+            struct(col("b.ccos"), col("b.vec_id")),
+          col("a.vec_id")).otherwise(col("b.vec_id")).as("vec_id"))
+        .distinct()
+      cc.join(losers.withColumn("rm", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid").as("cluster_id"), col("ccos"),
+          coalesce(col("rm"), lit(false)).as("removed"))
     })
   )
+
+  /** d10 cosine threshold — same near-dup regime as d5/d7 (planted dups sit
+    * well above, background below). */
+  private val SemDedupT = 0.4
 
   // ------------------------------------------------------------- oracles
 
@@ -593,6 +638,24 @@ object DedupQueries {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+
+    // d10: the s6 trained-quantizer CTE prefix (en/cw/asgn — bit-identical
+    // Lloyd trajectory), then within-cell pairs >= the threshold and the
+    // higher-(ccos, id) member of each pair marked removed.
+    "d10_semantic_dedup" ->
+      s"""WITH ${SimilarityQueries.kmeansOracleCtes},
+         |cc AS (
+         |  SELECT a.cid, e.vec_id, e.v, e.nrm,
+         |         ${dotSql("e.v", "c.cv")} / (e.nrm * c.cn) AS ccos
+         |  FROM asgn a JOIN en e USING (vec_id) JOIN cw c USING (cid)),
+         |losers AS (
+         |  SELECT DISTINCT CASE WHEN row(a.ccos, a.vec_id) > row(b.ccos, b.vec_id)
+         |                       THEN a.vec_id ELSE b.vec_id END AS vec_id
+         |  FROM cc a JOIN cc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4)
+         |SELECT cc.vec_id, cc.cid AS cluster_id, cc.ccos,
+         |       l.vec_id IS NOT NULL AS removed
+         |FROM cc LEFT JOIN losers l ON cc.vec_id = l.vec_id""".stripMargin
   )
 }

@@ -451,7 +451,7 @@ object SimilarityQueries {
     * KMeansIters unrolled Lloyd rounds, trained-centroid norms (cw) and the
     * final cell assignment (asgn). One Lloyd round = assignment a_i /
     * per-dim deterministic mean s_i+n_i / next centroids c_i. */
-  private def kmeansOracleCtes: String = {
+  private[queries] def kmeansOracleCtes: String = {
     def lloyd(i: Int): String = {
       val prev = s"c${i - 1}"
       s"""a$i AS (

@@ -234,4 +234,14 @@ class PlanSpec extends SparkSpec {
     assert(!fast.contains("collect_list"), fast)
     assert(fast.contains("partial_sum"), fast)
   }
+
+  test("d10 semantic dedup: centroids broadcast, pair join is a cid equi-join, no cartesian") {
+    val p = finalPlan(graft.SparkEntry.queries("d10_semantic_dedup")(spark, sf()))
+    // candidate generation must stay within-cell: the self-join keys on cid
+    // (an equi-join — hash or sort-merge both fine at the big-data scale),
+    // never an all-pairs cartesian; the k-row centroid tables ride broadcast
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("cid"), p)
+  }
 }

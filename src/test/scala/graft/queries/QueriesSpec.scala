@@ -580,4 +580,24 @@ class QueriesSpec extends SparkSpec {
       .collect().map(_.getInt(0))
     assert(joined.forall(_ <= 4))
   }
+
+  test("d10 semantic dedup: verdict per vector; removals = higher-(ccos,id) member of same-cell >=T pairs") {
+    val out = DedupQueries.defs("d10_semantic_dedup")(spark, sf("sf0.01")).collect()
+    val nVec = graft.sources.Tables.embeddings(spark, sf("sf0.01")).count()
+    assert(out.length.toLong === nVec)
+    val cid = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccos = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val removed = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    // rebuild the expected removal set from first principles: d5's exact
+    // >=0.4 pairs restricted to same trained cell, keep rule = drop the
+    // higher-(centroid-cos, id) member
+    val expect = DedupQueries.defs("d5_embedding_neardup")(spark, sf("sf0.01"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cid(a) == cid(b) }
+      .map { case (a, b) =>
+        if (ccos(a) > ccos(b) || (ccos(a) == ccos(b) && a > b)) a else b }
+      .toSet
+    assert(removed === expect)
+    assert(removed.nonEmpty) // the planted near-dups share a cell at sf0.01
+  }
 }
