@@ -102,4 +102,59 @@ object IvfIndex {
       .where(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** INCREMENTAL semantic dedup — d10's daily-ingest twin over the
+    * persisted index, the closed loop [[graft.queries.DedupQueries
+    * .incrementalDedup]] gives MinHash: assign the new batch
+    * ((vec_id, v: array<double>); ids must not collide with the corpus)
+    * against the PERSISTED centroids (one broadcast argmax over the batch
+    * only), read ONLY the touched cells' posting lists, and reject a batch
+    * member that
+    *  (a) has ANY same-cell corpus neighbor at cosine >= `threshold` — the
+    *      corpus always wins: it is already admitted, so unlike batch d10
+    *      the keep rule cannot evict it retroactively; or
+    *  (b) loses d10's keep rule ((ccos, id) — the closer-to-centroid member
+    *      of a >=threshold pair drops) against another BATCH member in the
+    *      same cell.
+    * Returns one verdict row per batch member: (vec_id, cluster_id, ccos,
+    * admitted). Callers then [[append]] the admitted rows so the NEXT
+    * batch's pass sees today's admissions.
+    *
+    * At 100 TB: the corpus participates only through the probed posting
+    * partitions (`cid IN` pruning, ≤ batch-distinct cells), so a G-byte
+    * batch against a T-byte corpus does O(G + touched cells) work per day,
+    * never corpus × corpus pair work. */
+  def semanticDedupIncremental(s: SparkSession, indexDir: String,
+                               batch: DataFrame,
+                               threshold: Double): DataFrame = {
+    import graft.Checkpoints.EagerOps
+    val dot = graft.functions.VectorFunctions.dot _
+    val cw = SimilarityQueries.withCn(centroids(s, indexDir))
+    val en = batch.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // batch frame feeds three joins (corpus probe, self-pair, verdict) —
+    // checkpoint so the argmax assignment isn't re-planned per branch
+    val b = en.join(SimilarityQueries.assignCells(en, centroids(s, indexDir)), "vec_id")
+      .join(broadcast(cw), "cid")
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
+      .eagerCheckpoint()
+    // bounded driver action: the batch touches ≤ k distinct cells
+    val touched = b.select("cid").distinct().collect().map(_.getLong(0))
+    val posting = cells(s, indexDir).where(col("cid").isin(touched: _*))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val hitCorpus = b.as("n").join(posting.as("o"), col("n.cid") === col("o.cid"))
+      .where((dot(col("n.v"), col("o.v")) / (col("n.nrm") * col("o.nrm"))) >= threshold)
+      .select(col("n.vec_id")).distinct()
+    val loseBatch = b.as("a").join(b.as("b2"),
+        col("a.cid") === col("b2.cid") && col("a.vec_id") < col("b2.vec_id"))
+      .where((dot(col("a.v"), col("b2.v")) / (col("a.nrm") * col("b2.nrm"))) >= threshold)
+      .select(when(struct(col("a.ccos"), col("a.vec_id")) >
+          struct(col("b2.ccos"), col("b2.vec_id")),
+        col("a.vec_id")).otherwise(col("b2.vec_id")).as("vec_id"))
+    val rejected = hitCorpus.union(loseBatch).distinct()
+      .withColumn("rej", lit(true))
+    b.join(rejected, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("ccos"),
+        coalesce(!col("rej"), lit(true)).as("admitted"))
+  }
 }

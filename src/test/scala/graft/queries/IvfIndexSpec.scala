@@ -89,4 +89,54 @@ class IvfIndexSpec extends SparkSpec {
     assert(partitionsSelected(filtered) === probed.size)
     assert(partitionsSelected(IvfIndex.cells(spark, s"$tmp/prune")) === allCells.size)
   }
+
+  test("incremental semantic dedup: corpus dups rejected, novel admitted, append closes the loop") {
+    IvfIndex.build(spark, sf(), s"$tmp/sem")
+    val base = corpus.count()
+    // batch 1: exact copies of corpus vectors 0..4 under fresh ids (certain
+    // same-cell cosine-1 corpus hits) + orthogonal-ish novel vectors built
+    // by rotating corpus vectors 5..9 (cross-rotation cosine ~0, same trick
+    // as the scale-up tiling — novel content in the same space)
+    val dups = corpus.where(col("vec_id") < 5)
+      .select((col("vec_id") + base).as("vec_id"), col("v"))
+    val novel = corpus.where(col("vec_id") >= 5 && col("vec_id") < 10)
+      .select((col("vec_id") + base).as("vec_id"),
+        expr("concat(slice(v, 33, 32), slice(v, 1, 32))").as("v"))
+    val verdict = IvfIndex.semanticDedupIncremental(
+        spark, s"$tmp/sem", dups.union(novel), 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(verdict.size === 10)
+    (0L until 5L).foreach(i => assert(!verdict(base + i), s"dup ${base + i} admitted"))
+    val admitted = verdict.filter(_._2).keys.toSet
+    assert(admitted === (5L until 10L).map(base + _).toSet,
+      s"expected exactly the novel rotations admitted, got $admitted")
+    // append ONLY the admitted — the production write half
+    IvfIndex.append(spark, s"$tmp/sem",
+      dups.union(novel).where(col("vec_id").isin(admitted.toSeq: _*)))
+    // batch 2 = identical copies of batch 1's admitted under fresh ids:
+    // every one must now be rejected AGAINST THE APPENDED rows (they match
+    // nothing in the original corpus), proving admissions participate
+    val batch2 = dups.union(novel)
+      .where(col("vec_id").isin(admitted.toSeq: _*))
+      .select((col("vec_id") + base).as("vec_id"), col("v"))
+    val v2 = IvfIndex.semanticDedupIncremental(spark, s"$tmp/sem", batch2, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(v2.nonEmpty && v2.values.forall(a => !a), s"batch-2 copies admitted: $v2")
+  }
+
+  test("incremental semantic dedup: batch-internal pairs resolved by d10's keep rule") {
+    IvfIndex.build(spark, sf(), s"$tmp/sem2")
+    val base = corpus.count()
+    // two exact copies of one NOVEL vector (rotation of corpus vec 7):
+    // no corpus hit, one in-batch cosine-1 pair — exactly the larger id
+    // drops (equal ccos ties break to the larger id)
+    val novel = corpus.where(col("vec_id") === 7)
+      .select(col("v")).crossJoin(spark.range(2).toDF("i"))
+      .select((col("i") + base).as("vec_id"),
+        expr("concat(slice(v, 33, 32), slice(v, 1, 32))").as("v"))
+    val v = IvfIndex.semanticDedupIncremental(spark, s"$tmp/sem2", novel, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(v(base) === true, "keep-rule winner (smaller id) was rejected")
+    assert(v(base + 1) === false, "keep-rule loser (larger id) was admitted")
+  }
 }
