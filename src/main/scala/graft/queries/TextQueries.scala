@@ -94,6 +94,30 @@ object TextQueries {
           / count(lit(1))).as("avg_p"))
     }),
 
+    // CHUNKING (t10, r10): overlapping token windows — the context-window
+    // prep stage of a RAG / training pipeline (documents → fixed-size
+    // chunks with stride overlap, each fingerprinted for downstream dedup
+    // or retrieval). Chunk starts at 0, Stride, 2·Stride, … < n_tokens;
+    // the final window truncates at the document end.
+    //
+    // 100 TB notes: per-row generate only — scan, project, explode; ZERO
+    // shuffle (PlanSpec pins no exchange). The chunk hash reuses the shared
+    // polynomial fold so chunk identity is comparable with d8 passages and
+    // t5 fingerprints across the whole engine.
+    "t10_chunking" -> ((s, d) => {
+      val win = lit(ChunkLen)
+      docs(s, d).select(col("doc_id"), tokens(col("text")).as("ws"))
+        .where(size(col("ws")) >= 1)
+        .select(col("doc_id"), explode(transform(
+            sequence(lit(0), size(col("ws")) - 1, lit(ChunkStride)),
+            i => struct(i.as("s"),
+              size(slice(col("ws"), i + 1, win)).as("n"),
+              polyHash(concat_ws(" ", slice(col("ws"), i + 1, win))).as("h"))))
+          .as("c"))
+        .select(col("doc_id"), col("c.s").as("chunk_start"),
+          col("c.n").as("n_tokens"), col("c.h").as("chunk_hash"))
+    }),
+
     // Quality scoring: type-token ratio + stopword ratio -> score + keep flag.
     "t3_quality" -> ((s, d) => {
       val t = tokens(col("text"))
@@ -198,6 +222,11 @@ object TextQueries {
   private val HeavyK = 50
 
   private val TfidfT = 0.5
+
+  /** t10: chunk window / stride in tokens (stride < window ⇒ 8-token
+    * overlap between consecutive chunks — the standard RAG prep shape). */
+  private val ChunkLen = 32
+  private val ChunkStride = 24
 
   /** TF-IDF pair pipeline core, parametric over the df cap (so the
     * planted-hot-term spec can exercise a small one) and the staging flag
@@ -323,6 +352,23 @@ object TextQueries {
          |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY g, p)),
          |    (a, x) -> a + x) / COUNT(*) AS avg_p
          |FROM p GROUP BY doc_id""".stripMargin,
+
+    // t10: same start grid (0, S, 2S, … < n_tokens — range() mirrors the
+    // sequence(0, n-1, S) set exactly), same truncating slice, same shared
+    // polynomial fold over the space-joined window.
+    "t10_chunking" ->
+      s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),
+         |c AS (
+         |  SELECT doc_id, u['s'] AS s, u['n'] AS n, u['h'] AS h FROM (
+         |    SELECT doc_id,
+         |      unnest([{'s': i, 'n': len(ws[i+1 : i+$ChunkLen]),
+         |               'h': ${polyHashSql(
+                  s"array_to_string(ws[i+1 : i+$ChunkLen], ' ')")}}
+         |              for i in range(0, len(ws), $ChunkStride)]) AS u
+         |    FROM tt WHERE len(ws) >= 1))
+         |SELECT doc_id, CAST(s AS INT) AS chunk_start,
+         |       CAST(n AS INT) AS n_tokens, h AS chunk_hash
+         |FROM c""".stripMargin,
 
     "t3_quality" ->
       s"""SELECT doc_id, ttr, stopword_ratio,

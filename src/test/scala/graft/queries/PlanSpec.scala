@@ -235,6 +235,12 @@ class PlanSpec extends SparkSpec {
     assert(fast.contains("partial_sum"), fast)
   }
 
+  test("t10 chunking: map-side generate only — zero exchanges") {
+    val p = plan(TextQueries.defs("t10_chunking")(spark, sf()))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("d10 semantic dedup: centroids broadcast, pair join is a cid equi-join, no cartesian") {
     val p = finalPlan(graft.SparkEntry.queries("d10_semantic_dedup")(spark, sf()))
     // candidate generation must stay within-cell: the self-join keys on cid

@@ -581,6 +581,23 @@ class QueriesSpec extends SparkSpec {
     assert(joined.forall(_ <= 4))
   }
 
+  test("t10 chunking: stride grid covers every token; windows truncate only at doc end") {
+    val n = TextQueries.defs("t1_token_stats")(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ch = TextQueries.defs("t10_chunking")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byDoc = ch.groupBy(_._1)
+    assert(byDoc.keySet === n.filter(_._2 >= 1).keySet)
+    byDoc.foreach { case (d, rows) =>
+      val starts = rows.map(_._2).sorted
+      assert(starts === (0 until n(d) by 24).toArray, s"doc $d start grid")
+      rows.foreach { case (_, s, w) =>
+        assert(w === math.min(32, n(d) - s), s"doc $d window at $s") }
+      // exact coverage: the last window ends exactly at the doc end
+      assert(rows.map(r => r._2 + r._3).max === n(d), s"doc $d coverage")
+    }
+  }
+
   test("d10 semantic dedup: verdict per vector; removals = higher-(ccos,id) member of same-cell >=T pairs") {
     val out = DedupQueries.defs("d10_semantic_dedup")(spark, sf("sf0.01")).collect()
     val nVec = graft.sources.Tables.embeddings(spark, sf("sf0.01")).count()
