@@ -468,12 +468,16 @@ object DedupQueries {
       val cents = SimilarityQueries.trainCentroids(s, d, SimilarityQueries.KMeansIters)
       val asgn = SimilarityQueries.assignCells(en, cents)
       // per-vector centroid cosine (the keep-rule's ranking key), computed
-      // with the same sequential-fold dot the oracle replays bit-for-bit
+      // with the same sequential-fold dot the oracle replays bit-for-bit.
+      // Checkpointed: it feeds BOTH sides of the pair join and the verdict
+      // join, and unstaged the corpus argmax (a vec_id-keyed shuffle) would
+      // re-execute per branch.
       val cc = en.join(asgn, "vec_id")
         .join(broadcast(SimilarityQueries.withCn(cents)), "cid")
         .select(col("cid"), col("vec_id"), col("v"), col("nrm"),
           (graft.functions.VectorFunctions.dot(col("v"), col("cv")) /
             (col("nrm") * col("cn"))).as("ccos"))
+        .eagerCheckpoint()
       val losers = cc.as("a").join(cc.as("b"),
           col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
         .where((graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")) /

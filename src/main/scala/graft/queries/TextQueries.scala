@@ -104,19 +104,7 @@ object TextQueries {
     // shuffle (PlanSpec pins no exchange). The chunk hash reuses the shared
     // polynomial fold so chunk identity is comparable with d8 passages and
     // t5 fingerprints across the whole engine.
-    "t10_chunking" -> ((s, d) => {
-      val win = lit(ChunkLen)
-      docs(s, d).select(col("doc_id"), tokens(col("text")).as("ws"))
-        .where(size(col("ws")) >= 1)
-        .select(col("doc_id"), explode(transform(
-            sequence(lit(0), size(col("ws")) - 1, lit(ChunkStride)),
-            i => struct(i.as("s"),
-              size(slice(col("ws"), i + 1, win)).as("n"),
-              polyHash(concat_ws(" ", slice(col("ws"), i + 1, win))).as("h"))))
-          .as("c"))
-        .select(col("doc_id"), col("c.s").as("chunk_start"),
-          col("c.n").as("n_tokens"), col("c.h").as("chunk_hash"))
-    }),
+    "t10_chunking" -> ((s, d) => chunksOf(docs(s, d))),
 
     // Quality scoring: type-token ratio + stopword ratio -> score + keep flag.
     "t3_quality" -> ((s, d) => {
@@ -227,6 +215,23 @@ object TextQueries {
     * overlap between consecutive chunks — the standard RAG prep shape). */
   private val ChunkLen = 32
   private val ChunkStride = 24
+
+  /** The t10 transform on any (doc_id, text) frame — stateless per-row
+    * generate, so it applies unchanged to [[graft.streaming.Streams
+    * .documentStream]] (the streaming twin needs no watermark or state). */
+  def chunksOf(documents: DataFrame): DataFrame = {
+    val win = lit(ChunkLen)
+    documents.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .where(size(col("ws")) >= 1)
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("ws")) - 1, lit(ChunkStride)),
+          i => struct(i.as("s"),
+            size(slice(col("ws"), i + 1, win)).as("n"),
+            polyHash(concat_ws(" ", slice(col("ws"), i + 1, win))).as("h"))))
+        .as("c"))
+      .select(col("doc_id"), col("c.s").as("chunk_start"),
+        col("c.n").as("n_tokens"), col("c.h").as("chunk_hash"))
+  }
 
   /** TF-IDF pair pipeline core, parametric over the df cap (so the
     * planted-hot-term spec can exercise a small one) and the staging flag

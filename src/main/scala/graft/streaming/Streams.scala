@@ -418,6 +418,28 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** STREAMING CHUNKING: t10's overlapping token-window transform applied
+    * to the document stream — a pure per-row generate (no state, no
+    * watermark, no shuffle), so chunks append under any trigger/replay
+    * layout and the stream output is bit-identical to the batch t10 on the
+    * same files (StreamingSpec pins it). The ingest shape of a RAG /
+    * training pipeline: documents land, chunks + fingerprints stream out. */
+  def chunkStream(documents: DataFrame): DataFrame =
+    graft.queries.TextQueries.chunksOf(documents)
+
+  def runChunkingOnce(spark: SparkSession, dir: String,
+                      queryName: String = "chunking"): DataFrame = {
+    val q = chunkStream(documentStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming twin of the curation hash-sampler (c1_hash_sample): the salted
     * deterministic hash is a pure row-local filter — no state, no watermark —
     * so the IDENTICAL transform runs on the stream and selects the identical

@@ -148,6 +148,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming chunking equals the batch t10 exactly") {
+    // stateless per-row generate: the stream needs no watermark and its
+    // output set is bit-identical to the batch chunker on the same files
+    val streamed = Streams.runChunkingOnce(spark, sf(), "chunking_spec")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    val batch = graft.queries.TextQueries.defs("t10_chunking")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sub-millisecond ordering: same-ms out-of-order events still match the batch twins") {
     // Two events ONE MILLISECOND apart is the granularity getTime() can see;
     // inside a millisecond only epoch-micros ordering works. Plant pairs in
