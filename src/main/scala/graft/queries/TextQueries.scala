@@ -106,6 +106,15 @@ object TextQueries {
     // t5 fingerprints across the whole engine.
     "t10_chunking" -> ((s, d) => chunksOf(docs(s, d))),
 
+    // SUBWORD token counting (t11, r10): the BPE-ish pre-tokenizer pass —
+    // a GPT-2-style regex (letter runs / digit runs / punctuation runs,
+    // each with an optional attached leading space; no lookahead, so Java
+    // regex and RE2 agree token-for-token) — the budget unit a training
+    // pipeline actually counts, vs t1's whitespace tokens. `fertility` =
+    // subwords per whitespace token (the tokenizer-pressure metric).
+    // Per-row scalar pipeline: scan, project, zero shuffle.
+    "t11_subword_stats" -> ((s, d) => subwordStatsOf(docs(s, d))),
+
     // Quality scoring: type-token ratio + stopword ratio -> score + keep flag.
     "t3_quality" -> ((s, d) => {
       val t = tokens(col("text"))
@@ -215,6 +224,26 @@ object TextQueries {
     * overlap between consecutive chunks — the standard RAG prep shape). */
   private val ChunkLen = 32
   private val ChunkStride = 24
+
+  /** t11: BPE-ish pre-tokenization pattern. Alternatives are mutually
+    * exclusive on the first non-space character and greedy within a class,
+    * so leftmost-first (Java) and RE2 (DuckDB) produce identical token
+    * streams; no lookahead/backreferences (RE2 has neither). */
+  private val SubwordRe = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** The t11 transform on any (doc_id, text) frame. The gate corpus is
+    * pure lowercase words (fertility exactly 1 there), so the BPE-ish
+    * behavior — digit runs, punctuation runs, attached leading spaces —
+    * is pinned by the planted-text spec, while the gate pins the regex
+    * evaluates identically in Java regex and RE2. */
+  def subwordStatsOf(documents: DataFrame): DataFrame = {
+    val sub = regexp_extract_all(col("text"), lit(SubwordRe), lit(0))
+    val ws = tokens(col("text"))
+    documents.select(col("doc_id"),
+      size(sub).as("n_subwords"),
+      size(array_distinct(sub)).as("n_distinct_subwords"),
+      (size(sub).cast("double") / size(ws)).as("fertility"))
+  }
 
   /** The t10 transform on any (doc_id, text) frame — stateless per-row
     * generate, so it applies unchanged to [[graft.streaming.Streams
@@ -357,6 +386,17 @@ object TextQueries {
          |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY g, p)),
          |    (a, x) -> a + x) / COUNT(*) AS avg_p
          |FROM p GROUP BY doc_id""".stripMargin,
+
+    // t11: same regex (RE2 ≡ Java here — disjoint alternatives, no
+    // lookahead), same exact-integer division
+    "t11_subword_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(sub) AS INT) AS n_subwords,
+         |  CAST(len(list_distinct(sub)) AS INT) AS n_distinct_subwords,
+         |  CAST(len(sub) AS DOUBLE) / len(ws) AS fertility
+         |FROM (SELECT doc_id, $toks AS ws,
+         |        regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+') AS sub
+         |      FROM documents)""".stripMargin,
 
     // t10: same start grid (0, S, 2S, … < n_tokens — range() mirrors the
     // sequence(0, n-1, S) set exactly), same truncating slice, same shared

@@ -598,6 +598,25 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("t11 subword stats: BPE-ish splitting on planted mixed text") {
+    import spark.implicits._
+    // "abc de12 fg,hi" pre-tokenizes to abc | " de" | 12 | " fg" | , | hi
+    // (letter/digit/punct runs, space attached to the following token);
+    // 3 whitespace tokens -> fertility 2.0. Second doc: repeated subwords
+    // collapse in the distinct count; digits split from letters.
+    val docs = Seq((0L, "abc de12 fg,hi"), (1L, "x1x1 x1")).toDF("doc_id", "text")
+    val out = TextQueries.subwordStatsOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(out(0L) === ((6, 6, 2.0)))
+    // "x1x1 x1" -> x | 1 | x | 1 | " x" | 1 = 6 subwords, distinct {x, 1, " x"} = 3
+    assert(out(1L) === ((6, 3, 3.0)))
+    // and the corpus run is non-degenerate: counts positive, gate corpus
+    // fertility exactly 1.0 (pure word tokens — documents the calibration)
+    val corpus = TextQueries.defs("t11_subword_stats")(spark, sf()).collect()
+    assert(corpus.nonEmpty && corpus.forall(_.getInt(1) > 0))
+    assert(corpus.forall(_.getDouble(3) == 1.0))
+  }
+
   test("d10 semantic dedup: verdict per vector; removals = higher-(ccos,id) member of same-cell >=T pairs") {
     val out = DedupQueries.defs("d10_semantic_dedup")(spark, sf("sf0.01")).collect()
     val nVec = graft.sources.Tables.embeddings(spark, sf("sf0.01")).count()
