@@ -196,8 +196,53 @@ object GraphQueries {
     "g2_pagerank" -> ((s, dir) =>
       pagerankCore(pagerankOutE(s, dir),
         degrees(s, dir).select(col("node").as("src"), col("deg").as("outdeg")),
-        PagerankIters, pagerankParityStep))
+        PagerankIters, pagerankParityStep)),
+
+    // LABEL PROPAGATION (g3, r10): synchronous community detection over the
+    // co-purchase graph — LpaIters fixed rounds of "adopt the most frequent
+    // neighbor label, ties to the smallest", from self-labels. The
+    // mode-vote aggregation is a genuinely different fixpoint kernel from
+    // CCF's min and PageRank's sum: two-level (count per (node, label),
+    // then composite argmax), both levels map-side combinable, and every
+    // comparison is integer — no float-parity machinery needed. Fixed
+    // round count keeps it oracle-unrollable (the g2 technique) and
+    // deterministic (synchronous LPA with a total tie order has no
+    // run-to-run wobble, unlike the async variant).
+    "g3_label_propagation" -> ((s, dir) =>
+      lpaOf(CCF.bidirect(edges(s, dir)), LpaIters))
   )
+
+  /** g3 round count (communities stabilize on the planted fixture in 3;
+    * the gated value is part of the oracle contract). */
+  val LpaIters = 3
+
+  /** Synchronous LPA over a bidirected (src, dst) edge frame: label_0 =
+    * self; each round every node adopts its neighbors' modal label (count
+    * desc, label asc — the (c, -label) composite max, CCF/kmeans style).
+    * Per-round cost: one join keyed src + two map-side-combinable
+    * aggregates; the n-row label table is checkpointed per round (lineage
+    * cut, same as the PageRank rank table). At 100 TB the label table
+    * co-partitions with the edge list's src shuffle, so rounds reuse one
+    * exchange layout. */
+  private[queries] def lpaOf(bi: DataFrame, iters: Int): DataFrame = {
+    var lab = bi.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .eagerCheckpoint()
+    for (_ <- 1 to iters) {
+      lab = lpaStep(bi, lab).eagerCheckpoint()
+    }
+    lab
+  }
+
+  /** One synchronous LPA round (un-checkpointed — PlanSpec pins that both
+    * aggregate levels carry map-side partials). */
+  private[queries] def lpaStep(bi: DataFrame, lab: DataFrame): DataFrame =
+    bi.join(lab.select(col("node").as("src"), col("label")), "src")
+      .groupBy(col("dst").as("node"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("node")
+      .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+      .select(col("node"), (-col("m.nl")).as("label"))
 
   /** Per-node triangle counts over a canonical (src < dst, distinct) edge
     * set — parametric for fixture/agreement specs; see the g1 notes above.
@@ -493,6 +538,26 @@ object GraphQueries {
 
     // exact twin of pagerankOf: same op order, same (src, value) sorted
     // sequential fold per destination — ranks bit-identical across engines
-    "g2_pagerank" -> pagerankSql(PagerankIters)
+    "g2_pagerank" -> pagerankSql(PagerankIters),
+
+    // g3: LpaIters unrolled mode-vote rounds — same (count, -label)
+    // composite argmax as the engine (row() comparison is lexicographic,
+    // all integers, so parity is exact by construction)
+    "g3_label_propagation" -> lpaSql(LpaIters)
   )
+
+  private def lpaSql(iters: Int): String = {
+    def round(i: Int): String =
+      s"""l$i AS (
+         |  SELECT node, -struct_extract(max(row(c, -lbl)), 2) AS lbl FROM (
+         |    SELECT bi.b AS node, l.lbl AS lbl, COUNT(*) AS c
+         |    FROM bi JOIN l${i - 1} l ON l.node = bi.a
+         |    GROUP BY bi.b, l.lbl)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH $edgesCte,
+       |bi AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e),
+       |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM bi),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT node, lbl AS label FROM l$iters""".stripMargin
+  }
 }

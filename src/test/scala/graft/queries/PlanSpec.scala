@@ -235,6 +235,16 @@ class PlanSpec extends SparkSpec {
     assert(fast.contains("partial_sum"), fast)
   }
 
+  test("g3 LPA round: both aggregate levels combine map-side (partial_count, partial_max)") {
+    val e = GraphBuilders.copurchaseEdges(spark, sf())
+    val lab = e.select(org.apache.spark.sql.functions.col("src").as("node"))
+      .distinct().withColumn("label", org.apache.spark.sql.functions.col("node"))
+    val p = finalPlan(GraphQueries.lpaStep(graft.ccf.CCF.bidirect(e), lab))
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t10 chunking: map-side generate only — zero exchanges") {
     val p = plan(TextQueries.defs("t10_chunking")(spark, sf()))
     assert(!p.contains("Exchange"), p)

@@ -598,6 +598,21 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("g3 label propagation: two bridged cliques resolve to per-clique communities") {
+    import spark.implicits._
+    // cliques {1,2,3} and {10,11,12} joined by bridge 3-10; hand-simulated
+    // synchronous rounds (mode vote, ties to smallest label):
+    //   l1: 1->2, 2->1, 3->1, 10->3, 11->10, 12->10
+    //   l2: 1->1, 2->1, 3->1, 10->10, 11->3, 12->3
+    //   l3: clique one all 1; clique two all 3
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L)).toDF("src", "dst")
+    val out = GraphQueries.lpaOf(graft.ccf.CCF.bidirect(e), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
   test("t11 subword stats: BPE-ish splitting on planted mixed text") {
     import spark.implicits._
     // "abc de12 fg,hi" pre-tokenizes to abc | " de" | 12 | " fg" | , | hi
