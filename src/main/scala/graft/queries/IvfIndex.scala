@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
  *  - [[search]]: top-k per query reading ONLY the probed cells — the `cid
  *    IN (...)` filter prunes hive partitions at the scan, so a query batch
  *    reads nProbes/k of the corpus bytes (IvfIndexSpec asserts the file
- *    set actually read).
+ *    set actually read);
+ *  - [[semanticDedupIncremental]]: d10's daily-ingest twin — batch-vs-index
+ *    near-dup verdicts reading only the touched cells (see its scaladoc).
  *
  * At 100 TB: centroids are k rows (broadcast), posting lists are the
  * corpus partitioned by cell — exactly the layout a production IVF store
