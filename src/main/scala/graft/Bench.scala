@@ -14,6 +14,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // sampled BEFORE any work so it reflects the box as the run found it
+    val loadAvgStart =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     // Untimed warmup at the smallest scale: first-touch costs (parquet reader
     // init, codegen compiler, shuffle/broadcast machinery, JIT) are one-time
     // per JVM and land on whichever query happens to run first in the map's
@@ -90,12 +94,18 @@ object Bench {
     val results = qseq.map { case (name, _) => name -> best(name) }
     def jmap(kvs: Seq[(String, Double)]) =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Environment stamp (VERDICT r10 #5): heap, cpus, and the box's load
+    // average at start-of-run, emitted on BOTH json lines so round-over-round
+    // deltas are attributable without forensics (r9→r10's 1.07× uniform drift
+    // took a manual 46-key diff + heap experiments to pin on the box).
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val env = f""""env":{"heap_gb":$heapGb%.1f,"cpus":"$cpus","loadavg_start":$loadAvgStart}"""
     val builds = bestBuilds.toSeq.sortBy(_._1)
     val buildTotal = builds.map(_._2).sum
     // headline total keeps its historical meaning (full suite wall cost):
     // net query time plus the shared builds those queries triggered
     val total = (if (results.nonEmpty) results.map(_._2).sum else 0.0) + buildTotal
-    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":${jmap(results)},"shared_builds":${jmap(builds)},"sf":"$sfDir","passes":$passes}""")
+    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":${jmap(results)},"shared_builds":${jmap(builds)},"sf":"$sfDir","passes":$passes,$env}""")
     // The full line above grows with the query count (83 queries outran the
     // driver's tail-capture window in r6 — BENCH_r06.json parsed: null). Emit
     // a SHORT self-contained summary line LAST — and make it the ONLY
@@ -103,7 +113,7 @@ object Bench {
     // double-count under metric-keyed aggregation) — so a bounded tail always
     // holds one complete parsable JSON record of the headline number.
     val slowest = jmap(results.sortBy(-_._2).take(5))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"shared_builds_sec":$buildTotal,"slowest":$slowest,"sf":"$sfDir","passes":$passes}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"shared_builds_sec":$buildTotal,"slowest":$slowest,"sf":"$sfDir","passes":$passes,$env}""")
     spark.stop()
   }
 }

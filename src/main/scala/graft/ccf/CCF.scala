@@ -123,7 +123,7 @@ object CCF {
     * the first poll (`getOrEmpty` itself waits ≤100 ms per call); past the
     * deadline, fall back LOUDLY to counting the materialized checkpoint —
     * correct, one extra job — rather than hanging. */
-  private[ccf] def observedOrCount(obs: Observation, what: String, deadlineMs: Long = 30000L)
+  private[graft] def observedOrCount(obs: Observation, what: String, deadlineMs: Long = 30000L)
                              (fallback: => Map[String, Long]): Map[String, Long] = {
     val deadline = System.nanoTime() + deadlineMs * 1000000L
     val read = () => org.apache.spark.sql.graft.Bridge.observedOrEmpty(obs)

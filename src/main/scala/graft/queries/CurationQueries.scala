@@ -127,7 +127,9 @@ object CurationQueries {
     // map-side determinism as c1; the rollup reports the achieved mixture
     // (doc and char volume per source).
     "c3_source_mixture" -> ((s, d) => {
-      val idx = substring(col("source"), 4, 10).cast("int")
+      // unbounded substring (two-arg SQL form), textually identical to the
+      // oracle's `substring(source, 4)` — same parity fix as c9 below
+      val idx = expr("substring(source, 4)").cast("int")
       val ratePct = element_at(array(lit(10), lit(25), lit(50), lit(100)),
         (idx % 4 + 1).cast("int"))
       docs(s, d)

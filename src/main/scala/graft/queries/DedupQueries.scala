@@ -398,7 +398,7 @@ object DedupQueries {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           (graft.functions.VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
             (col("a.nrm") * col("b.nrm"))).as("cos"))
-        .where(col("cos") >= 0.4)
+        .where(col("cos") >= NearDupT)
     }),
 
     // Passage-level exact dedup (the RefinedWeb/CCNet sub-document pass):
@@ -442,7 +442,7 @@ object DedupQueries {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           (graft.functions.VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
             (col("a.nrm") * col("b.nrm"))).as("cos"))
-        .where(col("cos") >= 0.4)
+        .where(col("cos") >= NearDupT)
         .select(col("vec_a"), col("vec_b"), col("cos"))
     }),
 
@@ -481,7 +481,7 @@ object DedupQueries {
       val losers = cc.as("a").join(cc.as("b"),
           col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
         .where((graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")) /
-          (col("a.nrm") * col("b.nrm"))) >= SemDedupT)
+          (col("a.nrm") * col("b.nrm"))) >= NearDupT)
         .select(when(struct(col("a.ccos"), col("a.vec_id")) >
             struct(col("b.ccos"), col("b.vec_id")),
           col("a.vec_id")).otherwise(col("b.vec_id")).as("vec_id"))
@@ -492,9 +492,12 @@ object DedupQueries {
     })
   )
 
-  /** d10 cosine threshold — same near-dup regime as d5/d7 (planted dups sit
-    * well above, background below). */
-  private val SemDedupT = 0.4
+  /** Embedding near-dup cosine threshold, shared by d5 (brute force), d7
+    * (LSH-bucketed), and d10 (semantic dedup keep rule) — planted dups sit
+    * well above, background below. Interpolated into BOTH the Spark defs
+    * and the DuckDB oracle SQL so tuning it cannot silently diverge the
+    * engine from the gate. */
+  private[queries] val NearDupT = 0.4
 
   // ------------------------------------------------------------- oracles
 
@@ -549,7 +552,7 @@ object DedupQueries {
        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |           ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
        |    FROM emb a JOIN emb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
-       |  WHERE cos >= 0.4)""".stripMargin
+       |  WHERE cos >= $NearDupT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -642,7 +645,7 @@ object DedupQueries {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $NearDupT""".stripMargin,
 
     // d10: the s6 trained-quantizer CTE prefix (en/cw/asgn — bit-identical
     // Lloyd trajectory), then within-cell pairs >= the threshold and the
@@ -657,7 +660,7 @@ object DedupQueries {
          |  SELECT DISTINCT CASE WHEN row(a.ccos, a.vec_id) > row(b.ccos, b.vec_id)
          |                       THEN a.vec_id ELSE b.vec_id END AS vec_id
          |  FROM cc a JOIN cc b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4)
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $NearDupT)
          |SELECT cc.vec_id, cc.cid AS cluster_id, cc.ccos,
          |       l.vec_id IS NOT NULL AS removed
          |FROM cc LEFT JOIN losers l ON cc.vec_id = l.vec_id""".stripMargin

@@ -117,7 +117,10 @@ object IvfIndex {
     *      the keep rule cannot evict it retroactively; or
     *  (b) loses d10's keep rule ((ccos, id) — the closer-to-centroid member
     *      of a >=threshold pair drops) against another BATCH member in the
-    *      same cell.
+    *      same cell that itself SURVIVED the corpus probe — corpus-rejected
+    *      members are excluded from the self-pair join, so a single ingest
+    *      can never drop both members of a batch pair on the strength of
+    *      one corpus hit (ADVICE r10).
     * Returns one verdict row per batch member: (vec_id, cluster_id, ccos,
     * admitted). Callers then [[append]] the admitted rows so the NEXT
     * batch's pass sees today's admissions.
@@ -131,11 +134,14 @@ object IvfIndex {
                                threshold: Double): DataFrame = {
     import graft.Checkpoints.EagerOps
     val dot = graft.functions.VectorFunctions.dot _
-    val cw = SimilarityQueries.withCn(centroids(s, indexDir))
+    // one read of the persisted centroids feeds both the norm'd broadcast
+    // side and the argmax assignment (ADVICE r10: was read twice)
+    val cents = centroids(s, indexDir)
+    val cw = SimilarityQueries.withCn(cents)
     val en = batch.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     // batch frame feeds three joins (corpus probe, self-pair, verdict) —
     // checkpoint so the argmax assignment isn't re-planned per branch
-    val b = en.join(SimilarityQueries.assignCells(en, centroids(s, indexDir)), "vec_id")
+    val b = en.join(SimilarityQueries.assignCells(en, cents), "vec_id")
       .join(broadcast(cw), "cid")
       .select(col("cid"), col("vec_id"), col("v"), col("nrm"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
@@ -147,7 +153,13 @@ object IvfIndex {
     val hitCorpus = b.as("n").join(posting.as("o"), col("n.cid") === col("o.cid"))
       .where((dot(col("n.v"), col("o.v")) / (col("n.nrm") * col("o.nrm"))) >= threshold)
       .select(col("n.vec_id")).distinct()
-    val loseBatch = b.as("a").join(b.as("b2"),
+    // the in-batch keep rule runs over SURVIVORS of the corpus probe only
+    // (anti-join): a member already rejected for duplicating the corpus must
+    // not also evict its batch twin — otherwise one ingest could drop BOTH
+    // members of a batch pair (ADVICE r10). The twin is admitted unless it
+    // hits the corpus or another surviving batch member itself.
+    val survivors = b.join(hitCorpus, Seq("vec_id"), "left_anti")
+    val loseBatch = survivors.as("a").join(survivors.as("b2"),
         col("a.cid") === col("b2.cid") && col("a.vec_id") < col("b2.vec_id"))
       .where((dot(col("a.v"), col("b2.v")) / (col("a.nrm") * col("b2.nrm"))) >= threshold)
       .select(when(struct(col("a.ccos"), col("a.vec_id")) >

@@ -613,6 +613,24 @@ class QueriesSpec extends SparkSpec {
       10L -> 3L, 11L -> 3L, 12L -> 3L))
   }
 
+  test("g3 lpaUntilStable: converges to the fixed-round labels and stops") {
+    import spark.implicits._
+    // same bridged-clique fixture as above: labels stabilize after round 3,
+    // so the observed changed-count hits 0 on round 4 and the loop ends
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L)).toDF("src", "dst")
+    val r = GraphQueries.lpaUntilStable(graft.ccf.CCF.bidirect(e))
+    assert(r.converged)
+    assert(r.iterations === 4) // 3 changing rounds + the zero-change confirm
+    val out = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+    // and the production form agrees with the gated fixed-round def
+    val fixed = GraphQueries.lpaOf(graft.ccf.CCF.bidirect(e), 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(out === fixed)
+  }
+
   test("t11 subword stats: BPE-ish splitting on planted mixed text") {
     import spark.implicits._
     // "abc de12 fg,hi" pre-tokenizes to abc | " de" | 12 | " fg" | , | hi
