@@ -69,6 +69,11 @@ object CurationQueries {
   /** c9: total docs the temperature-weighted mixture targets. */
   private val MixTarget = 200
 
+  /** c10: max docs kept per domain — binds on the large en.* domains at the
+    * gate scales (12-16 docs each at sf0.01) while small-language domains
+    * pass through whole, so the gate exercises both sides of the cap. */
+  private val DomainCap = 8
+
   /** c5: PII patterns — identical dialect subset of Java regex (Spark) and
     * RE2 (DuckDB): character classes, +, bounded repeats only. */
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -176,6 +181,30 @@ object CurationQueries {
         .where(col("rank") <= col("k"))
         .select(col("source"), col("rank"), col("doc_id"), col("score"))
     }),
+
+    // PER-DOMAIN CAP (c10, r11): the Gopher/CCNet-style anti-domination
+    // stage — derive a domain key from document metadata (lang.source here;
+    // a registrable URL host at 100 TB) and keep AT MOST DomainCap docs per
+    // domain, chosen by salted-hash rank, so no single crawl domain floods
+    // the training mixture. Fully deterministic: the same salted-hash
+    // scoring as c1/c2 (exact-integer division), selection via the c2
+    // bounded top-k aggregate.
+    //
+    // 100 TB notes: the top-k aggregate is map-side combinable with
+    // per-group state capped at DomainCap entries — O(domains x DomainCap)
+    // shuffle rows total, never a domain-wide window sort (the stratified-
+    // sampling straggler c2's notes describe). Domain skew (one domain with
+    // 10^9 docs) only grows the MAP-side work of that domain's partial
+    // aggregates, not any single reducer's state.
+    "c10_domain_cap" -> ((s, d) =>
+      docs(s, d)
+        .select(concat(col("lang"), lit("."), col("source")).as("domain"), col("doc_id"),
+          (saltedHash("domcap", col("doc_id")).cast("double") / HashP).as("score"))
+        .groupBy("domain")
+        .agg(graft.functions.TopK.topK(col("score"), col("doc_id"), DomainCap).as("tk"))
+        .select(col("domain"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("domain"), (col("pos") + 1).cast("int").as("rank"),
+          col("e.id").as("doc_id"), col("e.score").as("score"))),
 
     // Benchmark decontamination: docs sharing too many distinct hashed
     // 8-gram shingles with a held-out benchmark set (here: doc_id % 20 == 0,
@@ -354,6 +383,19 @@ object CurationQueries {
          |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rank
          |  FROM h)
          |WHERE rank <= $StratumK""".stripMargin,
+
+    // Mirrors c10 exactly: same domain derivation, salted-hash scores,
+    // ROW_NUMBER twin of the bounded top-k aggregate.
+    "c10_domain_cap" ->
+      s"""WITH h AS (
+         |  SELECT lang || '.' || source AS domain, doc_id,
+         |    CAST(${saltedHashSql("domcap", "doc_id")} AS DOUBLE) / $HashP AS score
+         |  FROM documents)
+         |SELECT domain, CAST(rank AS INT) AS rank, doc_id, score FROM (
+         |  SELECT domain, doc_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM h)
+         |WHERE rank <= $DomainCap""".stripMargin,
 
     "c3_source_mixture" ->
       s"""SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept

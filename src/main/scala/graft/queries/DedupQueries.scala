@@ -456,41 +456,96 @@ object DedupQueries {
     //
     // 100 TB notes: candidate generation is the trained quantizer's
     // broadcast argmax (one map-side pass over the corpus), then ONE
-    // shuffle keyed by cid; pairwise work is Σ n_c² over cells, bounded by
-    // training k to ~n²/k — k grows with the corpus so per-cell population
-    // stays fixed (the published semantic-dedup recipe). Unlike d7's
-    // random-hyperplane buckets the cells adapt to the data, so recall at
-    // a given candidate budget is higher. The removal rule is per-pair
-    // (no transitive closure), so the whole pass is join + aggregate —
-    // no fixpoint.
-    "d10_semantic_dedup" -> ((s, d) => {
-      val en = SimilarityQueries.enOf(SimilarityQueries.edOf(s, d))
-      val cents = SimilarityQueries.trainCentroids(s, d, SimilarityQueries.KMeansIters)
-      val asgn = SimilarityQueries.assignCells(en, cents)
-      // per-vector centroid cosine (the keep-rule's ranking key), computed
-      // with the same sequential-fold dot the oracle replays bit-for-bit.
-      // Checkpointed: it feeds BOTH sides of the pair join and the verdict
-      // join, and unstaged the corpus argmax (a vec_id-keyed shuffle) would
-      // re-execute per branch.
-      val cc = en.join(asgn, "vec_id")
-        .join(broadcast(SimilarityQueries.withCn(cents)), "cid")
-        .select(col("cid"), col("vec_id"), col("v"), col("nrm"),
-          (graft.functions.VectorFunctions.dot(col("v"), col("cv")) /
-            (col("nrm") * col("cn"))).as("ccos"))
-        .eagerCheckpoint()
-      val losers = cc.as("a").join(cc.as("b"),
-          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-        .where((graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")) /
-          (col("a.nrm") * col("b.nrm"))) >= NearDupT)
-        .select(when(struct(col("a.ccos"), col("a.vec_id")) >
-            struct(col("b.ccos"), col("b.vec_id")),
-          col("a.vec_id")).otherwise(col("b.vec_id")).as("vec_id"))
-        .distinct()
-      cc.join(losers.withColumn("rm", lit(true)), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cid").as("cluster_id"), col("ccos"),
-          coalesce(col("rm"), lit(false)).as("removed"))
-    })
+    // shuffle keyed by cid; pairwise work is Σ n_c² over cells, ~n²/k when
+    // cells stay balanced — and bounded even when they don't by the
+    // [[MaxCellPop]] hot-cell guard (VERDICT r10 #1): cells past the cap
+    // are LSH-sub-split so per-sub-cell population stays ≤ cap in
+    // expectation. Unlike d7's random-hyperplane buckets the cells adapt
+    // to the data, so recall at a given candidate budget is higher. The
+    // removal rule is per-pair (no transitive closure), so the whole pass
+    // is join + aggregate — no fixpoint.
+    "d10_semantic_dedup" -> ((s, d) =>
+      semanticDedupVerdicts(centroidCosinesOf(s, d), NearDupT, MaxCellPop))
   )
+
+  /** The d10 per-vector frame (cid, vec_id, v, nrm, ccos): trained-quantizer
+    * cell assignment plus the centroid cosine (the keep-rule's ranking key),
+    * computed with the same sequential-fold dot the oracle replays
+    * bit-for-bit. Checkpointed: it feeds BOTH sides of the pair join and the
+    * verdict join, and unstaged the corpus argmax (a vec_id-keyed shuffle)
+    * would re-execute per branch. */
+  private[queries] def centroidCosinesOf(s: SparkSession, d: String): DataFrame = {
+    val en = SimilarityQueries.enOf(SimilarityQueries.edOf(s, d))
+    val cents = SimilarityQueries.trainCentroids(s, d, SimilarityQueries.KMeansIters)
+    val asgn = SimilarityQueries.assignCells(en, cents)
+    en.join(asgn, "vec_id")
+      .join(broadcast(SimilarityQueries.withCn(cents)), "cid")
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"),
+        (graft.functions.VectorFunctions.dot(col("v"), col("cv")) /
+          (col("nrm") * col("cn"))).as("ccos"))
+      .eagerCheckpoint()
+  }
+
+  /** Per-cell population of a cell-assigned frame — ≤ k rows, broadcastable. */
+  private[queries] def cellPops(df: DataFrame): DataFrame =
+    df.groupBy("cid").agg(count(lit(1)).as("cell_pop"))
+
+  /** HOT-CELL GUARD (VERDICT r10 #1): add a sub-cell id `scid` to a
+    * cell-assigned frame carrying an embedding column `v`.
+    *
+    *  - cells with ≤ `cap` members (per `pops`, or absent from it): scid 0 —
+    *    the guard is INERT and the downstream (cid, scid) pair join is
+    *    EXACTLY the unguarded cid join;
+    *  - cells past `cap`: members scatter into nsub = ceil(pop/cap) (≤ 2¹⁶)
+    *    sub-buckets by 16-plane hyperplane-LSH bucket mod nsub, so expected
+    *    sub-cell population is ≤ cap and pair work per cell falls from pop²
+    *    to ~pop × cap.
+    *
+    * The sub-bucket is an LSH code, NOT a random salt: identical vectors
+    * always share a sub-cell (same bucket, same residue), and cos→1
+    * near-dups share one w.h.p. — so the guard's recall loss is confined to
+    * borderline pairs, and exact duplicates are never missed. A salt would
+    * have to cross-join salts to keep that property, which re-creates the
+    * pop² it exists to remove. All arithmetic is integer (ceil-div via
+    * floor, bucket mod nsub) so the DuckDB oracle replays the guard
+    * bit-for-bit at any scale — the d10 gate stays valid even where the
+    * guard is ACTIVE. */
+  private[queries] def withSubCells(df: DataFrame, pops: DataFrame, cap: Int): DataFrame = {
+    val nsub = least(floor((col("cell_pop") + lit(cap - 1)) / lit(cap)), lit(65536L)).cast("int")
+    df.join(broadcast(pops), Seq("cid"), "left")
+      .withColumn("scid",
+        when(col("cell_pop").isNull || col("cell_pop") <= cap, lit(0))
+          .otherwise(pmod(graft.functions.VectorFunctions.lshBucket(
+            col("v"), SubSplitPlanes, SimilarityQueries.Dim), nsub)))
+      .drop("cell_pop")
+  }
+
+  /** Guarded within-cell candidate pairs over a (cid, vec_id, v, …) frame:
+    * the d10 self-join keyed (cid, scid) with `a.vec_id < b.vec_id`.
+    * Exposed so the planted-hot-cell spec can count candidates directly. */
+  private[queries] def withinCellCandidates(cc: DataFrame, cap: Int): DataFrame = {
+    val g = withSubCells(cc, cellPops(cc), cap)
+    g.as("a").join(g.as("b"),
+      col("a.cid") === col("b.cid") && col("a.scid") === col("b.scid") &&
+        col("a.vec_id") < col("b.vec_id"))
+  }
+
+  /** d10's verdict pass over a [[centroidCosinesOf]]-shaped frame,
+    * parametric in threshold and hot-cell cap (the gated def binds
+    * [[NearDupT]] / [[MaxCellPop]]). */
+  private[queries] def semanticDedupVerdicts(cc: DataFrame, threshold: Double,
+                                             cap: Int): DataFrame = {
+    val losers = withinCellCandidates(cc, cap)
+      .where((graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm"))) >= threshold)
+      .select(when(struct(col("a.ccos"), col("a.vec_id")) >
+          struct(col("b.ccos"), col("b.vec_id")),
+        col("a.vec_id")).otherwise(col("b.vec_id")).as("vec_id"))
+      .distinct()
+    cc.join(losers.withColumn("rm", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("ccos"),
+        coalesce(col("rm"), lit(false)).as("removed"))
+  }
 
   /** Embedding near-dup cosine threshold, shared by d5 (brute force), d7
     * (LSH-bucketed), and d10 (semantic dedup keep rule) — planted dups sit
@@ -498,6 +553,19 @@ object DedupQueries {
     * and the DuckDB oracle SQL so tuning it cannot silently diverge the
     * engine from the gate. */
   private[queries] val NearDupT = 0.4
+
+  /** Hot-cell population cap for d10 / incremental semantic dedup (see
+    * [[withSubCells]]). Calibrated INERT at the gate scales (max cell ≈ 200
+    * at sf0.1, ≈ 2000-row corpus; the sf1 rehearsal's largest cell sits
+    * near it — BENCH_NOTES records which side) and ACTIVE wherever a real
+    * skewed corpus concentrates: pair work per cell is bounded at
+    * ~pop × cap instead of pop². Production tuning: cap ≈ the per-task
+    * pair budget you can afford (candidates per cell ≈ pop × cap / 2). */
+  private[queries] val MaxCellPop = 2000
+
+  /** Planes for the hot-cell sub-split bucket — 2¹⁶ distinct codes, the
+    * `nsub` ceiling in [[withSubCells]]. */
+  private[queries] val SubSplitPlanes = 16
 
   // ------------------------------------------------------------- oracles
 
@@ -648,18 +716,28 @@ object DedupQueries {
          |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $NearDupT""".stripMargin,
 
     // d10: the s6 trained-quantizer CTE prefix (en/cw/asgn — bit-identical
-    // Lloyd trajectory), then within-cell pairs >= the threshold and the
-    // higher-(ccos, id) member of each pair marked removed.
+    // Lloyd trajectory), then the hot-cell-guarded within-(cid, scid) pairs
+    // >= the threshold and the higher-(ccos, id) member of each pair marked
+    // removed. The guard CTEs (pops/gcc) replay [[withSubCells]] exactly —
+    // integer ceil-div for nsub, the shared 16-plane LSH bucket mod nsub —
+    // so the oracle stays valid even at scales where the guard is ACTIVE.
     "d10_semantic_dedup" ->
       s"""WITH ${SimilarityQueries.kmeansOracleCtes},
          |cc AS (
          |  SELECT a.cid, e.vec_id, e.v, e.nrm,
          |         ${dotSql("e.v", "c.cv")} / (e.nrm * c.cn) AS ccos
          |  FROM asgn a JOIN en e USING (vec_id) JOIN cw c USING (cid)),
+         |pops AS (SELECT cid, COUNT(*) AS cell_pop FROM cc GROUP BY cid),
+         |gcc AS (
+         |  SELECT cc.*, CASE WHEN p.cell_pop <= $MaxCellPop THEN 0
+         |    ELSE ${graft.functions.LshBucket.sql("cc.v", SubSplitPlanes, 64)} %
+         |      CAST(least(floor((p.cell_pop + ${MaxCellPop - 1}) / $MaxCellPop), 65536) AS INT)
+         |    END AS scid
+         |  FROM cc JOIN pops p USING (cid)),
          |losers AS (
          |  SELECT DISTINCT CASE WHEN row(a.ccos, a.vec_id) > row(b.ccos, b.vec_id)
          |                       THEN a.vec_id ELSE b.vec_id END AS vec_id
-         |  FROM cc a JOIN cc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  FROM gcc a JOIN gcc b ON a.cid = b.cid AND a.scid = b.scid AND a.vec_id < b.vec_id
          |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $NearDupT)
          |SELECT cc.vec_id, cc.cid AS cluster_id, cc.ccos,
          |       l.vec_id IS NOT NULL AS removed

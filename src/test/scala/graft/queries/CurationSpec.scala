@@ -129,6 +129,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("c10: per-domain counts = min(domain size, cap); ranks dense; cap binds both ways") {
+    import org.apache.spark.sql.functions._
+    val kept = CurationQueries.defs("c10_domain_cap")(spark, sf()).collect()
+    val sizes = graft.sources.Tables.documents(spark, sf())
+      .groupBy(concat(col("lang"), lit("."), col("source")).as("domain"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byDomain = kept.groupBy(_.getString(0))
+    // every domain appears, truncated to the cap
+    assert(byDomain.keySet === sizes.keySet)
+    for ((dom, rows) <- byDomain) {
+      assert(rows.length.toLong === math.min(sizes(dom), 8L), dom)
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to rows.length), s"$dom ranks")
+    }
+    // the gate corpus exercises both sides: some domain is actually capped,
+    // some passes through whole
+    assert(sizes.values.exists(_ > 8), "fixture regression: no domain above the cap")
+    assert(sizes.values.exists(_ <= 8), "fixture regression: no domain below the cap")
+  }
+
   test("c4: invariants — no benchmark docs, shared <= total, flag == threshold") {
     val rows = CurationQueries.defs("c4_decontam")(spark, sf()).collect()
     assert(rows.nonEmpty)

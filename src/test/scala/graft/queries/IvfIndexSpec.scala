@@ -139,4 +139,71 @@ class IvfIndexSpec extends SparkSpec {
     assert(v(base) === true, "keep-rule winner (smaller id) was rejected")
     assert(v(base + 1) === false, "keep-rule loser (larger id) was admitted")
   }
+
+  /** Unit vector in the plane spanned by dims 0/1, at `deg` degrees. */
+  private def planar(deg: Double): Array[Double] = {
+    val r = math.toRadians(deg)
+    Array.tabulate(64)(d => if (d == 0) math.cos(r) else if (d == 1) math.sin(r) else 0.0)
+  }
+
+  test("incremental semantic dedup: corpus-rejected member does not evict its batch twin (ADVICE r10)") {
+    import spark.implicits._
+    // hand-built one-cell index so the geometry is exact: centroid at 0°,
+    // corpus vector c at 30°. Batch: X at 15° (cos(X,c)=cos15=0.966 >= 0.95
+    // -> corpus hit), Y at 0° (cos(Y,c)=cos30=0.866 < 0.95 -> no corpus
+    // hit; cos(X,Y)=cos15 >= 0.95 -> in-batch pair). Y sits ON the centroid
+    // so ccos(Y)=1 > ccos(X): the old keep rule would have evicted Y for
+    // losing to the already-rejected X — one corpus hit dropping BOTH batch
+    // members. The survivors-only rule admits Y.
+    val dir = s"$tmp/advice"
+    Seq((0L, planar(0))).toDF("cid", "cv").write.parquet(s"$dir/centroids.parquet")
+    IvfIndex.append(spark, dir, Seq((0L, planar(30))).toDF("vec_id", "v"))
+    val batch = Seq((100L, planar(15)), (101L, planar(0))).toDF("vec_id", "v")
+    val v = IvfIndex.semanticDedupIncremental(spark, dir, batch, 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(v(100L) === false, "X duplicates the corpus and must be rejected")
+    assert(v(101L) === true, "Y hits nothing admitted — must survive X's corpus rejection")
+  }
+
+  test("incremental semantic dedup: hot posting cell sub-splits without losing the exact-dup hit") {
+    import spark.implicits._
+    // one-cell index holding 32 corpus vectors (cap 4 -> nsub = 8): a batch
+    // copy of a corpus vector must still be rejected (identical vectors
+    // share an LSH sub-cell by construction), and a batch vector far from
+    // everything admitted.
+    val dir = s"$tmp/hot"
+    Seq((0L, planar(0))).toDF("cid", "cv").write.parquet(s"$dir/centroids.parquet")
+    val rnd = new scala.util.Random(11)
+    val corpusVecs = (0 until 32).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian()))
+    }
+    IvfIndex.append(spark, dir, corpusVecs.toDF("vec_id", "v"))
+    val dupOfSeven = corpusVecs(7)._2
+    val batch = Seq((100L, dupOfSeven), (101L, Array.fill(64)(rnd.nextGaussian())))
+      .toDF("vec_id", "v")
+    val v = IvfIndex.semanticDedupIncremental(spark, dir, batch, 0.999, cap = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(v(100L) === false, "exact corpus copy must be rejected under the sub-split")
+    assert(v(101L) === true, "unrelated vector must be admitted")
+  }
+
+  test("drift trigger: balanced appends stay quiet, a skewed append flips needsRebuild") {
+    import spark.implicits._
+    def unit(j: Int): Array[Double] = Array.tabulate(64)(d => if (d == j) 1.0 else 0.0)
+    val dir = s"$tmp/drift"
+    Seq((0L, unit(0)), (1L, unit(1)), (2L, unit(2)), (3L, unit(3)))
+      .toDF("cid", "cv").write.parquet(s"$dir/centroids.parquet")
+    // 5 vectors per cell — perfectly balanced, ratio 1.0
+    val balanced = for (j <- 0 until 4; i <- 0 until 5)
+      yield ((j * 5 + i).toLong, unit(j))
+    IvfIndex.append(spark, dir, balanced.toDF("vec_id", "v"))
+    assert(!IvfIndex.needsRebuild(spark, dir, skewThreshold = 2.0))
+    // dump 100 more into cell 0: counts 105/5/5/5, max/mean = 3.5 > 2.0
+    val skewed = (0 until 100).map(i => ((100 + i).toLong, unit(0)))
+    IvfIndex.append(spark, dir, skewed.toDF("vec_id", "v"))
+    assert(IvfIndex.needsRebuild(spark, dir, skewThreshold = 2.0))
+    // the criterion is the tunable: the same 3.5 skew under a permissive
+    // threshold does not fire
+    assert(!IvfIndex.needsRebuild(spark, dir, skewThreshold = 3.9))
+  }
 }

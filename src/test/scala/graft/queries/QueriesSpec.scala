@@ -669,4 +669,38 @@ class QueriesSpec extends SparkSpec {
     assert(removed === expect)
     assert(removed.nonEmpty) // the planted near-dups share a cell at sf0.01
   }
+
+  test("d10 hot-cell guard: planted hot cell bounds candidates, exact dups never missed") {
+    import spark.implicits._
+    // 64 vectors in ONE cell — a cell 8x past a cap of 8. Background is
+    // seeded Gaussian (no near-dups at 0.999); two planted exact-dup pairs
+    // must survive the sub-split (identical vector -> identical LSH bucket
+    // -> identical sub-cell, the guard's recall floor).
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val twin1 = vec(); val twin2 = vec()
+    val rows = (0 until 60).map(i => (0L, 100L + i, vec())) ++
+      Seq((0L, 500L, twin1), (0L, 501L, twin1), (0L, 600L, twin2), (0L, 601L, twin2))
+    val cc = rows.toDF("cid", "vec_id", "v")
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(col("v"), col("v"))))
+      .withColumn("ccos", col("vec_id") / 1000.0)
+    val full = DedupQueries.withinCellCandidates(cc, Int.MaxValue).count()
+    val guarded = DedupQueries.withinCellCandidates(cc, 8).count()
+    assert(full === 64L * 63 / 2)
+    // nsub = ceil(64/8) = 8 sub-buckets -> candidate work collapses toward
+    // pop x cap; assert well under half the quadratic count
+    assert(guarded < full / 2, s"guard did not bound candidates: $guarded of $full")
+    assert(guarded >= 2, "planted twin pairs must remain candidates")
+    // both planted pairs verified under the guard; keep rule drops the
+    // higher-(ccos, id) member (ccos here rises with id)
+    val verd = DedupQueries.semanticDedupVerdicts(cc, 0.999, 8).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(verd(501L) && !verd(500L))
+    assert(verd(601L) && !verd(600L))
+    // and the guarded verdicts equal the unguarded formulation here (only
+    // the exact twins sit above 0.999, and twins never cross sub-cells)
+    val unguarded = DedupQueries.semanticDedupVerdicts(cc, 0.999, Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(verd === unguarded)
+  }
 }
