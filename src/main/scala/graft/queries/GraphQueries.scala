@@ -225,14 +225,28 @@ object GraphQueries {
     * co-partitions with the edge list's src shuffle, so rounds reuse one
     * exchange layout. */
   private[queries] def lpaOf(bi: DataFrame, iters: Int): DataFrame = {
-    var lab = bi.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .eagerCheckpoint()
-    for (_ <- 1 to iters) {
+    require(iters >= 1, s"lpa needs >= 1 round, got $iters")
+    // Round 1 fused (r11): labels start as identity, so round 1's src-keyed
+    // label join maps label := src — a no-op worth one m-row shuffle join
+    // PLUS the distinct-node init build it feeds. Round 1 is therefore the
+    // two-level mode-vote aggregate alone, straight off the edge list
+    // (identical output: every node appears as dst in a bidirected frame).
+    var lab = lpaStep1(bi).eagerCheckpoint()
+    for (_ <- 2 to iters) {
       lab = lpaStep(bi, lab).eagerCheckpoint()
     }
     lab
   }
+
+  /** Round 1 of synchronous LPA with identity labels, join-free (see
+    * [[lpaOf]]); same two map-side-combinable aggregate levels as
+    * [[lpaStep]], PlanSpec-pinned. */
+  private[queries] def lpaStep1(bi: DataFrame): DataFrame =
+    bi.groupBy(col("dst").as("node"), col("src").as("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("node")
+      .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+      .select(col("node"), (-col("m.nl")).as("label"))
 
   /** [[lpaUntilStable]] outcome: converged community labels plus how many
     * rounds ran — the same contract shape as [[graft.ccf.CCF.CCFResult]]. */

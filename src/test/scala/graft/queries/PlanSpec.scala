@@ -243,6 +243,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
     assert(p.contains("partial_max"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // the fused identity round (r11): same two map-side-combining levels,
+    // and NO join anywhere — round 1 runs straight off the edge list (a
+    // literal frame here so the corpus edge BUILD's own join can't leak
+    // into the assertion)
+    import spark.implicits._
+    val lit = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p1 = finalPlan(GraphQueries.lpaStep1(graft.ccf.CCF.bidirect(lit)))
+    assert(p1.contains("partial_count"), p1)
+    assert(p1.contains("partial_max"), p1)
+    assert(!p1.toLowerCase.contains("join"), p1)
   }
 
   test("t10 chunking: map-side generate only — zero exchanges") {
