@@ -115,6 +115,31 @@ object TextQueries {
     // Per-row scalar pipeline: scan, project, zero shuffle.
     "t11_subword_stats" -> ((s, d) => subwordStatsOf(docs(s, d))),
 
+    // LM QUALITY FILTER (t12, r11): the CCNet-style perplexity-proxy gate —
+    // score every document by its t9 bigram-LM average probability, then
+    // keep documents at or above their LANGUAGE's 30th percentile (per-lang
+    // normalization is the published recipe's point: a rare language's
+    // sparse LM must not make its docs look uniformly "low quality" next to
+    // the head language). Scores are t9's rational count-ratios through the
+    // order-deterministic fold, so the percentile input is bit-identical
+    // across engines; the c8 interpolation parity covers the cut value.
+    // Only docs with >= 1 bigram are in scope (t9's universe).
+    //
+    // 100 TB notes: same shape as c8 — the per-lang thresholds are a
+    // languages-row aggregate joined back by BROADCAST; the gate itself is
+    // map-side. The exact `percentile` aggregate buffers each lang's scores
+    // on its reducer (oracle-parity choice); production swaps in the
+    // mergeable percentile_approx sketch via [[lmThresholdsApprox]] — same
+    // output contract, spec pins approx tracks exact.
+    "t12_lm_quality" -> ((s, d) => {
+      val scored = defs("t9_bigram_lm")(s, d)
+      val sl = scored.join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      val th = sl.groupBy("lang").agg(expr("percentile(avg_p, 0.3)").as("p30"))
+      sl.join(broadcast(th), "lang")
+        .where(col("avg_p") >= col("p30"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_p"), col("p30"))
+    }),
+
     // Quality scoring: type-token ratio + stopword ratio -> score + keep flag.
     "t3_quality" -> ((s, d) => {
       val t = tokens(col("text"))
@@ -339,6 +364,38 @@ object TextQueries {
 
   private val toks = tokensSql("text")
 
+  /** t9's bigram-LM scoring chain as shared CTEs ending in
+    * `score(doc_id, n_bigrams, avg_p)` — reused verbatim by the t12 gate so
+    * both oracles replay one scoring definition. */
+  private lazy val lmScoreCtes =
+    s"""tt AS (SELECT doc_id, $toks AS ws FROM documents),
+       |inst AS (
+       |  SELECT doc_id,
+       |    unnest([${polyHashSql("ws[i+1] || ' ' || ws[i+2]")}
+       |            for i in range(0, len(ws) - 1)]) AS g,
+       |    unnest([${polyHashSql("ws[i+1]")}
+       |            for i in range(0, len(ws) - 1)]) AS pg
+       |  FROM tt WHERE len(ws) >= 2),
+       |cnt AS (SELECT g, COUNT(*)::BIGINT AS c FROM inst GROUP BY g),
+       |pre AS (SELECT pg, COUNT(*)::BIGINT AS c1 FROM inst GROUP BY pg),
+       |p AS (SELECT doc_id, inst.g AS g,
+       |        CAST(c AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+       |      FROM inst JOIN cnt ON inst.g = cnt.g
+       |                JOIN pre ON inst.pg = pre.pg),
+       |score AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY g, p)),
+       |      (a, x) -> a + x) / COUNT(*) AS avg_p
+       |  FROM p GROUP BY doc_id)""".stripMargin
+
+  /** t12's scale path for the per-lang cut, exactly [[CurationQueries]]'
+    * c8 move: the mergeable approx_percentile sketch (map-side partials,
+    * no per-lang value buffering) replacing the exact `percentile`. */
+  private[queries] def lmThresholdsApprox(scoredWithLang: DataFrame,
+                                          p: Double, acc: Int = 10000): DataFrame =
+    scoredWithLang.groupBy("lang")
+      .agg(percentile_approx(col("avg_p"), lit(p), lit(acc)).as("p30"))
+
   val oracles: Map[String, String] = Map(
     "t1_token_stats" ->
       s"""SELECT doc_id,
@@ -368,24 +425,20 @@ object TextQueries {
     // same rational probabilities (count ratios, no libm), same (g, p)
     // sorted sequential fold — scores bit-identical across engines
     "t9_bigram_lm" ->
-      s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),
-         |inst AS (
-         |  SELECT doc_id,
-         |    unnest([${polyHashSql("ws[i+1] || ' ' || ws[i+2]")}
-         |            for i in range(0, len(ws) - 1)]) AS g,
-         |    unnest([${polyHashSql("ws[i+1]")}
-         |            for i in range(0, len(ws) - 1)]) AS pg
-         |  FROM tt WHERE len(ws) >= 2),
-         |cnt AS (SELECT g, COUNT(*)::BIGINT AS c FROM inst GROUP BY g),
-         |pre AS (SELECT pg, COUNT(*)::BIGINT AS c1 FROM inst GROUP BY pg),
-         |p AS (SELECT doc_id, inst.g AS g,
-         |        CAST(c AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
-         |      FROM inst JOIN cnt ON inst.g = cnt.g
-         |                JOIN pre ON inst.pg = pre.pg)
-         |SELECT doc_id, COUNT(*) AS n_bigrams,
-         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY g, p)),
-         |    (a, x) -> a + x) / COUNT(*) AS avg_p
-         |FROM p GROUP BY doc_id""".stripMargin,
+      s"""WITH $lmScoreCtes
+         |SELECT doc_id, n_bigrams, avg_p FROM score""".stripMargin,
+
+    // t12: the t9 score CTEs verbatim, then the c8-style per-lang
+    // quantile_cont cut (interpolation parity proven by c8's gate)
+    "t12_lm_quality" ->
+      s"""WITH $lmScoreCtes,
+         |sl AS (SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_p
+         |       FROM score s JOIN documents d USING (doc_id)),
+         |th AS (SELECT lang, quantile_cont(avg_p, 0.3) AS p30
+         |       FROM sl GROUP BY lang)
+         |SELECT sl.doc_id, sl.lang, sl.n_bigrams, sl.avg_p, th.p30
+         |FROM sl JOIN th USING (lang)
+         |WHERE sl.avg_p >= th.p30""".stripMargin,
 
     // t11: same regex (RE2 ≡ Java here — disjoint alternatives, no
     // lookahead), same exact-integer division

@@ -670,6 +670,32 @@ class QueriesSpec extends SparkSpec {
     assert(removed.nonEmpty) // the planted near-dups share a cell at sf0.01
   }
 
+  test("t12 LM quality gate: exact per-lang cut partitions the t9 universe; approx tracks exact") {
+    import org.apache.spark.sql.functions._
+    val kept = TextQueries.defs("t12_lm_quality")(spark, sf()).collect()
+    assert(kept.nonEmpty)
+    val p30 = kept.map(r => r.getString(1) -> r.getDouble(4)).toMap
+    // universe = every t9-scored doc; the gate must keep EXACTLY the
+    // >= p30 rows of each language, drop the rest
+    val uni = TextQueries.defs("t9_bigram_lm")(spark, sf())
+      .join(graft.sources.Tables.documents(spark, sf()).select(col("doc_id"), col("lang")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getDouble(2)))
+    val keptIds = kept.map(_.getLong(0)).toSet
+    for ((id, lang, p) <- uni)
+      assert(keptIds.contains(id) === (p >= p30(lang)), s"doc $id lang $lang p=$p cut=${p30(lang)}")
+    // a real cut: something dropped per head language, most kept overall
+    assert(uni.length > keptIds.size)
+    assert(keptIds.size.toDouble / uni.length > 0.6)
+    // the scale path's sketch thresholds track the exact aggregate
+    val sl = TextQueries.defs("t9_bigram_lm")(spark, sf())
+      .join(graft.sources.Tables.documents(spark, sf()).select(col("doc_id"), col("lang")), "doc_id")
+    val approx = TextQueries.lmThresholdsApprox(sl, 0.3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((lang, exact) <- p30)
+      assert(math.abs(approx(lang) - exact) <= math.abs(exact) * 0.15 + 1e-9,
+        s"$lang approx=${approx(lang)} exact=$exact")
+  }
+
   test("d10 hot-cell guard: planted hot cell bounds candidates, exact dups never missed") {
     import spark.implicits._
     // 64 vectors in ONE cell — a cell 8x past a cap of 8. Background is
