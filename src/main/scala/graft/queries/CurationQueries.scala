@@ -71,8 +71,19 @@ object CurationQueries {
 
   /** c10: max docs kept per domain — binds on the large en.* domains at the
     * gate scales (12-16 docs each at sf0.01) while small-language domains
-    * pass through whole, so the gate exercises both sides of the cap. */
-  private val DomainCap = 8
+    * pass through whole, so the gate exercises both sides of the cap.
+    * Shared with the streaming twin ([[graft.streaming.Streams
+    * .domainCapStream]]). */
+  private[graft] val DomainCap = 8
+
+  /** The (domain, doc_id, score) projection shared by the batch c10 def and
+    * its streaming twin — purely row-local (derived key + salted hash), so
+    * stream and batch score every document identically under any
+    * replay/trigger layout. */
+  private[graft] def domainScored(documents: DataFrame): DataFrame =
+    documents.select(
+      concat(col("lang"), lit("."), col("source")).as("domain"), col("doc_id"),
+      (saltedHash("domcap", col("doc_id")).cast("double") / HashP).as("score"))
 
   /** c5: PII patterns — identical dialect subset of Java regex (Spark) and
     * RE2 (DuckDB): character classes, +, bounded repeats only. */
@@ -197,9 +208,7 @@ object CurationQueries {
     // 10^9 docs) only grows the MAP-side work of that domain's partial
     // aggregates, not any single reducer's state.
     "c10_domain_cap" -> ((s, d) =>
-      docs(s, d)
-        .select(concat(col("lang"), lit("."), col("source")).as("domain"), col("doc_id"),
-          (saltedHash("domcap", col("doc_id")).cast("double") / HashP).as("score"))
+      domainScored(docs(s, d))
         .groupBy("domain")
         .agg(graft.functions.TopK.topK(col("score"), col("doc_id"), DomainCap).as("tk"))
         .select(col("domain"), posexplode(col("tk")).as(Seq("pos", "e")))

@@ -440,6 +440,72 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** One kept doc of [[domainCapStream]]'s running per-domain cap; `n_seen`
+    * is the domain's total docs seen so far — the final emission for a
+    * domain is the one with its max n_seen (how the spec isolates the
+    * end-of-stream answer from the Update-mode history). */
+  final case class DomainCapOut(domain: String, rank: Int, doc_id: Long,
+                                score: Double, n_seen: Long)
+
+  /** STREAMING PER-DOMAIN CAP — c10's online twin: each domain's running
+    * top-[[graft.queries.CurationQueries.DomainCap]] (score desc, doc_id
+    * asc — the batch tie order) lives in flatMapGroupsWithState, so state
+    * is BOUNDED at cap entries + one counter per domain no matter how many
+    * docs stream through it. Every trigger re-emits the domain's current
+    * kept set (Update mode); after the last trigger the per-domain rows
+    * with max n_seen equal the batch c10 answer on everything seen — the
+    * row-local scoring ([[graft.queries.CurationQueries.domainScored]]) is
+    * shared code, so stream and batch can never rank differently. */
+  def domainCapStream(docs: DataFrame): Dataset[DomainCapOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cap = graft.queries.CurationQueries.DomainCap
+    graft.queries.CurationQueries.domainScored(docs)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(List[(Double, Long)], Long), DomainCapOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (domain: String, it: Iterator[(String, Long, Double)],
+         state: GroupState[(List[(Double, Long)], Long)]) =>
+          var (kept, seen) = state.getOption.getOrElse((Nil, 0L))
+          it.foreach { case (_, id, sc) =>
+            seen += 1
+            // insert in (score desc, id asc) order, truncate at cap —
+            // list ops bounded by cap, the whole point of the aggregate
+            val (before, after) = kept.span(e => e._1 > sc || (e._1 == sc && e._2 < id))
+            kept = (before ::: (sc, id) :: after).take(cap)
+          }
+          state.update((kept, seen))
+          kept.iterator.zipWithIndex.map { case ((sc, id), i) =>
+            DomainCapOut(domain, i + 1, id, sc, seen)
+          }
+      }
+  }
+
+  /** Run the streaming domain cap end-to-end (AvailableNow, memory sink,
+    * Update mode). `maxFilesPerTrigger` < 0 leaves the default single-pass
+    * trigger; a positive value forces multi-trigger replay so specs can
+    * prove the state carries across micro-batches. */
+  def runDomainCapOnce(spark: SparkSession, dir: String,
+                       queryName: String = "domain_cap",
+                       maxFilesPerTrigger: Int = -1,
+                       glob: String = "documents.parquet"): DataFrame = {
+    val src = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("pathGlobFilter", glob)
+    val srcOpt = if (maxFilesPerTrigger > 0)
+      src.option("maxFilesPerTrigger", maxFilesPerTrigger) else src
+    val q = domainCapStream(srcOpt.parquet(dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming twin of the curation hash-sampler (c1_hash_sample): the salted
     * deterministic hash is a pure row-local filter — no state, no watermark —
     * so the IDENTICAL transform runs on the stream and selects the identical

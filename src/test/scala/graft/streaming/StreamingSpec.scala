@@ -279,4 +279,45 @@ class StreamingSpec extends SparkSpec {
     assert(pruned.count() ===
       batch.where(col("event_date") === lit(d).cast("date")).count())
   }
+
+  test("streaming domain cap == batch c10, and the bounded state carries across triggers") {
+    // the final emission per domain (max n_seen) must equal the batch answer
+    def finalRows(df: org.apache.spark.sql.DataFrame): Set[(String, Int, Long, Double)] = {
+      val rows = df.collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      val maxSeen = rows.groupBy(_._1).view.mapValues(_.map(_._5).max).toMap
+      rows.filter(t => t._5 == maxSeen(t._1)).map(t => (t._1, t._2, t._3, t._4)).toSet
+    }
+    val batch = graft.queries.CurationQueries.defs("c10_domain_cap")(spark, sf("sf0.01"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // single AvailableNow pass over the gate corpus
+    val one = finalRows(Streams.runDomainCapOnce(spark, sf("sf0.01"), "domcap_one"))
+    assert(one === batch)
+    // split the same corpus into two files and force one file per trigger:
+    // the per-domain top-k must carry across micro-batches and land on the
+    // identical final answer
+    val dir = java.nio.file.Files.createTempDirectory("domcap").toString
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.01"))
+    def writeHalf(name: String, cond: org.apache.spark.sql.Column): Unit = {
+      val tmp = s"$dir/stage_$name"
+      docs.where(cond).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    // split by id RANGE (not parity — source/lang derive from doc_id mod
+    // cycles, so a parity split would give every domain a single-trigger
+    // life and prove nothing about cross-trigger state)
+    val mid = docs.count() / 2
+    writeHalf("h0", col("doc_id") < mid)
+    writeHalf("h1", col("doc_id") >= mid)
+    val multi = Streams.runDomainCapOnce(spark, dir, "domcap_multi",
+      maxFilesPerTrigger = 1, glob = "h*.parquet")
+    // both triggers actually ran: some domain emitted at two n_seen marks
+    val perDomainSeen = multi.collect().map(r => (r.getString(0), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    assert(perDomainSeen.values.exists(_ > 1), s"single trigger only: $perDomainSeen")
+    assert(finalRows(multi) === batch)
+  }
 }
