@@ -38,6 +38,21 @@ object EventQueries {
              expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
         .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))),
 
+    // RATE ANOMALY (e11, r11): per-type hourly event rates flagged against
+    // the TRAILING 24-hour mean — the ops-monitoring / data-quality gate a
+    // pipeline runs over its own ingest (a scraper going hot, a source
+    // flooding). All arithmetic is exact: integer counts, one IEEE division
+    // for the trailing mean, so flags are bit-identical across engines (no
+    // stddev/libm). First hours with an empty trail are unflaggable →
+    // anomaly coalesces false.
+    //
+    // 100 TB notes: the hourly pre-aggregate collapses the event stream
+    // map-side FIRST (one shuffle keyed (hour, type)); the window then runs
+    // over hours × types — bounded rows (a decade is <90k hours/type), so
+    // the per-type window sort is trivially small no matter the event
+    // volume. Never window the raw events.
+    "e11_rate_anomaly" -> ((s, d) => rateAnomalyOf(ev(s, d))),
+
     // Gap-based sessionization (30-min inactivity): lag + cumulative sum —
     // the classic batch formulation of session windows.
     "e2_sessions" -> ((s, d) => {
@@ -205,11 +220,48 @@ object EventQueries {
           .otherwise(1).as("stage_reached"))
   }
 
+  /** e11 trailing window length (hours) and burst multiplier. */
+  private[queries] val TrailHours = 24
+  private[queries] val BurstFactor = 2.0
+
+  /** The e11 pipeline on any events frame (parametric for the planted-burst
+    * spec): hourly (type, hour) counts, trailing-[[TrailHours]] mean over
+    * the ROWS frame ending one hour back, flag when the hour runs past
+    * [[BurstFactor]] × that mean. */
+  private[queries] def rateAnomalyOf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("w.start").as("hour"), col("n"))
+    val trail = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-TrailHours, -1)
+    hourly
+      .select(col("event_type"), col("hour"), col("n"),
+        avg(col("n")).over(trail).as("trail_avg"))
+      .withColumn("is_anomaly",
+        coalesce(col("n") > lit(BurstFactor) * col("trail_avg"), lit(false)))
+  }
+
   val oracles: Map[String, String] = Map(
     "e1_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // e11: integer counts + one IEEE division (avg over the ROWS frame) —
+    // no stddev/libm, so flags match bit-for-bit
+    "e11_rate_anomaly" ->
+      s"""WITH h AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |t AS (
+         |  SELECT event_type, hour, n,
+         |    avg(n) OVER (PARTITION BY event_type ORDER BY hour
+         |                 ROWS BETWEEN $TrailHours PRECEDING AND 1 PRECEDING) AS trail_avg
+         |  FROM h)
+         |SELECT event_type, hour, n, trail_avg,
+         |       coalesce(n > $BurstFactor * trail_avg, false) AS is_anomaly
+         |FROM t""".stripMargin,
 
     "e2_sessions" ->
       """WITH flagged AS (

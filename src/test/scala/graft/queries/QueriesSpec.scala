@@ -670,6 +670,25 @@ class QueriesSpec extends SparkSpec {
     assert(removed.nonEmpty) // the planted near-dups share a cell at sf0.01
   }
 
+  test("e11 rate anomaly: planted burst flagged, steady baseline quiet, empty trail unflaggable") {
+    import spark.implicits._
+    def tstamp(h: Int, i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(h * 3600L + i * 60L))
+    // type "a": 25 steady hours at 4 events/hour, then a 20-event burst hour
+    val rows = (for { h <- 0 until 25; i <- 0 until 4 } yield ("a", tstamp(h, i))) ++
+      (0 until 20).map(i => ("a", tstamp(25, i)))
+    val out = EventQueries.rateAnomalyOf(rows.toDF("event_type", "ts")).collect()
+      .map(r => (r.getTimestamp(1).toInstant.getEpochSecond -
+          java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond) / 3600 ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4))))
+      .toMap
+    assert(out.size === 26)
+    assert(out(25) === ((20L, Some(4.0), true)), "burst hour must be flagged")
+    assert(out(0) === ((4L, None, false)), "hour 0 has no trail — unflaggable")
+    for (h <- 1 until 25)
+      assert(out(h) === ((4L, Some(4.0), false)), s"steady hour $h must stay quiet")
+  }
+
   test("t12 LM quality gate: exact per-lang cut partitions the t9 universe; approx tracks exact") {
     import org.apache.spark.sql.functions._
     val kept = TextQueries.defs("t12_lm_quality")(spark, sf()).collect()
