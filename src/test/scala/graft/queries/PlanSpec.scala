@@ -140,6 +140,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), p)
   }
 
+  test("c10 domain cap: bounded top-k aggregate, no domain-wide window sort") {
+    val p = finalPlan(CurationQueries.defs("c10_domain_cap")(spark, sf()))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_top_k"), p) // map-side partial per domain
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+  }
+
+  test("t12 LM quality: per-lang thresholds broadcast back, no corpus re-shuffle for the gate") {
+    val p = finalPlan(TextQueries.defs("t12_lm_quality")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("e11 rate anomaly: hourly pre-aggregate combines map-side before the window") {
+    val p = finalPlan(EventQueries.defs("e11_rate_anomaly")(spark, sf()))
+    assert(p.contains("partial_count"), p) // events collapse before any sort
+    assert(p.contains("Window"), p) // the window exists — over hours x types only
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("c5 redact: map-side only — scan, project, zero exchanges") {
     val p = plan(CurationQueries.defs("c5_pii_redact")(spark, sf()))
     assert(!p.contains("Exchange"), p)
