@@ -446,6 +446,20 @@ object DedupQueries {
         .select(col("vec_a"), col("vec_b"), col("cos"))
     }),
 
+    // SEMANTIC DUP CLUSTERS (d11, r11): the cluster-collapse tail of the
+    // SemDeDup recipe — connected components over the embedding near-dup
+    // pair graph (d7's LSH-bucketed, exact-cosine-verified pairs), one
+    // representative per cluster (min vec_id; members keep a row, the rep
+    // has none — the CCF output contract). This is the transitive
+    // keep-one-per-cluster d10's per-pair rule deliberately does NOT do:
+    // A~B~C with cos(A,C) below threshold still collapses to one kept
+    // vector here. Composition: the same CCF fixpoint engine that powers
+    // d6 over text pairs, running on the vector near-dup graph.
+    "d11_semantic_clusters" -> ((s, d) => {
+      val pairs = defs("d7_embedding_neardup_lsh")(s, d).select("vec_a", "vec_b")
+      graft.ccf.CCF.run(pairs).assignments.toDF("vec_id", "cluster_rep")
+    }),
+
     // SEMANTIC dedup (d10, r10): cluster-then-near-dup — assign every
     // embedding to its trained k-means cell (the s6 quantizer, memoized
     // across s3/s6/s7/d10), generate candidate pairs WITHIN a cell only,
@@ -665,6 +679,19 @@ object DedupQueries {
          |  SELECT reach.node, bi.b FROM reach JOIN bi ON bi.a = reach.r WHERE bi.b <> reach.node),
          |asgn AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node HAVING MIN(r) < node)
          |SELECT node AS doc_id, component AS cluster_rep FROM asgn""".stripMargin,
+
+    // d11: d6's recursive min-reachability fixpoint, over the d7 embedding
+    // pair set instead of the text jaccard pairs
+    "d11_semantic_clusters" ->
+      s"""WITH RECURSIVE $epCte,
+         |e AS (SELECT vec_a AS src, vec_b AS dst FROM ep),
+         |bi AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e),
+         |reach(node, r) AS (
+         |  SELECT a, b FROM bi
+         |  UNION
+         |  SELECT reach.node, bi.b FROM reach JOIN bi ON bi.a = reach.r WHERE bi.b <> reach.node),
+         |asgn AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node HAVING MIN(r) < node)
+         |SELECT node AS vec_id, component AS cluster_rep FROM asgn""".stripMargin,
 
     "d4_simhash" -> simhashSql(toks),
 

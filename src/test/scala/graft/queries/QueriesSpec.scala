@@ -670,6 +670,29 @@ class QueriesSpec extends SparkSpec {
     assert(removed.nonEmpty) // the planted near-dups share a cell at sf0.01
   }
 
+  test("d11 semantic clusters: CCF over d7 pairs == driver union-find; reps have no row") {
+    val pairs = DedupQueries.defs("d7_embedding_neardup_lsh")(spark, sf("sf0.01"))
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // first-principles oracle: path-compressed union-find, min-id labels
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = nodes.map(n => n -> find(n)).filter { case (n, r) => n != r }.toMap
+    val out = DedupQueries.defs("d11_semantic_clusters")(spark, sf("sf0.01"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === expect)
+    // representative-has-no-row: no key maps to itself, reps appear only as values
+    assert(out.forall { case (n, r) => n != r && !out.contains(r) })
+  }
+
   test("e11 rate anomaly: planted burst flagged, steady baseline quiet, empty trail unflaggable") {
     import spark.implicits._
     def tstamp(h: Int, i: Int) = java.sql.Timestamp.from(
