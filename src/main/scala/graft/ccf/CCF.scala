@@ -122,13 +122,35 @@ object CCF {
     * has completed by the time this is called, so metrics normally arrive on
     * the first poll (`getOrEmpty` itself waits ≤100 ms per call); past the
     * deadline, fall back LOUDLY to counting the materialized checkpoint —
-    * correct, one extra job — rather than hanging. */
+    * correct, one extra job — rather than hanging.
+    *
+    * EXCEPTION-SAFE (VERDICT r11 #1): `Observation.getOrEmpty` converts the
+    * stored metrics `Row` lazily via `row.schema()`, which can be null when
+    * the row is delivered without schema under concurrent load — the read
+    * then THROWS (observed: NPE in ScaleSpec under full-suite concurrency)
+    * instead of returning empty. A throwing poll is treated exactly like a
+    * not-yet-delivered one: keep polling until the deadline, then take the
+    * same loud count() fallback. A metrics race must never kill a fixpoint
+    * that has a correct recovery path one count() away. */
   private[graft] def observedOrCount(obs: Observation, what: String, deadlineMs: Long = 30000L)
-                             (fallback: => Map[String, Long]): Map[String, Long] = {
+                             (fallback: => Map[String, Long]): Map[String, Long] =
+    pollMetrics(() => org.apache.spark.sql.graft.Bridge.observedOrEmpty(obs),
+      what, deadlineMs)(fallback)
+
+  /** The poll loop behind [[observedOrCount]], parametric in the read so the
+    * throwing-read path is unit-testable without racing a real Observation.
+    * `read` normally blocks ≤100 ms internally; the extra 5 ms sleep only
+    * runs after a FAILED poll, so the delivered-first-try path pays nothing. */
+  private[graft] def pollMetrics(read: () => Map[String, Any], what: String,
+                                 deadlineMs: Long)
+                                (fallback: => Map[String, Long]): Map[String, Long] = {
     val deadline = System.nanoTime() + deadlineMs * 1000000L
-    val read = () => org.apache.spark.sql.graft.Bridge.observedOrEmpty(obs)
-    var got = read()
-    while (got.isEmpty && System.nanoTime() < deadline) got = read()
+    val safeRead = () => try read() catch { case scala.util.control.NonFatal(_) => Map.empty[String, Any] }
+    var got = safeRead()
+    while (got.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(5)
+      got = safeRead()
+    }
     if (got.nonEmpty) got.map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }
     else {
       System.err.println(s"[graft.ccf] observed metrics for $what not delivered within " +

@@ -627,7 +627,7 @@ object DedupQueries {
   private val epCte =
     s"""emb AS (
        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm,
-       |         ${graft.functions.LshBucket.sql("embedding", 8, 64)} AS bkt
+       |         ${graft.functions.LshBucket.sql("embedding", 8, SimilarityQueries.Dim)} AS bkt
        |  FROM embeddings),
        |ep AS (
        |  SELECT vec_a, vec_b, cos FROM (
@@ -757,7 +757,7 @@ object DedupQueries {
          |pops AS (SELECT cid, COUNT(*) AS cell_pop FROM cc GROUP BY cid),
          |gcc AS (
          |  SELECT cc.*, CASE WHEN p.cell_pop <= $MaxCellPop THEN 0
-         |    ELSE ${graft.functions.LshBucket.sql("cc.v", SubSplitPlanes, 64)} %
+         |    ELSE ${graft.functions.LshBucket.sql("cc.v", SubSplitPlanes, SimilarityQueries.Dim)} %
          |      CAST(least(floor((p.cell_pop + ${MaxCellPop - 1}) / $MaxCellPop), 65536) AS INT)
          |    END AS scid
          |  FROM cc JOIN pops p USING (cid)),

@@ -225,17 +225,25 @@ object EventQueries {
   private[queries] val BurstFactor = 2.0
 
   /** The e11 pipeline on any events frame (parametric for the planted-burst
-    * spec): hourly (type, hour) counts, trailing-[[TrailHours]] mean over
-    * the ROWS frame ending one hour back, flag when the hour runs past
-    * [[BurstFactor]] × that mean. */
+    * spec): hourly (type, hour) counts, trailing-[[TrailHours]] WALL-CLOCK
+    * mean — a RANGE frame over the integer epoch-hour ending one hour back
+    * (ADVICE r11: a ROWS frame would span the last 24 *present* hours, so
+    * after a quiet gap the "trailing day" silently reached back to
+    * arbitrarily stale hours). Zero-event hours still emit no row (nothing
+    * to flag there), but every emitted hour's trail now covers exactly the
+    * preceding 24 wall-clock hours: a burst right after a >24 h silence has
+    * an empty trail and is unflaggable (trail_avg null → false), not
+    * compared against last week's rates. Flag when the hour runs past
+    * [[BurstFactor]] × the trailing mean. */
   private[queries] def rateAnomalyOf(events: DataFrame): DataFrame = {
     val hourly = events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"), col("w.start").as("hour"), col("n"))
-    val trail = Window.partitionBy("event_type").orderBy("hour")
-      .rowsBetween(-TrailHours, -1)
+    val trail = Window.partitionBy("event_type").orderBy(col("eh"))
+      .rangeBetween(-TrailHours, -1)
     hourly
+      .withColumn("eh", floor(epochUs(col("hour")) / (3600L * 1000000L)))
       .select(col("event_type"), col("hour"), col("n"),
         avg(col("n")).over(trail).as("trail_avg"))
       .withColumn("is_anomaly",
@@ -248,16 +256,19 @@ object EventQueries {
         |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    // e11: integer counts + one IEEE division (avg over the ROWS frame) —
-    // no stddev/libm, so flags match bit-for-bit
+    // e11: integer counts + one IEEE division (avg over the frame) — no
+    // stddev/libm, so flags match bit-for-bit. RANGE over the integer
+    // epoch-hour = true wall-clock trailing day (ADVICE r11), same frame
+    // as the Spark side's rangeBetween.
     "e11_rate_anomaly" ->
       s"""WITH h AS (
-         |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
-         |  FROM events GROUP BY 1, 2),
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |         epoch_us(date_trunc('hour', ts)) // 3600000000 AS eh, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2, 3),
          |t AS (
          |  SELECT event_type, hour, n,
-         |    avg(n) OVER (PARTITION BY event_type ORDER BY hour
-         |                 ROWS BETWEEN $TrailHours PRECEDING AND 1 PRECEDING) AS trail_avg
+         |    avg(n) OVER (PARTITION BY event_type ORDER BY eh
+         |                 RANGE BETWEEN $TrailHours PRECEDING AND 1 PRECEDING) AS trail_avg
          |  FROM h)
          |SELECT event_type, hour, n, trail_avg,
          |       coalesce(n > $BurstFactor * trail_avg, false) AS is_anomaly

@@ -278,6 +278,72 @@ object SimilarityQueries {
       iters)
   }
 
+  /** Bounded seed-candidate pool for [[retrainCentroids]] — collected to the
+    * driver (≤ this many rows regardless of corpus size). */
+  private val SeedPoolSize = 1000
+
+  /** REBUILD-TIME training ([[IvfIndex.rebuild]]): Lloyd over a
+    * deterministic hash-sample of the corpus, seeded by a greedy
+    * farthest-point (k-center) pass instead of [[build]]'s fixed lowest-id
+    * seeds. Lowest-id seeding is the right replayable contract for the
+    * gated first build, but it cannot ADAPT: data that drifted into a
+    * direction the original centroids never covered all piles into one hot
+    * cell, and Lloyd alone never splits a cell it has no seed inside.
+    * Farthest-point seeding places the next seed at the pool vector with
+    * maximal cosine distance to its nearest chosen seed — a drifted blob IS
+    * that vector, so the hot region attracts seeds and the rebuild actually
+    * clears the [[IvfIndex.needsRebuild]] skew that triggered it
+    * (IvfIndexSpec pins this end to end). Fully deterministic: the pool is
+    * the [[SeedPoolSize]] lowest-`xxhash64(vec_id)` corpus rows, seed 1 is
+    * the smallest vec_id in the pool, ties break to the smaller vec_id. */
+  private[queries] def retrainCentroids(ed: DataFrame, k: Int, iters: Int,
+                                        permille: Int): DataFrame = {
+    // bounded driver action: ≤ SeedPoolSize rows (TakeOrdered by hash —
+    // map-side top-k, no full sort)
+    val pool = ed
+      .withColumn("h", xxhash64(col("vec_id"), lit("ivf-reseed")))
+      .orderBy(col("h"), col("vec_id")).limit(SeedPoolSize)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val seeds = farthestPointSeeds(pool, k)
+    val sample = if (permille >= 1000) ed
+      else ed.where(pmod(xxhash64(col("vec_id"), lit("ivf-train")), lit(1000)) < permille)
+    val s = ed.sparkSession
+    import s.implicits._
+    lloydTrain(sample,
+      seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("cid", "cv"),
+      iters)
+  }
+
+  /** Greedy k-center over an id-sorted pool: start at the smallest vec_id,
+    * repeatedly add the vector minimizing max-cosine-to-chosen (ties to the
+    * smaller id — the pool is id-sorted, so "first index at the minimum").
+    * O(k·|pool|·Dim) on the driver, bounded by [[SeedPoolSize]]. */
+  private def farthestPointSeeds(pool: Array[(Long, Array[Double])],
+                                 k: Int): Array[Array[Double]] = {
+    if (pool.isEmpty) return Array.empty
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(pool(0)._2)
+    val nearest = pool.map(p => cos(p._2, chosen(0)))
+    while (chosen.size < math.min(k, pool.length)) {
+      var best = 0; var i = 1
+      while (i < pool.length) { if (nearest(i) < nearest(best)) best = i; i += 1 }
+      chosen += pool(best)._2
+      i = 0
+      while (i < pool.length) {
+        val c = cos(pool(i)._2, chosen.last)
+        if (c > nearest(i)) nearest(i) = c
+        i += 1
+      }
+    }
+    chosen.toArray
+  }
+
   private def lloydTrain(ed: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     val en = enOf(ed)
     var cents = seeds

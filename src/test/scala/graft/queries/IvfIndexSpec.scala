@@ -206,4 +206,55 @@ class IvfIndexSpec extends SparkSpec {
     // threshold does not fire
     assert(!IvfIndex.needsRebuild(spark, dir, skewThreshold = 3.9))
   }
+
+  test("rebuild closes the drift loop: trigger -> rebuild -> atomic publish -> appends continue") {
+    import spark.implicits._
+    def unit(j: Int): Array[Double] = Array.tabulate(64)(d => if (d == j) 1.0 else 0.0)
+    val root = s"$tmp/lifecycle"
+    // v1: 4 centroids fanned across the (0,1) plane; balanced corpus of 5
+    // exact copies per fan direction (ids grouped per cell)
+    Seq(0L -> planar(0), 1L -> planar(10), 2L -> planar(20), 3L -> planar(30))
+      .toDF("cid", "cv").write.parquet(s"$root/v1/centroids.parquet")
+    val balanced = for (j <- 0 until 4; i <- 0 until 5)
+      yield ((j * 5 + i).toLong, planar(10.0 * j))
+    IvfIndex.append(spark, s"$root/v1", balanced.toDF("vec_id", "v"))
+    IvfIndex.publish(spark, root, "v1")
+    assert(IvfIndex.current(spark, root) === s"$root/v1")
+    assert(!IvfIndex.needsRebuild(spark, IvfIndex.current(spark, root), skewThreshold = 2.0))
+    // DRIFT: two tight blobs in directions the v1 centroids never covered —
+    // all 100 tie at cos 0 against every fan centroid and pile into cell 0
+    val drifted = (0 until 50).map(i => ((100 + i).toLong, unit(4))) ++
+      (0 until 50).map(i => ((150 + i).toLong, unit(5)))
+    IvfIndex.append(spark, IvfIndex.current(spark, root), drifted.toDF("vec_id", "v"))
+    assert(IvfIndex.needsRebuild(spark, IvfIndex.current(spark, root), skewThreshold = 2.0),
+      "the drifted blobs must trip the skew trigger (105/5/5/5)")
+    val preRebuildSearch = IvfIndex.search(spark, IvfIndex.current(spark, root),
+      Seq((0L, planar(0))).toDF("query_id", "qv")).collect().toSet
+    // REBUILD into a fresh dir; v1 stays the live version throughout
+    IvfIndex.rebuild(spark, IvfIndex.current(spark, root), s"$root/v2", iters = 3)
+    assert(IvfIndex.current(spark, root) === s"$root/v1",
+      "a reader must keep resolving the old complete index until publish")
+    assert(IvfIndex.search(spark, IvfIndex.current(spark, root),
+      Seq((0L, planar(0))).toDF("query_id", "qv")).collect().toSet === preRebuildSearch,
+      "the live index must be bit-identical while the rebuild writes next door")
+    // ATOMIC SWAP
+    IvfIndex.publish(spark, root, "v2")
+    val v2 = IvfIndex.current(spark, root)
+    assert(v2 === s"$root/v2")
+    // the farthest-point reseed split the hot cell: skew cleared
+    assert(!IvfIndex.needsRebuild(spark, v2, skewThreshold = 2.0),
+      "rebuild must actually clear the skew that triggered it")
+    // every corpus vector survived the rewrite (posting lists recounted)
+    assert(IvfIndex.cells(spark, v2).count() === 120)
+    // and the drifted blobs landed in cells of their own, not one hot cell
+    val v2counts = IvfIndex.cells(spark, v2).groupBy("cid").count()
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(v2counts.max <= 60, s"hot cell not split: $v2counts")
+    // appends CONTINUE against the new current — stats keep accruing
+    IvfIndex.append(spark, v2, Seq((300L, planar(5))).toDF("vec_id", "v"))
+    assert(IvfIndex.cells(spark, v2).count() === 121)
+    val post = IvfIndex.search(spark, v2, Seq((0L, unit(4))).toDF("query_id", "qv"))
+      .collect()
+    assert(post.nonEmpty, "search over the rebuilt index must find the drifted blob")
+  }
 }

@@ -712,6 +712,33 @@ class QueriesSpec extends SparkSpec {
       assert(out(h) === ((4L, Some(4.0), false)), s"steady hour $h must stay quiet")
   }
 
+  test("e11 rate anomaly: the trail is wall-clock, not last-24-present-hours (ADVICE r11)") {
+    import spark.implicits._
+    def tstamp(h: Int, i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(h * 3600L + i * 60L))
+    // type "b": 4 events/hour for hours 0..9, then SILENCE, then a 30-event
+    // hour at h=40 (31 h after the last active hour). A ROWS frame would
+    // average the stale hours 0..9 and flag it; the wall-clock RANGE frame
+    // finds nothing in (h=16..39] -> empty trail -> unflaggable.
+    val gap = (for { h <- 0 until 10; i <- 0 until 4 } yield ("b", tstamp(h, i))) ++
+      (0 until 30).map(i => ("b", tstamp(40, i)))
+    // type "c": steady 2/hour for hours 0..5, quiet 6..11, burst at h=12:
+    // the wall-clock trail still sees hours 0..5 (within 24 h) -> avg 2.0,
+    // burst 20 > 2×2.0 -> flagged (a PARTIAL gap must not disable the flag)
+    val partial = (for { h <- 0 until 6; i <- 0 until 2 } yield ("c", tstamp(h, i))) ++
+      (0 until 20).map(i => ("c", tstamp(12, i)))
+    val out = EventQueries.rateAnomalyOf((gap ++ partial).toDF("event_type", "ts")).collect()
+      .map(r => (r.getString(0),
+        (r.getTimestamp(1).toInstant.getEpochSecond -
+          java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond) / 3600) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4))))
+      .toMap
+    assert(out(("b", 40L)) === ((30L, None, false)),
+      "post-silence burst has an empty wall-clock trail — must be unflaggable, not compared to stale hours")
+    assert(out(("c", 12L)) === ((20L, Some(2.0), true)),
+      "burst after a partial gap still flags against the in-range hours")
+  }
+
   test("t12 LM quality gate: exact per-lang cut partitions the t9 universe; approx tracks exact") {
     import org.apache.spark.sql.functions._
     val kept = TextQueries.defs("t12_lm_quality")(spark, sf()).collect()
