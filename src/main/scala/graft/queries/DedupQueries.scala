@@ -479,7 +479,43 @@ object DedupQueries {
     // removal rule is per-pair (no transitive closure), so the whole pass
     // is join + aggregate — no fixpoint.
     "d10_semantic_dedup" -> ((s, d) =>
-      semanticDedupVerdicts(centroidCosinesOf(s, d), NearDupT, MaxCellPop))
+      semanticDedupVerdicts(centroidCosinesOf(s, d), NearDupT, MaxCellPop)),
+
+    // INCREMENTAL dedup under the gate (d12, r12; VERDICT r11 #3): the
+    // daily-ingest admission path [[incrementalDedup]] replayed over a
+    // deterministic two-batch split of the corpus — even doc_ids are
+    // "yesterday's corpus" (participating only through its band index +
+    // candidate texts, exactly the persisted-index shape), odd doc_ids are
+    // today's ingest. One verdict row per batch doc: (doc_id, admitted) —
+    // admitted = not a near-dup of corpus content (cluster-transitively)
+    // and the min-id representative of its in-batch dup cluster. The same
+    // trajectory-replay trick s3/d10 use: the oracle recomputes the split,
+    // the band collisions, the Jaccard verifications and the batch
+    // cluster graph, so the production admission rule itself is
+    // hash-gated, not just its batch building blocks.
+    "d12_incremental_dedup" -> ((s, d) => {
+      val all = docs(s, d)
+      val admitted = incrementalDedup(
+          all.where(col("doc_id") % 2 === 0), all.where(col("doc_id") % 2 === 1))
+        .select(col("doc_id")).withColumn("adm", lit(true))
+      all.where(col("doc_id") % 2 === 1).select("doc_id")
+        .join(admitted, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("adm"), lit(false)).as("admitted"))
+    }),
+
+    // INCREMENTAL semantic dedup under the gate (d13, r12; VERDICT r11
+    // #3): [[IvfIndex.semanticDedupIncremental]] — d10's daily-ingest twin
+    // over a PERSISTED index — replayed over the same deterministic split
+    // of the embeddings: the index holds the even-vec_id posting half
+    // (quantized by the shared trained centroids, so the oracle reuses the
+    // Lloyd-trajectory CTEs verbatim), odd vec_ids are the batch. Verdict
+    // per batch member: (vec_id, cluster_id, ccos, admitted) — rejected on
+    // a same-cell corpus hit, or on losing d10's (ccos, id) keep rule to a
+    // corpus-surviving batch twin. Both hot-cell guards replayed exactly.
+    "d13_semantic_incremental" -> ((s, d) =>
+      graft.queries.IvfIndex.semanticDedupIncremental(
+        s, SimilarityQueries.incrementalIndexDir(s, d),
+        SimilarityQueries.edOf(s, d).where(col("vec_id") % 2 === 1), NearDupT))
   )
 
   /** The d10 per-vector frame (cid, vec_id, v, nrm, ccos): trained-quantizer
@@ -768,6 +804,110 @@ object DedupQueries {
          |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $NearDupT)
          |SELECT cc.vec_id, cc.cid AS cluster_id, cc.ccos,
          |       l.vec_id IS NOT NULL AS removed
-         |FROM cc LEFT JOIN losers l ON cc.vec_id = l.vec_id""".stripMargin
+         |FROM cc LEFT JOIN losers l ON cc.vec_id = l.vec_id""".stripMargin,
+
+    // d12: the incremental admission rule replayed end to end over the
+    // even/odd split — shared shingle + signature + band CTEs, candidates
+    // against the corpus index, Jaccard verification, the in-batch cluster
+    // graph's min-reachability fixpoint (d6's recursive CTE, batch-only so
+    // the recursion stays tiny at any sf), and cluster-transitive corpus
+    // contamination in both directions. A batch doc is admitted iff it
+    // duplicates no corpus content and is the min-id representative of its
+    // in-batch cluster.
+    "d12_incremental_dedup" ->
+      s"""WITH RECURSIVE $shCte,
+         |sig AS (SELECT doc_id, sh, ${minhashSignatureSql("sh")} AS sig FROM shf),
+         |bands AS (
+         |  SELECT doc_id,
+         |         CAST(band AS VARCHAR) || ':' ||
+         |           array_to_string(sig[band*$RowsPerBand+1 : band*$RowsPerBand+$RowsPerBand], '-') AS bkey
+         |  FROM sig, range($NumBands) r(band)),
+         |nb AS (SELECT doc_id, bkey FROM bands WHERE doc_id % 2 = 1),
+         |ob AS (SELECT doc_id, bkey FROM bands WHERE doc_id % 2 = 0),
+         |candold AS (
+         |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+         |  FROM nb n JOIN ob o ON n.bkey = o.bkey),
+         |dupvsold AS (
+         |  SELECT DISTINCT doc_new FROM candold
+         |  JOIN shf sn ON sn.doc_id = candold.doc_new
+         |  JOIN shf so ON so.doc_id = candold.doc_old
+         |  WHERE CAST(len(list_intersect(sn.sh, so.sh)) AS DOUBLE) /
+         |          (len(sn.sh) + len(so.sh) - len(list_intersect(sn.sh, so.sh))) >= $JaccardT),
+         |bp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM nb a JOIN nb b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |bpv AS (
+         |  SELECT doc_a, doc_b FROM bp
+         |  JOIN shf sa ON sa.doc_id = bp.doc_a
+         |  JOIN shf sb ON sb.doc_id = bp.doc_b
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= $JaccardT),
+         |bi AS (SELECT doc_a AS a, doc_b AS b FROM bpv
+         |       UNION ALL SELECT doc_b AS a, doc_a AS b FROM bpv),
+         |reach(node, r) AS (
+         |  SELECT a, b FROM bi
+         |  UNION
+         |  SELECT reach.node, bi.b FROM reach JOIN bi ON bi.a = reach.r WHERE bi.b <> reach.node),
+         |member AS (SELECT node AS doc_new, MIN(r) AS cl FROM reach GROUP BY node HAVING MIN(r) < node),
+         |contam AS (
+         |  SELECT COALESCE(m.cl, d.doc_new) AS doc_new
+         |  FROM dupvsold d LEFT JOIN member m ON m.doc_new = d.doc_new),
+         |rejected AS (
+         |  -- DISTINCT over UNION ALL, not UNION: inside WITH RECURSIVE,
+         |  -- DuckDB does not dedup a non-recursive UNION (the d6/r01 gotcha)
+         |  SELECT DISTINCT doc_new FROM (
+         |    SELECT doc_new FROM dupvsold
+         |    UNION ALL SELECT doc_new FROM member
+         |    UNION ALL SELECT doc_new FROM contam))
+         |SELECT d.doc_id, rej.doc_new IS NULL AS admitted
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         |LEFT JOIN rejected rej ON rej.doc_new = d.doc_id""".stripMargin,
+
+    // d13: the incremental semantic verdicts replayed over the same split —
+    // the d10 Lloyd-trajectory prefix (centroids identical to the persisted
+    // index's), posting half vs batch half, corpus probe + survivors-only
+    // in-batch keep rule, each side's hot-cell guard replayed with the d10
+    // oracle's integer arithmetic (corpus-cell pops key the probe, survivor
+    // pops key the in-batch pass; cells absent from the pops get scid 0).
+    "d13_semantic_incremental" ->
+      s"""WITH ${SimilarityQueries.kmeansOracleCtes},
+         |cc AS (
+         |  SELECT a.cid, e.vec_id, e.v, e.nrm,
+         |         ${dotSql("e.v", "c.cv")} / (e.nrm * c.cn) AS ccos
+         |  FROM asgn a JOIN en e USING (vec_id) JOIN cw c USING (cid)),
+         |post AS (SELECT cid, vec_id, v, nrm FROM cc WHERE vec_id % 2 = 0),
+         |b AS (SELECT * FROM cc WHERE vec_id % 2 = 1),
+         |cpops AS (SELECT cid, COUNT(*) AS cell_pop FROM post GROUP BY cid),
+         |pg AS (
+         |  SELECT post.*, CASE WHEN p.cell_pop IS NULL OR p.cell_pop <= $MaxCellPop THEN 0
+         |    ELSE ${graft.functions.LshBucket.sql("post.v", SubSplitPlanes, SimilarityQueries.Dim)} %
+         |      CAST(least(floor((p.cell_pop + ${MaxCellPop - 1}) / $MaxCellPop), 65536) AS INT)
+         |    END AS scid
+         |  FROM post LEFT JOIN cpops p USING (cid)),
+         |bg AS (
+         |  SELECT b.*, CASE WHEN p.cell_pop IS NULL OR p.cell_pop <= $MaxCellPop THEN 0
+         |    ELSE ${graft.functions.LshBucket.sql("b.v", SubSplitPlanes, SimilarityQueries.Dim)} %
+         |      CAST(least(floor((p.cell_pop + ${MaxCellPop - 1}) / $MaxCellPop), 65536) AS INT)
+         |    END AS scid
+         |  FROM b LEFT JOIN cpops p USING (cid)),
+         |hitcorpus AS (
+         |  SELECT DISTINCT n.vec_id FROM bg n JOIN pg o ON n.cid = o.cid AND n.scid = o.scid
+         |  WHERE ${dotSql("n.v", "o.v")} / (n.nrm * o.nrm) >= $NearDupT),
+         |surv AS (SELECT b.* FROM b LEFT JOIN hitcorpus h USING (vec_id) WHERE h.vec_id IS NULL),
+         |spops AS (SELECT cid, COUNT(*) AS cell_pop FROM surv GROUP BY cid),
+         |sg AS (
+         |  SELECT surv.*, CASE WHEN p.cell_pop IS NULL OR p.cell_pop <= $MaxCellPop THEN 0
+         |    ELSE ${graft.functions.LshBucket.sql("surv.v", SubSplitPlanes, SimilarityQueries.Dim)} %
+         |      CAST(least(floor((p.cell_pop + ${MaxCellPop - 1}) / $MaxCellPop), 65536) AS INT)
+         |    END AS scid
+         |  FROM surv LEFT JOIN spops p USING (cid)),
+         |losebatch AS (
+         |  SELECT DISTINCT CASE WHEN row(a.ccos, a.vec_id) > row(b2.ccos, b2.vec_id)
+         |                       THEN a.vec_id ELSE b2.vec_id END AS vec_id
+         |  FROM sg a JOIN sg b2 ON a.cid = b2.cid AND a.scid = b2.scid AND a.vec_id < b2.vec_id
+         |  WHERE ${dotSql("a.v", "b2.v")} / (a.nrm * b2.nrm) >= $NearDupT),
+         |rej AS (SELECT vec_id FROM hitcorpus UNION SELECT vec_id FROM losebatch)
+         |SELECT b.vec_id, b.cid AS cluster_id, b.ccos, r.vec_id IS NULL AS admitted
+         |FROM b LEFT JOIN rej r USING (vec_id)""".stripMargin
   )
 }

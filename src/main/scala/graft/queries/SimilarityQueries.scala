@@ -214,6 +214,24 @@ object SimilarityQueries {
       })
   }
 
+  /** d13's fixture index: the shared trained quantizer with posting lists
+    * holding ONLY the even-vec_id half of the corpus — "yesterday's
+    * admitted corpus" for the gated incremental-semantic-dedup replay
+    * (odd vec_ids are the batch). Same memoization discipline as s7's
+    * [[indexDir]], attributed as the "ivf_inc_index" shared build. */
+  private val incIdxDirs = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private[queries] def incrementalIndexDir(s: SparkSession, d: String): String = {
+    val cents = trainCentroids(s, d, KMeansIters)
+    incIdxDirs.getOrElseUpdate((SessionCache.idOf(s), d),
+      SharedBuilds.timed("ivf_inc_index") {
+        val dir = java.nio.file.Files.createTempDirectory("graft-ivf-inc-").toString
+        cents.coalesce(1).write.parquet(s"$dir/centroids.parquet")
+        IvfIndex.append(s, dir, edOf(s, d).where(col("vec_id") % 2 === 0))
+        dir
+      })
+  }
+
   // ---- s3 IVF training (spherical k-means), shared with the specs ----
 
   /** Double-cast embeddings once: training means live in double, and
@@ -379,6 +397,7 @@ object SimilarityQueries {
   def clearCaches(s: SparkSession): Unit = {
     centsCache.clear(s)
     idxDirs.keys.filter(_._1 == SessionCache.idOf(s)).foreach(idxDirs.remove)
+    incIdxDirs.keys.filter(_._1 == SessionCache.idOf(s)).foreach(incIdxDirs.remove)
   }
 
   /** Mean best-cell cosine over the corpus — the spherical k-means objective
