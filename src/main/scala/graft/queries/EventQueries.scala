@@ -220,9 +220,10 @@ object EventQueries {
           .otherwise(1).as("stage_reached"))
   }
 
-  /** e11 trailing window length (hours) and burst multiplier. */
-  private[queries] val TrailHours = 24
-  private[queries] val BurstFactor = 2.0
+  /** e11 trailing window length (hours) and burst multiplier — shared with
+    * the streaming twin ([[graft.streaming.Streams.rateAnomalyStream]]). */
+  private[graft] val TrailHours = 24
+  private[graft] val BurstFactor = 2.0
 
   /** The e11 pipeline on any events frame (parametric for the planted-burst
     * spec): hourly (type, hour) counts, trailing-[[TrailHours]] WALL-CLOCK

@@ -506,6 +506,87 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Per-type state of [[rateAnomalyStream]]: counts for the hours a future
+    * verdict can still reference (the open hour + its trailing
+    * [[graft.queries.EventQueries.TrailHours]]-hour horizon — BOUNDED at
+    * ~25 entries per event type no matter the volume or history), plus
+    * which hour is open. */
+  final case class RateState(counts: Map[Long, Long], openHour: Long)
+  final case class RateAnomalyOut(event_type: String, hour: Timestamp, n: Long,
+                                  trail_avg: Option[Double], is_anomaly: Boolean)
+
+  /** STREAMING RATE-ANOMALY MONITOR — e11's online twin (VERDICT r11 #7):
+    * the ingest-rate gate run where it belongs, on the live stream. Per
+    * event type, flatMapGroupsWithState accrues the open hour's count; when
+    * an event for a LATER hour arrives the open hour closes and its verdict
+    * emits (Append mode): n vs [[graft.queries.EventQueries.BurstFactor]] ×
+    * the mean over the present hours of the preceding wall-clock
+    * [[graft.queries.EventQueries.TrailHours]] — the same
+    * present-hours-in-wall-clock-range trail as batch e11's RANGE frame,
+    * same integer counts, one IEEE division, so flags are bit-identical.
+    * State then prunes to hours a future trail can still reference.
+    *
+    * Streaming contract: each type's LAST hour never closes (it remains in
+    * state, like [[sessionize]]'s open sessions), so the stream's emissions
+    * equal batch e11 minus each type's final hour — StreamingSpec pins
+    * exactly that. Same ordering caveat as [[sessionize]]: per-trigger
+    * events are sorted here; cross-trigger order relies on source replay /
+    * watermark-bounded disorder (a late event for an already-closed hour
+    * adjusts future trails but cannot retract an emitted verdict). */
+  def rateAnomalyStream(events: Dataset[Event]): Dataset[RateAnomalyOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val trailH = graft.queries.EventQueries.TrailHours
+    val burst = graft.queries.EventQueries.BurstFactor
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateState, RateAnomalyOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, it: Iterator[Event], state: GroupState[RateState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[RateAnomalyOut]
+          var st = state.getOption.getOrElse(RateState(Map.empty, Long.MinValue))
+          def verdict(h: Long, counts: Map[Long, Long]): RateAnomalyOut = {
+            val trail = ((h - trailH) until h).flatMap(counts.get)
+            val avg = if (trail.isEmpty) None else Some(trail.sum.toDouble / trail.size)
+            RateAnomalyOut(etype, tsFromUs(h * 3600L * 1000000L), counts(h),
+              avg, avg.exists(a => counts(h) > burst * a))
+          }
+          for (e <- it.toSeq.sortBy(ev => (epochUs(ev), ev.event_id))) {
+            val h = math.floorDiv(epochUs(e), 3600L * 1000000L)
+            if (st.openHour == Long.MinValue)
+              st = RateState(Map(h -> 1L), h)
+            else if (h <= st.openHour)
+              // current hour, or (out-of-order) a late event: count it — for
+              // a closed hour this only refines FUTURE trails
+              st = st.copy(counts = st.counts + (h -> (st.counts.getOrElse(h, 0L) + 1L)))
+            else {
+              out += verdict(st.openHour, st.counts)
+              // keep only hours a verdict for >= h can still reach back to
+              val pruned = st.counts.filter { case (k, _) => k >= h - trailH }
+              st = RateState(pruned + (h -> 1L), h)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Run the streaming rate-anomaly monitor end-to-end (AvailableNow,
+    * memory sink, Append mode — each closed hour's verdict emits once). */
+  def runRateAnomalyOnce(spark: SparkSession, dir: String,
+                         queryName: String = "rate_anomaly"): DataFrame = {
+    import spark.implicits._
+    val q = rateAnomalyStream(eventStream(spark, dir).as[Event])
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming twin of the curation hash-sampler (c1_hash_sample): the salted
     * deterministic hash is a pure row-local filter — no state, no watermark —
     * so the IDENTICAL transform runs on the stream and selects the identical

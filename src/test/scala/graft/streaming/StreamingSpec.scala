@@ -105,6 +105,20 @@ class StreamingSpec extends SparkSpec {
     assert(sorted(streamed.collect()) === sorted(batch.collect()))
   }
 
+  test("streaming rate anomaly equals batch e11 minus each type's open final hour") {
+    // the stream emits a verdict when an hour CLOSES (a later event for the
+    // type arrives), so each type's last hour stays open in state — exactly
+    // the sessionize open-session contract. Everything emitted must match
+    // the batch wall-clock-trail verdicts bit for bit.
+    val streamed = Streams.runRateAnomalyOnce(spark, sf(), "rate_anomaly_spec")
+    val batch = EventQueries.defs("e11_rate_anomaly")(spark, sf())
+    val closed = batch
+      .withColumn("mx", max(col("hour")).over(Window.partitionBy("event_type")))
+      .where(col("hour") < col("mx")).drop("mx")
+    assert(streamed.count() > 0)
+    assert(sorted(streamed.collect()) === sorted(closed.collect()))
+  }
+
   test("stream-static enrichment equals the batch dimension join") {
     val streamed = Streams.runEnrichOnce(spark, sf(), "enrich_spec")
     val cust = graft.sources.Tables.customer(spark, sf())
