@@ -61,6 +61,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d12/d13 incremental dedup: every join stays keyed — no nested-loop, no cartesian") {
+    // the ingest-path keys: band-key / (cid, scid) equi-joins only — a
+    // degradation here is the difference between O(batch) and O(corpus²)/day
+    for (name <- Seq("d12_incremental_dedup", "d13_semantic_incremental")) {
+      val p = finalPlan(graft.SparkEntry.queries(name)(spark, sf()))
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      // BroadcastNestedLoopJoin appears only for the left-anti over the
+      // bounded rejected/hitCorpus sets at toy scale — allow it ONLY as
+      // a left-anti; any inner BNLJ means a candidate join degraded
+      assert(!"BroadcastNestedLoopJoin [^L]*Inner".r.findFirstIn(p).isDefined, s"$name:\n$p")
+    }
+  }
+
   test("d4_simhash_pairs: hamming-banded equi-join, no nested-loop all-pairs") {
     val p = plan(graft.SparkEntry.queries("d4_simhash_pairs")(spark, sf()))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
