@@ -257,4 +257,49 @@ class IvfIndexSpec extends SparkSpec {
       .collect()
     assert(post.nonEmpty, "search over the rebuilt index must find the drifted blob")
   }
+
+  test("rebuild recounts stats from the corpus itself — a damaged stats file is repaired") {
+    import spark.implicits._
+    // single-writer crash model (ADVICE r11): cells landed, the stats
+    // read-modify-write did not. Fabricate exactly that — an index whose
+    // stats.parquet undercounts — and prove rebuild derives the new stats
+    // from cells.parquet, not from the damaged file.
+    val dir = s"$tmp/repair/v1"
+    Seq(0L -> planar(0), 1L -> planar(90)).toDF("cid", "cv")
+      .write.parquet(s"$dir/centroids.parquet")
+    val vecs = (0 until 8).map(i => (i.toLong, planar(if (i % 2 == 0) 0 else 90)))
+    IvfIndex.append(spark, dir, vecs.toDF("vec_id", "v"))
+    // clobber stats with an undercount (as a crashed append would leave)
+    Seq((0L, 1L)).toDF("cid", "n").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/stats.parquet")
+    IvfIndex.rebuild(spark, dir, s"$tmp/repair/v2", iters = 1)
+    val stats = spark.read.parquet(s"$tmp/repair/v2/stats.parquet")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = IvfIndex.cells(spark, s"$tmp/repair/v2").groupBy("cid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats === truth, "rebuilt stats must equal the true per-cell populations")
+    assert(stats.values.sum === 8L)
+  }
+
+  test("sampled rebuild (the 100 TB path) still clears the skew that triggered it") {
+    import spark.implicits._
+    def unit(j: Int): Array[Double] = Array.tabulate(64)(d => if (d == j) 1.0 else 0.0)
+    // same drift geometry as the lifecycle test, rebuilt with Lloyd trained
+    // on a ~50% deterministic hash-sample: the seed pool still spans the
+    // full corpus (it is bounded separately), so the hot cell still splits
+    val dir = s"$tmp/sampled/v1"
+    Seq(0L -> planar(0), 1L -> planar(10), 2L -> planar(20), 3L -> planar(30))
+      .toDF("cid", "cv").write.parquet(s"$dir/centroids.parquet")
+    val balanced = for (j <- 0 until 4; i <- 0 until 5)
+      yield ((j * 5 + i).toLong, planar(10.0 * j))
+    val drifted = (0 until 50).map(i => ((100 + i).toLong, unit(4))) ++
+      (0 until 50).map(i => ((150 + i).toLong, unit(5)))
+    IvfIndex.append(spark, dir, (balanced ++ drifted).toDF("vec_id", "v"))
+    assert(IvfIndex.needsRebuild(spark, dir, skewThreshold = 2.0))
+    IvfIndex.rebuild(spark, dir, s"$tmp/sampled/v2", iters = 3, samplePermille = 500)
+    assert(!IvfIndex.needsRebuild(spark, s"$tmp/sampled/v2", skewThreshold = 2.0),
+      "a sample-trained rebuild must still split the hot cell")
+    assert(IvfIndex.cells(spark, s"$tmp/sampled/v2").count() === 120,
+      "the posting rewrite must cover every vector even when Lloyd trains on a sample")
+  }
 }
