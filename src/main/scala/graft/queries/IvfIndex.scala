@@ -156,16 +156,37 @@ object IvfIndex {
     appendVectors(s, newDir, corpus, SaveMode.Overwrite)
   }
 
+  /** Filesystems whose `rename(OVERWRITE)` is atomic — the precondition for
+    * [[publish]]'s pointer swap. Extend only with schemes that document the
+    * guarantee (HDFS: single-NN namespace op; file: POSIX rename(2)). */
+  private val AtomicRenameSchemes = Set("file", "hdfs", "viewfs")
+
   /** Atomically point readers of `root` at the index version under
     * `root/<version>`: the pointer is a one-line `root/CURRENT` file,
     * written to a temp name and renamed over the old pointer with
     * `Options.Rename.OVERWRITE` — atomic on HDFS and on POSIX local
     * filesystems, so a reader resolving [[current]] sees either the old
     * complete index or the new complete index, never a half-written one
-    * (the version dir is fully written BEFORE the pointer moves). */
+    * (the version dir is fully written BEFORE the pointer moves).
+    *
+    * SCOPE GUARD: the whole guarantee rests on `rename(OVERWRITE)` being
+    * atomic, which holds for HDFS/viewfs and POSIX local filesystems but
+    * silently does NOT for S3-style object stores (there "rename" is a
+    * non-atomic copy+delete, and a concurrent reader can observe a missing
+    * or half-copied pointer). Rather than degrade the contract silently,
+    * this refuses unknown schemes loudly. On an object store, publish a
+    * pointer via a conditional PUT (If-None-Match / If-Match on the
+    * pointer object's ETag) or keep a versioned manifest (write
+    * `MANIFEST-<n>` objects and resolve the highest n) — both give the
+    * read-old-or-new-never-half guarantee rename provides here. */
   def publish(s: SparkSession, root: String, version: String): Unit = {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     val rootPath = new Path(root)
+    val scheme = rootPath.toUri.getScheme // null = default FS (local in tests)
+    require(scheme == null || AtomicRenameSchemes(scheme),
+      s"IvfIndex.publish needs an atomic rename(OVERWRITE); scheme '$scheme' is not " +
+        "known to provide one (object stores rename by copy+delete — a race for " +
+        "readers). Use a conditional-put or versioned-manifest pointer there; see scaladoc.")
     val fc = FileContext.getFileContext(rootPath.toUri, s.sparkContext.hadoopConfiguration)
     fc.mkdir(rootPath, null, true)
     val tmp = new Path(rootPath, s".CURRENT.tmp-${System.nanoTime()}")

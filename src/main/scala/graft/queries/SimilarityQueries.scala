@@ -338,8 +338,8 @@ object SimilarityQueries {
     * repeatedly add the vector minimizing max-cosine-to-chosen (ties to the
     * smaller id — the pool is id-sorted, so "first index at the minimum").
     * O(k·|pool|·Dim) on the driver, bounded by [[SeedPoolSize]]. */
-  private def farthestPointSeeds(pool: Array[(Long, Array[Double])],
-                                 k: Int): Array[Array[Double]] = {
+  private[queries] def farthestPointSeeds(pool: Array[(Long, Array[Double])],
+                                          k: Int): Array[Array[Double]] = {
     if (pool.isEmpty) return Array.empty
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -348,15 +348,24 @@ object SimilarityQueries {
     }
     val chosen = scala.collection.mutable.ArrayBuffer(pool(0)._2)
     val nearest = pool.map(p => cos(p._2, chosen(0)))
-    while (chosen.size < math.min(k, pool.length)) {
+    var exhausted = false
+    while (!exhausted && chosen.size < math.min(k, pool.length)) {
       var best = 0; var i = 1
       while (i < pool.length) { if (nearest(i) < nearest(best)) best = i; i += 1 }
-      chosen += pool(best)._2
-      i = 0
-      while (i < pool.length) {
-        val c = cos(pool(i)._2, chosen.last)
-        if (c > nearest(i)) nearest(i) = c
-        i += 1
+      // a dedup-heavy pool can hold fewer than k DISTINCT directions: once
+      // every remaining candidate sits at cosine ~1.0 to a chosen seed there
+      // is no strictly-farther vector left, and continuing would emit the
+      // same centroid repeatedly (duplicate centroids = permanently empty
+      // cells). Stop and let Lloyd run with the smaller effective k.
+      if (nearest(best) >= 1.0 - 1e-12) exhausted = true
+      else {
+        chosen += pool(best)._2
+        i = 0
+        while (i < pool.length) {
+          val c = cos(pool(i)._2, chosen.last)
+          if (c > nearest(i)) nearest(i) = c
+          i += 1
+        }
       }
     }
     chosen.toArray

@@ -531,44 +531,77 @@ object Streams {
     * equal batch e11 minus each type's final hour — StreamingSpec pins
     * exactly that. Same ordering caveat as [[sessionize]]: per-trigger
     * events are sorted here; cross-trigger order relies on source replay /
-    * watermark-bounded disorder (a late event for an already-closed hour
-    * adjusts future trails but cannot retract an emitted verdict). */
+    * watermark-bounded disorder.
+    *
+    * Late-event semantics under cross-trigger disorder (no watermark —
+    * NoTimeout — so stated explicitly):
+    *  - a late event for an ALREADY-EMITTED hour still inside the trail
+    *    horizon (`openHour - TrailHours <= h < openHour`) is counted: it
+    *    refines FUTURE trails but cannot retract the emitted verdict;
+    *  - an hour FIRST SEEN only after a later hour opened (same horizon,
+    *    hour absent from state) never emits its own verdict — its close
+    *    already passed, and its trail can reach below the pruned horizon,
+    *    so any late verdict could not be batch-bit-identical; its count
+    *    still refines future trails;
+    *  - an event OLDER than the horizon (`h < openHour - TrailHours`) is
+    *    dropped outright: no verdict for any hour >= openHour can reference
+    *    it, so counting it would only grow state it would immediately
+    *    re-prune. This keeps state monotonically bounded (~TrailHours+1
+    *    entries) under UNBOUNDED disorder, not just bounded-in-steady-state.
+    * If the source cannot guarantee replay order, put a `withWatermark` on
+    * the input to bound how much disorder reaches this operator at all. */
   def rateAnomalyStream(events: Dataset[Event]): Dataset[RateAnomalyOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val trailH = graft.queries.EventQueries.TrailHours
-    val burst = graft.queries.EventQueries.BurstFactor
     events
       .groupByKey(_.event_type)
       .flatMapGroupsWithState[RateState, RateAnomalyOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (etype: String, it: Iterator[Event], state: GroupState[RateState]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[RateAnomalyOut]
-          var st = state.getOption.getOrElse(RateState(Map.empty, Long.MinValue))
-          def verdict(h: Long, counts: Map[Long, Long]): RateAnomalyOut = {
-            val trail = ((h - trailH) until h).flatMap(counts.get)
-            val avg = if (trail.isEmpty) None else Some(trail.sum.toDouble / trail.size)
-            RateAnomalyOut(etype, tsFromUs(h * 3600L * 1000000L), counts(h),
-              avg, avg.exists(a => counts(h) > burst * a))
-          }
-          for (e <- it.toSeq.sortBy(ev => (epochUs(ev), ev.event_id))) {
-            val h = math.floorDiv(epochUs(e), 3600L * 1000000L)
-            if (st.openHour == Long.MinValue)
-              st = RateState(Map(h -> 1L), h)
-            else if (h <= st.openHour)
-              // current hour, or (out-of-order) a late event: count it — for
-              // a closed hour this only refines FUTURE trails
-              st = st.copy(counts = st.counts + (h -> (st.counts.getOrElse(h, 0L) + 1L)))
-            else {
-              out += verdict(st.openHour, st.counts)
-              // keep only hours a verdict for >= h can still reach back to
-              val pruned = st.counts.filter { case (k, _) => k >= h - trailH }
-              st = RateState(pruned + (h -> 1L), h)
-            }
-          }
+          val (st, out) = rateAnomalyKernel(etype, it.toSeq,
+            state.getOption.getOrElse(RateState(Map.empty, Long.MinValue)))
           state.update(st)
           out.iterator
       }
+  }
+
+  /** Pure per-trigger kernel of [[rateAnomalyStream]] — factored out so the
+    * late/disorder paths are unit-testable without a streaming harness
+    * (StreamingSpec drives it with a pathological replay and asserts state
+    * stays within the horizon). Returns the updated state and the verdicts
+    * to emit for this trigger. */
+  private[streaming] def rateAnomalyKernel(etype: String, batch: Seq[Event],
+                                           st0: RateState): (RateState, Seq[RateAnomalyOut]) = {
+    val trailH = graft.queries.EventQueries.TrailHours
+    val burst = graft.queries.EventQueries.BurstFactor
+    val out = scala.collection.mutable.ArrayBuffer.empty[RateAnomalyOut]
+    var st = st0
+    def verdict(h: Long, counts: Map[Long, Long]): RateAnomalyOut = {
+      val trail = ((h - trailH) until h).flatMap(counts.get)
+      val avg = if (trail.isEmpty) None else Some(trail.sum.toDouble / trail.size)
+      RateAnomalyOut(etype, tsFromUs(h * 3600L * 1000000L), counts(h),
+        avg, avg.exists(a => counts(h) > burst * a))
+    }
+    for (e <- batch.sortBy(ev => (epochUs(ev), ev.event_id))) {
+      val h = math.floorDiv(epochUs(e), 3600L * 1000000L)
+      if (st.openHour == Long.MinValue)
+        st = RateState(Map(h -> 1L), h)
+      else if (h < st.openHour - trailH)
+        // older than any trail a future verdict can reach back to: drop
+        // (see scaladoc) — state stays monotone under unbounded disorder
+        ()
+      else if (h <= st.openHour)
+        // current hour, or an in-horizon late event: count it — for a
+        // closed hour this only refines FUTURE trails
+        st = st.copy(counts = st.counts + (h -> (st.counts.getOrElse(h, 0L) + 1L)))
+      else {
+        out += verdict(st.openHour, st.counts)
+        // keep only hours a verdict for >= h can still reach back to
+        val pruned = st.counts.filter { case (k, _) => k >= h - trailH }
+        st = RateState(pruned + (h -> 1L), h)
+      }
+    }
+    (st, out.toSeq)
   }
 
   /** Run the streaming rate-anomaly monitor end-to-end (AvailableNow,

@@ -281,6 +281,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(stats.values.sum === 8L)
   }
 
+  test("publish refuses a filesystem whose rename is not known-atomic") {
+    // the pointer swap's whole guarantee is rename(OVERWRITE) atomicity —
+    // true on file/hdfs/viewfs, silently FALSE on object stores (copy +
+    // delete). The guard must fail loudly instead of downgrading silently.
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.publish(spark, "s3a://bucket/index-root", "v1")
+    }
+    assert(e.getMessage.contains("atomic rename"), e.getMessage)
+    // the sanctioned schemes still pass (exercised end-to-end by the
+    // lifecycle test above on the local default FS)
+  }
+
+  test("farthest-point seeding stops at the distinct-direction count — no duplicate centroids") {
+    // dedup-heavy pool: 40 copies of one direction + one other — only 2
+    // distinct directions exist, so asking for k=5 seeds must yield 2, not
+    // the same vector re-chosen 4 times (duplicate centroids would leave
+    // permanently empty cells in the rebuilt index)
+    val a = planar(0)
+    val b = planar(90)
+    val pool = ((0 until 40).map(i => (i.toLong, a)) :+ (99L, b)).toArray
+    val seeds = SimilarityQueries.farthestPointSeeds(pool, 5)
+    assert(seeds.length === 2, s"expected 2 distinct seeds, got ${seeds.length}")
+    assert(seeds.map(_.toSeq).toSet === Set(a.toSeq, b.toSeq))
+    // and a pool with plenty of distinct directions still fills k
+    val rich = Array.tabulate(10)(i => (i.toLong, planar(18.0 * i)))
+    assert(SimilarityQueries.farthestPointSeeds(rich, 5).length === 5)
+  }
+
   test("sampled rebuild (the 100 TB path) still clears the skew that triggered it") {
     import spark.implicits._
     def unit(j: Int): Array[Double] = Array.tabulate(64)(d => if (d == j) 1.0 else 0.0)

@@ -69,8 +69,12 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
       // BroadcastNestedLoopJoin appears only for the left-anti over the
       // bounded rejected/hitCorpus sets at toy scale — allow it ONLY as
-      // a left-anti; any inner BNLJ means a candidate join degraded
-      assert(!"BroadcastNestedLoopJoin [^L]*Inner".r.findFirstIn(p).isDefined, s"$name:\n$p")
+      // a left-anti; any inner BNLJ means a candidate join degraded.
+      // Match the join line directly: the formatted plan prints
+      // "BroadcastNestedLoopJoin BuildLeft|BuildRight, <joinType>", so a
+      // negated-class regex ("[^L]*Inner") would miss BuildLeft entirely.
+      assert("BroadcastNestedLoopJoin Build(Left|Right), Inner".r.findFirstIn(p).isEmpty,
+        s"$name:\n$p")
     }
   }
 

@@ -119,6 +119,39 @@ class StreamingSpec extends SparkSpec {
     assert(sorted(streamed.collect()) === sorted(closed.collect()))
   }
 
+  test("rate-anomaly state stays monotone under pathologically late events") {
+    // pathological replay: after the stream has advanced far ahead, a batch
+    // of ancient events (weeks older than the trail horizon) arrives. The
+    // kernel must DROP them — not fold them into state for the next prune
+    // to clean up — so state never exceeds the horizon and no bogus late
+    // verdict is emitted.
+    val trailH = EventQueries.TrailHours
+    def ev(id: Long, hour: Long): Streams.Event =
+      Streams.Event(id, new java.sql.Timestamp(hour * 3600L * 1000L), 1L, "t", 0.0, "{}")
+    // trigger 1: in-order hours 1000..1003 — three closes, hour 1003 open
+    val (st1, out1) = Streams.rateAnomalyKernel("t",
+      (0 to 3).map(i => ev(i, 1000L + i)),
+      Streams.RateState(Map.empty, Long.MinValue))
+    assert(st1.openHour === 1003L)
+    assert(out1.map(_.hour.getTime / 3600000L) === Seq(1000L, 1001L, 1002L))
+    // trigger 2: ancient events (hour 1 and hour 900, both < openHour-trailH)
+    // plus one in-horizon late event for the already-emitted hour 1002
+    val (st2, out2) = Streams.rateAnomalyKernel("t",
+      Seq(ev(10, 1L), ev(11, 900L), ev(12, 1002L)), st1)
+    assert(out2.isEmpty, "late events must not emit verdicts")
+    assert(!st2.counts.contains(1L) && !st2.counts.contains(900L),
+      s"ancient events must be dropped, state=${st2.counts}")
+    assert(st2.counts(1002L) === 2L, "in-horizon late event refines future trails")
+    assert(st2.counts.keySet.forall(h => h >= st2.openHour - trailH),
+      s"state must stay within the trail horizon, state=${st2.counts}")
+    // trigger 3: the stream moves on — the refined 1002 count feeds the
+    // new trail, and state stays bounded
+    val (st3, out3) = Streams.rateAnomalyKernel("t", Seq(ev(13, 1004L)), st2)
+    assert(out3.map(_.n) === Seq(1L)) // verdict for hour 1003
+    assert(st3.counts.keySet.forall(h => h >= st3.openHour - trailH))
+    assert(st3.counts.size <= trailH + 1)
+  }
+
   test("stream-static enrichment equals the batch dimension join") {
     val streamed = Streams.runEnrichOnce(spark, sf(), "enrich_spec")
     val cust = graft.sources.Tables.customer(spark, sf())
