@@ -38,6 +38,37 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # Self-evidencing guard: an empty oracle map, or a key set that
+    # disagrees with the Verify-written manifest, means the correctness
+    # signal is broken upstream (truncated artifact, partial run) — refuse
+    # loudly instead of emitting a vacuous "0/0 pass".
+    if not oracle:
+        print("REFUSED: oracle_sql.json is empty — Verify did not complete "
+              "or its output was truncated; this is a harness fault, not a "
+              "per-query failure")
+        return 2
+    man_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(man_path):
+        man = json.load(open(man_path))
+        man_keys = set(man.get("keys", {}))
+        effective = set(oracle) & only if only else set(oracle)
+        if only is None and effective != man_keys:
+            print(f"REFUSED: oracle_sql.json has {len(effective)} keys but "
+                  f"manifest.json recorded {len(man_keys)} — the two "
+                  f"artifacts disagree (diff: "
+                  f"{sorted(effective ^ man_keys)[:10]})")
+            return 2
+        if only is not None and not effective <= man_keys:
+            print(f"REFUSED: requested keys not in the Verify manifest: "
+                  f"{sorted(effective - man_keys)[:10]}")
+            return 2
+        print(f"manifest cross-check: {man.get('written')} written / "
+              f"{len(man.get('failed', []))} failed of "
+              f"{man.get('total_queries')} queries"
+              + (f"; FAILED={man['failed']}" if man.get("failed") else ""))
+    else:
+        print("note: no manifest.json in the verify dir (pre-r13 dump) — "
+              "key-set cross-check skipped")
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():

@@ -23,13 +23,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-key outcome, recorded for manifest.json below: the round's
+    // correctness artifact must be self-evidencing — an empty or truncated
+    // downstream compare is then attributable (harness fault vs code fault)
+    // from the repo's own artifacts instead of indistinguishable from
+    // "never ran".
+    val statuses = scala.collection.mutable.LinkedHashMap.empty[String, (String, Long)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // read-back count: cheap on the single just-written result file,
+        // and it evidences the parquet is actually readable end-to-end
+        statuses(name) = ("written", spark.read.parquet(s"$outDir/$name").count())
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        statuses(name) = ("failed", -1L)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +58,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // manifest.json: per-key status + totals, written LAST so its presence
+    // also evidences the run completed. compare.py refuses an oracle map
+    // that is empty or whose key set mismatches this manifest — turning a
+    // silently-empty correctness artifact into a loud, attributable error.
+    val keyJson = statuses.map { case (k, (s, n)) =>
+      s"${q(k)}: {${q("status")}: ${q(s)}, ${q("rows")}: $n}"
+    }.mkString("{", ",", "}")
+    val manifest =
+      s"""{${q("total_queries")}: ${statuses.size}, ${q("written")}: ${
+        statuses.count(_._2._1 == "written")}, ${q("failed")}: [${
+        statuses.collect { case (k, ("failed", _)) => q(k) }.mkString(",")
+      }], ${q("oracle_keys")}: ${
+        SparkEntry.oracleSql.count { case (k, _) => only.forall(_.contains(k)) }
+      }, ${q("keys")}: $keyJson}"""
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()
   }
 }
