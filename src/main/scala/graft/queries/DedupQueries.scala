@@ -160,6 +160,121 @@ object DedupQueries {
            sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
   }
 
+  /** d14: minimum duplicated-span length in tokens — also the k-gram width
+    * the detector joins on. A shared token span of length >= SpanLen
+    * contains the shared SpanLen-gram at EVERY offset inside it, so
+    * detection is exact at arbitrary alignment (unlike d8's fixed-stride
+    * passages, which miss any copy shifted off the 16-token grid). */
+  private[queries] val SpanLen = 16
+
+  /** Posting cap for d14's all-position gram index — the same recall
+    * contract as [[MaxShingleDf]]: a 16-token gram repeated in more than
+    * MaxGramDf postings is dropped from candidate generation (bounding the
+    * hash self-join fan-out at cap² per gram); a span ALL of whose grams
+    * are that hot is missed, and a span containing one is split at it.
+    * 16-token grams are near-unique on natural text (max df 4 at sf0.01),
+    * so the cap is inert at test SFs and bites only on pathological
+    * boilerplate at 100 TB — and the oracle replays it bit-identically, so
+    * the gate stays valid at scales where it is ACTIVE. */
+  private[queries] val MaxGramDf = 1000
+
+  /** d14 pipeline on any (doc_id, text) frame: EXACT cross-doc duplicated
+    * token spans (>= [[SpanLen]] tokens) at arbitrary offsets — the
+    * Lee-et-al. substring-dedup semantics, re-expressed shuffle-friendly.
+    * Lee et al. build a single-node suffix array; the distributed
+    * equivalent is an all-position k-gram posting index: one shuffle keyed
+    * by gram hash (the self-join), then one keyed by (pair, diagonal) to
+    * merge consecutive matches into maximal spans (gaps-and-islands: grams
+    * of one shared span sit on one diagonal a_pos - b_pos at consecutive
+    * a_pos, so a_pos - row_number() is constant per island — no iterative
+    * extension pass needed, and the whole shape is oracle-expressible).
+    * Postings are O(total tokens) rows — linear, like tokenization itself;
+    * the 100 TB shuffle-volume dial is [[substringDedupSampledOf]], the
+    * content-defined anchor twin. Output: one row per MAXIMAL shared span,
+    * (doc_a, doc_b, a_pos, b_pos, span_len), positions 0-based token
+    * offsets, pairs ordered doc_a < doc_b. Gram-hash collisions (P ~ 2^30)
+    * are ~1e-4-rare and identical in both engines — the d2 convention. */
+  private[queries] def substringDedupOf(documents: DataFrame): DataFrame = {
+    val K = SpanLen
+    val grams = allGramPostings(documents, K)
+    val capped = grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("df") <= MaxGramDf).drop("df")
+    val m = capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("a_pos"), col("b.pos").as("b_pos"))
+      .withColumn("diag", col("a_pos") - col("b_pos"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("a_pos")
+    m.withColumn("isl", col("a_pos") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(min("a_pos").cast("long").as("a_pos"),
+        min("b_pos").cast("long").as("b_pos"),
+        (count(lit(1)) + (K - 1)).as("span_len"))
+      .select("doc_a", "doc_b", "a_pos", "b_pos", "span_len")
+  }
+
+  /** (doc_id, pos, h): the K-gram posting at every 0-based token offset. */
+  private def allGramPostings(documents: DataFrame, K: Int): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .where(size(col("ws")) >= K)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("ws")) - K),
+          i => polyHash(concat_ws(" ", slice(col("ws"), i + 1, lit(K))))))
+          .as(Seq("pos", "h")))
+
+  /** Content-defined anchor stride for the d14 100 TB twin: a gram is an
+    * anchor iff hash % stride == 0 — shift-invariant (both copies of a
+    * shared span select the SAME grams), so recall per shared span of
+    * length L is 1 - (1 - 1/stride)^(L - SpanLen + 1), independent of
+    * alignment. stride=4 reads ~0.99 at L = 2x SpanLen. */
+  private[queries] val AnchorStride = 4
+
+  /** The 100 TB scale twin of [[substringDedupOf]]: mod-sampled
+    * content-defined anchors cut the gram-hash shuffle (and the join's
+    * per-key fan-out) by ~stride×; surviving candidates are verified AND
+    * maximally extended by exact bidirectional token comparison against
+    * the two docs' token arrays (the candidate set is tiny, so carrying
+    * the arrays through the join is cheap). Every emitted span is exact
+    * and maximal — identical to the corresponding [[substringDedupOf]]
+    * row; the tradeoff is bounded recall (see [[AnchorStride]]), the
+    * standard winnowing-style dial. Spec-pinned equal to the exact
+    * variant on the planted fixtures and on sf0.001. */
+  private[queries] def substringDedupSampledOf(documents: DataFrame,
+                                               stride: Int = AnchorStride): DataFrame = {
+    val K = SpanLen
+    val toksDf = documents
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .where(size(col("ws")) >= K)
+    val anchors = allGramPostings(documents, K)
+      .where(pmod(col("h"), lit(stride)) === 0)
+    val cand = anchors.as("a").join(anchors.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("a_pos"), col("b.pos").as("b_pos"))
+    // longest common prefix of two token arrays (zip_with pads the shorter
+    // side with nulls; null <=> token is false, so the scan stops there)
+    def lcp(x: Column, y: Column): Column = {
+      val p = array_position(zip_with(x, y, (a, b) => a <=> b), lit(false))
+      when(p === 0, least(size(x), size(y)).cast("long")).otherwise(p - 1)
+    }
+    cand
+      .join(toksDf.select(col("doc_id").as("doc_a"), col("ws").as("wa")), Seq("doc_a"))
+      .join(toksDf.select(col("doc_id").as("doc_b"), col("ws").as("wb")), Seq("doc_b"))
+      .withColumn("ext_l", lcp(reverse(slice(col("wa"), lit(1), col("a_pos"))),
+                               reverse(slice(col("wb"), lit(1), col("b_pos")))))
+      .withColumn("ext_r", lcp(
+        slice(col("wa"), col("a_pos") + K + 1, size(col("wa"))),
+        slice(col("wb"), col("b_pos") + K + 1, size(col("wb")))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("a_pos") - col("ext_l")).cast("long").as("a_pos"),
+        (col("b_pos") - col("ext_l")).cast("long").as("b_pos"),
+        (col("ext_l") + col("ext_r") + K).as("span_len"))
+      .distinct()
+  }
+
   /** (doc_id, bkey) LSH band keys of a (doc_id, sh) shingle-set frame.
     * Signature = one codegen'd pass (graft.functions.MinHashSignature)
     * updating NumHashes running minima per doc, staged in its own Project so
@@ -515,7 +630,18 @@ object DedupQueries {
     "d13_semantic_incremental" -> ((s, d) =>
       graft.queries.IvfIndex.semanticDedupIncremental(
         s, SimilarityQueries.incrementalIndexDir(s, d),
-        SimilarityQueries.edOf(s, d).where(col("vec_id") % 2 === 1), NearDupT))
+        SimilarityQueries.edOf(s, d).where(col("vec_id") % 2 === 1), NearDupT)),
+
+    // EXACT substring dedup (d14, r13; VERDICT r12 #3 — the Lee-et-al.
+    // cross-doc duplicated-span pass, the one published dedup modality d8
+    // does not cover): maximal shared token spans >= 16 tokens at ARBITRARY
+    // offsets. d8's fixed-stride passages score a 15-token-shifted copy as
+    // zero duplication; this catches it (DedupSpec plants exactly that).
+    // Shape: all-position gram postings → ONE shuffle keyed by gram hash
+    // (df-capped, like d2) → diagonal gaps-and-islands merge to maximal
+    // spans. The content-defined anchor twin [[substringDedupSampledOf]]
+    // is the 100 TB shuffle-volume dial (spec-pinned equal here).
+    "d14_substring_dedup" -> ((s, d) => substringDedupOf(docs(s, d)))
   )
 
   /** The d10 per-vector frame (cid, vec_id, v, nrm, ccos): trained-quantizer
@@ -908,6 +1034,31 @@ object DedupQueries {
          |  WHERE ${dotSql("a.v", "b2.v")} / (a.nrm * b2.nrm) >= $NearDupT),
          |rej AS (SELECT vec_id FROM hitcorpus UNION SELECT vec_id FROM losebatch)
          |SELECT b.vec_id, b.cid AS cluster_id, b.ccos, r.vec_id IS NULL AS admitted
-         |FROM b LEFT JOIN rej r USING (vec_id)""".stripMargin
+         |FROM b LEFT JOIN rej r USING (vec_id)""".stripMargin,
+
+    // d14: the same all-position gram postings (d8's oracle family, stride
+    // 1 instead of 16), the df cap replayed, then the identical hash join +
+    // diagonal islands. COUNT(*)+15 = island grams + (SpanLen-1).
+    "d14_substring_dedup" ->
+      s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, u['pos'] AS pos, u['h'] AS h FROM (
+         |    SELECT doc_id, unnest([{'pos': i, 'h': ${polyHashSql(
+               s"array_to_string(ws[i+1 : i+$SpanLen], ' ')")}}
+         |                           for i in range(0, len(ws) - ${SpanLen - 1})]) AS u
+         |    FROM tt WHERE len(ws) >= $SpanLen)),
+         |cg AS (SELECT doc_id, pos, h FROM (
+         |         SELECT g.*, COUNT(*) OVER (PARTITION BY h) AS df FROM g)
+         |       WHERE df <= $MaxGramDf),
+         |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             a.pos AS a_pos, b.pos AS b_pos
+         |      FROM cg a JOIN cg b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |i AS (SELECT *, a_pos - row_number() OVER (
+         |        PARTITION BY doc_a, doc_b, a_pos - b_pos ORDER BY a_pos) AS isl
+         |      FROM m)
+         |SELECT doc_a, doc_b, CAST(MIN(a_pos) AS BIGINT) AS a_pos,
+         |       CAST(MIN(b_pos) AS BIGINT) AS b_pos,
+         |       COUNT(*) + ${SpanLen - 1} AS span_len
+         |FROM i GROUP BY doc_a, doc_b, a_pos - b_pos, isl""".stripMargin
   )
 }

@@ -101,6 +101,60 @@ class QueriesSpec extends SparkSpec {
     assert(d8.values.map(_._2).sum === perDoc - distinctPassages)
   }
 
+  test("d14 substring dedup: catches the shifted copy d8 provably misses") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val base = words("a", 32)
+    // doc 2 = doc 1 shifted ONE token off d8's 16-token grid: d8's
+    // fixed-stride passages ("x0 a0..a14" / "a15..a30") match nothing in
+    // doc 1 ("a0..a15" / "a16..a31") — 0 reported dups — while the copy is
+    // a full 32-token duplicated span.
+    val fixture = Seq((1L, base), (2L, "x0 " + base)).toDF("doc_id", "text")
+    val d8 = DedupQueries.passageDedupOf(fixture)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(d8 === Map(1L -> 0L, 2L -> 0L), "d8 must miss the shifted copy")
+    val d14 = DedupQueries.substringDedupOf(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(d14.toSet === Set((1L, 2L, 0L, 1L, 32L)))
+  }
+
+  test("d14 substring dedup: maximal spans per diagonal, sub-threshold spans ignored") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val A = words("a", 20); val B = words("b", 18)
+    val fixture = Seq(
+      (1L, A + " " + words("j", 5) + " " + B),   // A at 0..19, B at 25..42
+      (2L, B + " " + words("k", 7) + " " + A),   // B at 0..17, A at 25..44
+      (3L, words("a", 15) + " " + words("m", 10)) // 15 shared tokens: below SpanLen
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.substringDedupOf(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === Set((1L, 2L, 0L, 25L, 20L), (1L, 2L, 25L, 0L, 18L)))
+  }
+
+  test("d14 sampled twin: stride 1 equals exact; stride 4 is an exact-row subset that catches long copies") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val exact = rows(DedupQueries.substringDedupOf(docs))
+    assert(exact.nonEmpty)
+    // stride 1 = every gram is an anchor: extension must reproduce the
+    // exact variant's maximal spans identically (same rows, not just pairs)
+    assert(rows(DedupQueries.substringDedupSampledOf(docs, stride = 1)) === exact)
+    // production stride: every emitted row is an exact-variant row
+    // (extension is exact), recall bounded by the anchor-hit probability
+    val sampled = rows(DedupQueries.substringDedupSampledOf(docs))
+    assert(sampled.subsetOf(exact))
+    // a 64-token copy at arbitrary shift: 49 anchor candidates — caught
+    // (deterministic hashes, so this is a fixed property of the fixture)
+    def w(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val planted = Seq((1L, w("p", 64)), (2L, "z0 z1 z2 " + w("p", 64))).toDF("doc_id", "text")
+    assert(rows(DedupQueries.substringDedupSampledOf(planted)) ===
+      Set((1L, 2L, 0L, 3L, 64L)))
+  }
+
   test("incremental dedup: batch deduped against corpus + itself, corpus never re-paired") {
     import spark.implicits._
     def doc(prefix: String) = (0 until 12).map(i => s"$prefix$i").mkString(" ")
