@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.defs ++
       graft.queries.EventQueries.defs ++
       graft.queries.MultimodalQueries.defs ++
-      graft.queries.CurationQueries.defs
+      graft.queries.CurationQueries.defs ++
+      graft.queries.PipelineQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.EventQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++
-      graft.queries.CurationQueries.oracles
+      graft.queries.CurationQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

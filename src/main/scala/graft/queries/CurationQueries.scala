@@ -47,17 +47,48 @@ object CurationQueries {
     * replays/retries. */
   def hashSampled(documents: DataFrame): DataFrame =
     documents
-      .where(saltedHash("smpl", col("doc_id")) % 100 < 10)
+      .where(samplePred)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
 
-  /** Salted uniform hash in [0, HashP): h("salt:" + key). Distinct salts
-    * decorrelate the stages (a doc sampled by c1 is not thereby more or less
-    * likely to be picked by c2/c3). */
-  private def saltedHash(salt: String, key: org.apache.spark.sql.Column) =
-    polyHash(concat(lit(salt + ":"), key.cast("string")))
+  /** c1's row-local keep predicate (keep rate 10%) — the single source of
+    * truth shared by the c1 def, the streaming twin, and the composed
+    * pipeline's stage 1. */
+  private[queries] def samplePred: org.apache.spark.sql.Column =
+    saltedHash("smpl", col("doc_id")) % 100 < 10
 
-  private def saltedHashSql(salt: String, keyExpr: String) =
-    polyHashSql(s"'$salt:' || CAST($keyExpr AS VARCHAR)")
+  /** c3's row-local keep predicate (per-source rate 10/25/50/100% by source
+    * index mod 4) — shared by the c3 def and the composed pipeline's
+    * mixture stage. The unbounded two-arg substring form is oracle-parity
+    * load-bearing (see the c3/c9 comments). */
+  private[queries] def mixPred: org.apache.spark.sql.Column = {
+    val idx = expr("substring(source, 4)").cast("int")
+    val ratePct = element_at(array(lit(10), lit(25), lit(50), lit(100)),
+      (idx % 4 + 1).cast("int"))
+    saltedHash("mix", col("doc_id")) % 100 < ratePct
+  }
+
+  /** Salted uniform hash in [0, HashP): (h² + h) mod P of h = polyHash
+    * ("salt:" + key). The square finalizer is load-bearing: the raw
+    * polynomial fold is AFFINE in the key's digit polynomial (prefixing a
+    * different salt only shifts the hash by a per-digit-count constant mod
+    * P), so without it two salts' %100 buckets are nearly deterministic
+    * functions of each other — e.g. over ids 1..4000 the c1 10% sample and
+    * the c3 25% keep class intersect in ZERO ids instead of ~1%·25%. The
+    * quadratic term makes the bucket a nonlinear function of the raw hash,
+    * restoring the independence the distinct salts are meant to provide (a
+    * doc sampled by c1 is not thereby more or less likely to be picked by
+    * c2/c3/c9/c10 — measured joint rates match the products to <0.3%).
+    * h < P ≈ 2³⁰, so h² + h < 2⁶¹ stays exact in BIGINT on both engines. */
+  private[queries] def saltedHash(salt: String, key: org.apache.spark.sql.Column) = {
+    val h = polyHash(concat(lit(salt + ":"), key.cast("string")))
+    (h * h + h) % HashP
+  }
+
+  /** SQL twin of [[saltedHash]] — the single-element list_transform binds
+    * the folded hash once so the finalizer does not re-run the fold. */
+  private[queries] def saltedHashSql(salt: String, keyExpr: String) =
+    s"list_transform([${polyHashSql(s"'$salt:' || CAST($keyExpr AS VARCHAR)")}], " +
+      s"x -> (x * x + x) % $HashP)[1]"
 
   /** c2: exact per-stratum sample size. */
   private val StratumK = 20
@@ -109,7 +140,7 @@ object CurationQueries {
 
   /** c6: shard budget in characters (the token-count stand-in already on the
     * table — keeps the wide text column pruned out of the scan). */
-  private val ShardBudget = 20000L
+  private[queries] val ShardBudget = 20000L
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic Bernoulli sample, keep rate 10%: pure map-side filter —
@@ -142,17 +173,11 @@ object CurationQueries {
     // 4 — the down/up-weighting step that shapes a training mixture. Same
     // map-side determinism as c1; the rollup reports the achieved mixture
     // (doc and char volume per source).
-    "c3_source_mixture" -> ((s, d) => {
-      // unbounded substring (two-arg SQL form), textually identical to the
-      // oracle's `substring(source, 4)` — same parity fix as c9 below
-      val idx = expr("substring(source, 4)").cast("int")
-      val ratePct = element_at(array(lit(10), lit(25), lit(50), lit(100)),
-        (idx % 4 + 1).cast("int"))
+    "c3_source_mixture" -> ((s, d) =>
       docs(s, d)
-        .where(saltedHash("mix", col("doc_id")) % 100 < ratePct)
+        .where(mixPred)
         .groupBy("source")
-        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
-    }),
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))),
 
     // TEMPERATURE-WEIGHTED MIXING (c9, r09): alpha-sampling, the standard
     // LLM data-recipe reweighting — per-source target k_s proportional to
@@ -373,7 +398,7 @@ object CurationQueries {
 
   private val toks = tokensSql("text")
 
-  private def gram8Sql: String =
+  private[queries] def gram8Sql: String =
     polyHashSql((1 to 8).map(j => s"ws[i+$j]").mkString(" || ' ' || "))
 
   val oracles: Map[String, String] = Map(

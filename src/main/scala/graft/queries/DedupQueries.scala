@@ -31,9 +31,9 @@ object DedupQueries {
 
   /** Jaccard threshold for near-dup (calibrated: planted dups sit at ≥0.9,
     * the background at ≤0.2 — clean separation at sf0.01/sf0.1). */
-  private val JaccardT = 0.5
+  private[queries] val JaccardT = 0.5
 
-  private val ShingleK = 3
+  private[queries] val ShingleK = 3
 
   /** d8: non-overlapping passage length in tokens (the sub-document dedup
     * granularity; the trailing <16-token remainder is not a passage). */

@@ -73,26 +73,7 @@ object TextQueries {
     // instance stream (doc_id, bigram hash, prefix hash) feeds two map-side-
     // combinable counts + two hash joins back — the inverted-index pattern,
     // never docs x docs; per-doc state is one bounded fold.
-    "t9_bigram_lm" -> ((s, d) => {
-      val V = graft.functions.VectorFunctions
-      val base = docs(s, d).select(col("doc_id"),
-        V.shingleHashesAll(col("text"), 1, HashP).as("u"),
-        V.shingleHashesAll(col("text"), 2, HashP).as("b"))
-        .where(size(col("b")) >= 1)
-      val inst = base.select(col("doc_id"), explode(
-          expr("transform(b, (x, i) -> struct(u[i] AS pg, x AS g))")).as("z"))
-        .select(col("doc_id"), col("z.pg").as("pg"), col("z.g").as("g"))
-      val cnt = inst.groupBy("g").agg(count(lit(1)).as("c"))
-      val pre = inst.groupBy("pg").agg(count(lit(1)).as("c1"))
-      val p = inst.join(cnt, "g").join(pre, "pg")
-        .select(col("doc_id"), col("g"),
-          (col("c").cast("double") / col("c1").cast("double")).as("p"))
-      p.groupBy("doc_id").agg(
-        count(lit(1)).as("n_bigrams"),
-        (graft.functions.VectorFunctions.sortedTermSum(
-          collect_list(struct(col("g").as("g"), col("p").as("t"))))
-          / count(lit(1))).as("avg_p"))
-    }),
+    "t9_bigram_lm" -> ((s, d) => bigramLmScoresOf(docs(s, d))),
 
     // CHUNKING (t10, r10): overlapping token windows — the context-window
     // prep stage of a RAG / training pipeline (documents → fixed-size
@@ -387,6 +368,33 @@ object TextQueries {
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY g, p)),
        |      (a, x) -> a + x) / COUNT(*) AS avg_p
        |  FROM p GROUP BY doc_id)""".stripMargin
+
+  /** The t9 scoring chain on any (doc_id, text) frame — parametric so the
+    * composed pipeline (p1) can score its SURVIVOR corpus with the same
+    * model-build the t9/t12 gates prove: the corpus's own MLE bigram LM,
+    * each doc's mean conditional probability through the
+    * order-deterministic fold (bit-identical in the oracle). Output:
+    * (doc_id, n_bigrams, avg_p); docs with <2 tokens are out of scope. */
+  private[queries] def bigramLmScoresOf(documents: DataFrame): DataFrame = {
+    val V = graft.functions.VectorFunctions
+    val base = documents.select(col("doc_id"),
+      V.shingleHashesAll(col("text"), 1, HashP).as("u"),
+      V.shingleHashesAll(col("text"), 2, HashP).as("b"))
+      .where(size(col("b")) >= 1)
+    val inst = base.select(col("doc_id"), explode(
+        expr("transform(b, (x, i) -> struct(u[i] AS pg, x AS g))")).as("z"))
+      .select(col("doc_id"), col("z.pg").as("pg"), col("z.g").as("g"))
+    val cnt = inst.groupBy("g").agg(count(lit(1)).as("c"))
+    val pre = inst.groupBy("pg").agg(count(lit(1)).as("c1"))
+    val p = inst.join(cnt, "g").join(pre, "pg")
+      .select(col("doc_id"), col("g"),
+        (col("c").cast("double") / col("c1").cast("double")).as("p"))
+    p.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      (graft.functions.VectorFunctions.sortedTermSum(
+        collect_list(struct(col("g").as("g"), col("p").as("t"))))
+        / count(lit(1))).as("avg_p"))
+  }
 
   /** t12's scale path for the per-lang cut, exactly [[CurationQueries]]'
     * c8 move: the mergeable approx_percentile sketch (map-side partials,

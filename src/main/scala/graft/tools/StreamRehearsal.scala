@@ -1,0 +1,104 @@
+package graft.tools
+
+import graft.streaming.Streams
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/**
+ * Streaming SCALE REHEARSAL (VERDICT r12 #4): drive a decade-scale event
+ * volume (sf0.1's ~100k-row events table) through the three stateful
+ * pipelines with the most state risk — sessionization, funnel, rate-anomaly
+ * monitor — as a genuine multi-trigger file-source replay, and report the
+ * evidence the "bounded state" scaladoc claims rest on: per-trigger
+ * state-store rows/bytes and end-to-end throughput.
+ *
+ * Replay staging: the events table is split into `Chunks` event-time ranges
+ * written SEQUENTIALLY as one file each (lexicographic names, increasing
+ * mod-times), and the stream reads them with `maxFilesPerTrigger=1` — so the
+ * run exercises real cross-trigger state carry, not one giant batch. This is
+ * the batch-equality specs' ordering contract (per-trigger sort inside the
+ * operators, source replay in event-time order across triggers).
+ *
+ * Boundedness contracts being evidenced (state rows = rows in the state
+ * store, i.e. GROUPS for the flatMapGroupsWithState pipelines):
+ *  - sessionize: one state row per user with an OPEN session — bounded by
+ *    the active-user population, never by event volume;
+ *  - funnel: one row per user still progressing — same bound;
+ *  - rate-anomaly: one row per event type, each holding ≤ TrailHours+1
+ *    hour-counts (the r13 ancient-event drop makes this hold under
+ *    unbounded disorder, not just steady state).
+ *
+ * Usage: runMain graft.tools.StreamRehearsal [sfDir] [chunks]
+ * Prints one JSON line per pipeline:
+ *   {"pipeline":…, "triggers":N, "input_rows":N, "rows_per_sec":…,
+ *    "state_rows_max":N, "state_bytes_last":N, "out_rows":N, "wall_sec":…}
+ */
+object StreamRehearsal {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val chunks = if (args.length > 1) args(1).toInt else 20
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- stage the sequential event-time replay ----------------------
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_rehearsal").toString
+    val feed = s"$work/feed"
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val n = ev.count()
+    // ntile over event time: equal-size chunks in strict time order (a
+    // single 100k-row global sort — tool-side staging, not pipeline work)
+    val bucketed = ev.withColumn("chunk",
+      ntile(chunks).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    for (c <- 1 to chunks) // sequential writes: mod-times increase with time
+      bucketed.where(col("chunk") === c).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(feed)
+    val schema = spark.read.parquet(feed).schema
+
+    def src: Dataset[Streams.Event] = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+      .as[Streams.Event]
+
+    def run(name: String, out: Dataset[_],
+            mode: OutputMode = OutputMode.Append()): Unit = {
+      val t0 = System.nanoTime()
+      val q = out.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", s"$work/ckpt_$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val stateRowsMax = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+      val stateBytesLast = progs.lastOption
+        .flatMap(_.stateOperators.headOption).map(_.memoryUsedBytes).getOrElse(0L)
+      val inputRows = progs.map(_.numInputRows).sum
+      val outRows = spark.table(name).count()
+      println(s"""{"pipeline":"$name","triggers":${progs.length},""" +
+        s""""input_rows":$inputRows,"rows_per_sec":${(inputRows / wall).round},""" +
+        s""""state_rows_max":$stateRowsMax,"state_bytes_last":$stateBytesLast,""" +
+        s""""out_rows":$outRows,"wall_sec":${math.round(wall * 100) / 100.0}}""")
+    }
+
+    println(s"""{"rehearsal":"streaming","sf_dir":"$sfDir","events":$n,"chunks":$chunks}""")
+    run("sessionize", Streams.sessionize(src))
+    run("funnel", Streams.funnelStream(src), OutputMode.Update()) // mapGroupsWithState re-emits per trigger
+    run("rate_anomaly", Streams.rateAnomalyStream(src))
+    spark.stop()
+  }
+}

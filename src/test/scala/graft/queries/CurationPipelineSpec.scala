@@ -56,4 +56,64 @@ class CurationPipelineSpec extends SparkSpec {
       new Directory(new java.io.File(out)).deleteRecursively()
     }
   }
+
+  test("p1 planted fixture: every stage exercised, bitmap exact, shard only for kept") {
+    import spark.implicits._
+    // the stage predicates are salted hashes, so plant doc_ids by EVALUATING
+    // the real predicates over a candidate range (source src1 → mixture keep
+    // rate 25%) instead of hand-guessing hash outcomes
+    val pool = spark.range(1, 4000).select(col("id").as("doc_id"))
+      .withColumn("source", lit("src1"))
+      .withColumn("smp", CurationQueries.samplePred)
+      .withColumn("mix", CurationQueries.mixPred)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3)))
+    val benchId = pool.collectFirst { case (id, false, _) if id % 20 == 0 => id }.get
+    val inPipe = pool.collect { case (id, true, m) if id % 20 != 0 => (id, m) }
+    val mixPass = inPipe.collect { case (id, true) => id }.sorted
+    val mixFail = inPipe.collect { case (id, false) => id }.sorted
+    assert(mixPass.length >= 5 && mixFail.length >= 5, "pool too small")
+    val Array(idP1, idP2, k1, k2, k3, k4) = mixPass.take(6) // idP1 < idP2
+    val Array(idA, idL1, idL2, f1, f2) = mixFail.take(5)
+    def w(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val benchText = w("bz", 8) // exactly one 8-gram
+    val fixture = Seq(
+      benchId -> benchText,                  // bench member, unsampled → 0
+      idA -> (benchText + " " + w("ca", 3)), // sampled, shares the bench 8-gram → 1
+      idL1 -> "the qx1", idL2 -> "the qx2",  // p(qx|the)=1/2 < p30 → 3
+      idP1 -> w("pp", 5), idP2 -> w("pp", 5), // identical: Jaccard 1 → idP2 loses → 7
+      k1 -> w("ka", 5), k2 -> w("kb", 5), k3 -> w("kc", 5), k4 -> w("kd", 5),
+      f1 -> w("fa", 5), f2 -> w("fb", 5)     // quality 1.0, mixture fails → 15
+    ).map { case (id, t) => (id, "en", "src1", 100L, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    // scored s2 docs: 2 low (avg_p .5) + 8 high (1.0) → p30 = 1.0 exactly,
+    // so the low docs fail the >= cut and every distinct-text doc passes
+    val got = PipelineQueries.pipelineOf(fixture)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), Option(r.get(2)))).toMap
+    val kept = Set(idP1, k1, k2, k3, k4)
+    val expect =
+      Map(benchId -> 0, idA -> 1, idL1 -> 3, idL2 -> 3, idP2 -> 7,
+          f1 -> 15, f2 -> 15) ++ kept.map(_ -> 31)
+    assert(got.view.mapValues(_._1).toMap === expect)
+    // 5 kept docs x 100 chars < the 20000-char budget → all in shard 0
+    for ((id, (kr, sh)) <- got)
+      assert(sh === (if (kr == 31) Some(0L) else None), s"doc $id: $kr -> $sh")
+  }
+
+  test("p1 on the corpus: bitmap monotone, stages match the standalone operators") {
+    val docs = Tables.documents(spark, sf())
+    val got = PipelineQueries.pipelineOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size === docs.count())
+    // monotone bitmap: a doc dropped at stage k has all later bits clear
+    for ((id, kr) <- got; b <- Seq(2, 4, 8, 16) if (kr & b) != 0)
+      assert((kr & (b - 1)) === b - 1, s"doc $id bitmap $kr not monotone")
+    // stage 1 must agree with the gated c1 operator exactly
+    val c1 = CurationQueries.defs("c1_hash_sample")(spark, sf())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.filter { case (_, kr) => (kr & 1) != 0 }.keySet === c1)
+    // attrition is real at every early stage on the corpus
+    assert(got.values.count(_ == 0) > 0)
+    assert(got.values.count(kr => (kr & 1) != 0) > got.values.count(_ == 31))
+    assert(got.values.count(_ == 31) > 0)
+  }
 }

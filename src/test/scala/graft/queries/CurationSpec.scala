@@ -84,10 +84,11 @@ class CurationSpec extends SparkSpec {
     val rows = CurationQueries.defs("c6_shard_pack")(spark, sf())
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     // oracle-style sequential recompute on the driver (tiny at test sf)
+    val h = graft.text.TextFunctions.polyHash(
+      concat(lit("shard:"), col("doc_id").cast("string")))
     val docs = graft.sources.Tables.documents(spark, sf())
       .select(col("doc_id"), col("n_chars").cast("long"),
-        graft.text.TextFunctions.polyHash(
-          concat(lit("shard:"), col("doc_id").cast("string"))))
+        (h * h + h) % graft.text.TextFunctions.HashP) // saltedHash finalizer
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(t => (t._3, t._1))
     var run = 0L
@@ -106,7 +107,7 @@ class CurationSpec extends SparkSpec {
     val hash = (id: Long) => {
       var h = 0L
       for (c <- s"shard:$id") h = (h * 31 + c.toLong) % 1000000007L
-      h
+      (h * h + h) % 1000000007L // the saltedHash square finalizer
     }
     for (seed <- Seq(3, 21, 77)) {
       val rng = new scala.util.Random(seed)

@@ -55,10 +55,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup/similarity joins never degrade to cartesian products") {
-    for (name <- Seq("d2_ngram_jaccard", "d3_minhash_lsh", "s2_knn_lsh")) {
+    for (name <- Seq("d2_ngram_jaccard", "d3_minhash_lsh", "s2_knn_lsh",
+                     "d14_substring_dedup")) {
       val p = plan(graft.SparkEntry.queries(name)(spark, sf()))
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert("BroadcastNestedLoopJoin Build(Left|Right), Inner".r.findFirstIn(p).isEmpty,
+        s"$name:\n$p")
     }
+  }
+
+  test("p1 pipeline: one corpus scan feeds the whole chain (no parquet re-read downstream)") {
+    // the composed pipeline checkpoints the projected corpus ONCE and every
+    // stage derives from that materialization — so the assembled verdict
+    // plan must contain NO parquet scan at all (a parquet scan here would
+    // mean some stage silently re-read the source instead of the checkpoint,
+    // i.e. the 100 TB corpus scanned more than once)
+    val df = PipelineQueries.defs("p1_pipeline")(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("d12/d13 incremental dedup: every join stays keyed — no nested-loop, no cartesian") {
