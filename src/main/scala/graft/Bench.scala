@@ -67,6 +67,7 @@ object Bench {
       graft.queries.DedupQueries.clearCaches(spark)
       graft.queries.GraphQueries.clearCaches(spark)
       graft.queries.SimilarityQueries.clearCaches(spark)
+      graft.queries.PipelineQueries.clearCaches(spark)
       graft.queries.SharedBuilds.reset()
       for ((name, fn) <- qseq) {
         val b0 = graft.queries.SharedBuilds.accruedSeconds

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Checkpoints.EagerOps
 import graft.sources.Tables
 import graft.text.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -26,6 +26,9 @@ import org.apache.spark.sql.functions._
  * bitmap is monotone) and shard is the c6 pack assignment for fully-kept
  * docs (NULL otherwise). A training job reads `kept_reason = 31`; an audit
  * reads the bitmap histogram.
+ *
+ * p2: the DAY-2 pipeline — incremental admission of a new arrival batch
+ * against the corpus p1 built, see [[incrementalAdmissionOf]].
  *
  * 100 TB notes: the base corpus is checkpointed ONCE and every stage
  * derives from it — one parquet scan feeds the whole chain (PlanSpec pins
@@ -50,72 +53,167 @@ object PipelineQueries {
   /** All stages passed — the trained-on set. */
   val KeptAll: Int = BitSampled | BitDecontam | BitQuality | BitNearDup | BitMixture
 
+  /** p2 admit_reason bits, in stage order (the batch has no sample stage —
+    * arrival IS the selection — and no shard stage: admitted docs join the
+    * corpus; shards are repacked by the periodic compaction, not per batch). */
+  val Bit2Decontam = 1
+  val Bit2Quality = 2
+  val Bit2Admitted = 4
+  val Bit2Mixture = 8
+  /** All batch stages passed — the docs that enter the training corpus. */
+  val AdmittedAll: Int = Bit2Decontam | Bit2Quality | Bit2Admitted | Bit2Mixture
+
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p1_pipeline" -> ((s, d) => pipelineOf(docs(s, d)))
+    "p1_pipeline" -> ((s, d) => pipelineOf(stagesFor(s, d))),
+    "p2_incremental_pipeline" -> ((s, d) => incrementalAdmissionOf(stagesFor(s, d)))
   )
 
-  /** The composed pipeline on any (doc_id, lang, source, n_chars, text)
-    * frame (parametric for fixture specs). */
-  private[queries] def pipelineOf(documents0: DataFrame): DataFrame = {
-    val documents = documents0
+  /** Day-1 artifacts memoized per (session, sfDir): p1 and p2 share ONE
+    * corpus build — exactly the production shape, where day 2 reads day-1's
+    * persisted artifacts instead of recomputing them — and the bench
+    * attributes the build to `pipeline_day1` like every other family's
+    * shared build. Entries hold a weak session ref and dead/stopped-session
+    * entries are purged on access (the [[SessionCache]] discipline; the
+    * frames' localCheckpoint blocks die with their context, purging drops
+    * the plan objects). */
+  private val stagesCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (java.lang.ref.WeakReference[SparkSession], CorpusStages)]
+
+  private def stagesFor(s: SparkSession, d: String): CorpusStages = {
+    stagesCache.filterInPlace { case (_, (ref, _)) =>
+      Option(ref.get()).exists(ss => !ss.sparkContext.isStopped)
+    }
+    stagesCache.getOrElseUpdate((SessionCache.idOf(s), d), {
+      val st = new CorpusStages(docs(s, d))
+      // force the whole day-1 chain inside the build attribution (each lazy
+      // val materializes via eagerCheckpoint as it is touched): the bench
+      // then reports p1/p2 NET of the shared corpus build
+      SharedBuilds.timed("pipeline_day1") {
+        val _ = (st.bloom, st.s5, st.thFrozen)
+      }
+      (new java.lang.ref.WeakReference(s), st)
+    })._2
+  }
+
+  /** Evict one session's memoized day-1 stages (bench per-pass hygiene). */
+  def clearCaches(s: SparkSession): Unit =
+    stagesCache.keys.filter(_._1 == SessionCache.idOf(s)).foreach(stagesCache.remove)
+
+  /** The day-1 corpus-build stage frames, shared by the p1 verdict assembly
+    * and the p2 batch pipeline (which needs the DAY-1 bench gram set, the
+    * FROZEN quality model + thresholds, and the KEPT corpus). Lazy vals keep
+    * the dataflow identical to the original inline chain: each stage frame
+    * materializes once, on first use, in stage order. */
+  private[queries] final class CorpusStages(documents0: DataFrame) {
+    private val B = graft.functions.BloomFunctions
+
+    val documents: DataFrame = documents0
       .select("doc_id", "lang", "source", "n_chars", "text")
       .eagerCheckpoint() // the ONE corpus materialization the chain reads
-    val B = graft.functions.BloomFunctions
-    def g8(df: DataFrame) = df.select(col("doc_id"),
+
+    private[queries] def g8(df: DataFrame): DataFrame = df.select(col("doc_id"),
       explode(graft.functions.VectorFunctions.shingleHashes(col("text"), 8, HashP)).as("g"))
 
     // stage 1 — c1: deterministic 10% hash sample (pure row-local filter)
-    val s1 = documents.where(CurationQueries.samplePred).eagerCheckpoint()
+    lazy val s1: DataFrame = documents.where(CurationQueries.samplePred).eagerCheckpoint()
 
     // stage 2 — c7: benchmark decontamination. The bench slice (held-out
     // suite stand-in, doc_id % 20 == 0) comes from the FULL corpus — the
     // benchmark is external to the sample — and bench members themselves
     // are never training data. Bloom prune map-side, exact verify join.
-    val bench = g8(documents.where(col("doc_id") % 20 === 0)).select("g").distinct()
-    val bloom = B.buildLongBloom(bench, "g", bench.count(), fpp = 1e-3)
-    val hit = g8(s1.where(col("doc_id") % 20 =!= 0))
-      .where(B.mightContain(bloom, col("g")))
-      .join(bench, "g").select("doc_id").distinct()
-    val s2 = s1.where(col("doc_id") % 20 =!= 0)
-      .join(hit, Seq("doc_id"), "left_anti")
-      .eagerCheckpoint() // feeds the LM build twice + the lang join
+    lazy val bench: DataFrame = g8(documents.where(col("doc_id") % 20 === 0)).select("g").distinct()
+    lazy val bloom: Array[Byte] =
+      B.buildLongBloom(bench, "g", bench.count(), fpp = 1e-3)
+    lazy val s2: DataFrame = {
+      val hit = g8(s1.where(col("doc_id") % 20 =!= 0))
+        .where(B.mightContain(bloom, col("g")))
+        .join(bench, "g").select("doc_id").distinct()
+      s1.where(col("doc_id") % 20 =!= 0)
+        .join(hit, Seq("doc_id"), "left_anti")
+        .eagerCheckpoint() // feeds the LM build twice + the lang join
+    }
 
     // stage 3 — t12: LM-quality gate, model TRAINED ON THE SURVIVORS (the
     // published recipe scores against the corpus being curated, not some
     // fixed external corpus), per-lang 30th-percentile cut.
-    val scored = TextQueries.bigramLmScoresOf(s2)
-    val sl = scored.join(s2.select("doc_id", "lang"), "doc_id")
-    val th = sl.groupBy("lang").agg(expr("percentile(avg_p, 0.3)").as("p30"))
-    val passQ = sl.join(broadcast(th), "lang")
-      .where(col("avg_p") >= col("p30")).select("doc_id")
-    val s3 = s2.join(passQ, Seq("doc_id")).eagerCheckpoint() // feeds shingles + 3 verdict joins
+    lazy val th: DataFrame = {
+      val scored = TextQueries.bigramLmScoresOf(s2)
+      val sl = scored.join(s2.select("doc_id", "lang"), "doc_id")
+      sl.groupBy("lang").agg(expr("percentile(avg_p, 0.3)").as("p30"))
+    }
+
+    /** p2's FROZEN admission bar: per-lang p30 of LEAVE-ONE-OUT corpus
+      * scores — each corpus doc scored against the model MINUS its own
+      * counts, exactly how a day-2 arrival sees the model. The in-corpus
+      * threshold `th` is biased UP by self-counts (each doc's own
+      * occurrences inflate c(g) for its bigrams): measured at sf0.01,
+      * in-corpus p30 ≈ 0.041-0.043 while out-of-model scores of
+      * corpus-typical docs read ≈ 0.031-0.040 — the naive frozen bar
+      * rejects EVERY arrival. LOO removes the bias (p30 ≈ 0.029-0.033;
+      * ~62% of decontam survivors pass, consistent with a 30th-pct bar),
+      * and is a day-1 artifact: O(corpus-instances) joins keyed by
+      * g/pg/doc, computed once, never per batch. */
+    lazy val thFrozen: DataFrame = {
+      val inst = TextQueries.bigramInstancesOf(s2).eagerCheckpoint() // feeds 5 branches
+      val cnt = inst.groupBy("g").agg(count(lit(1)).as("c"))
+      val pre = inst.groupBy("pg").agg(count(lit(1)).as("c1"))
+      val owng = inst.groupBy("doc_id", "g").agg(count(lit(1)).as("og"))
+      val ownp = inst.groupBy("doc_id", "pg").agg(count(lit(1)).as("op"))
+      val ploo = inst.join(cnt, "g").join(pre, "pg")
+        .join(owng, Seq("doc_id", "g")).join(ownp, Seq("doc_id", "pg"))
+        .select(col("doc_id"), col("g"),
+          when(col("c1") - col("op") > 0,
+            (col("c") - col("og")).cast("double") / (col("c1") - col("op")).cast("double"))
+            .otherwise(lit(0.0)).as("p"))
+      val scoreLoo = ploo.groupBy("doc_id").agg(
+        (graft.functions.VectorFunctions.sortedTermSum(
+          collect_list(struct(col("g").as("g"), col("p").as("t"))))
+          / count(lit(1))).as("avg_p"))
+      scoreLoo.join(s2.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(expr("percentile(avg_p, 0.3)").as("p30"))
+        .eagerCheckpoint() // tiny (one row per lang); fixes the LOO cost here
+    }
+    lazy val s3: DataFrame = {
+      val scored = TextQueries.bigramLmScoresOf(s2)
+      val sl = scored.join(s2.select("doc_id", "lang"), "doc_id")
+      val passQ = sl.join(broadcast(th), "lang")
+        .where(col("avg_p") >= col("p30")).select("doc_id")
+      s2.join(passQ, Seq("doc_id")).eagerCheckpoint() // feeds shingles + 3 verdict joins
+    }
 
     // stage 4 — d3: near-dup admission among quality survivors. Banding
     // proposes, exact Jaccard verifies; the pair's min doc_id is kept
     // (d10's per-pair keep-rule family — admission, not clustering).
-    val rejected = DedupQueries.minhashLshOf(DedupQueries.shingleSetsOf(s3))
-      .select(col("doc_b").as("doc_id")).distinct()
-    val s4 = s3.join(rejected, Seq("doc_id"), "left_anti")
+    lazy val s4: DataFrame = {
+      val rejected = DedupQueries.minhashLshOf(DedupQueries.shingleSetsOf(s3))
+        .select(col("doc_b").as("doc_id")).distinct()
+      s3.join(rejected, Seq("doc_id"), "left_anti")
+    }
 
     // stage 5 — c3: mixture keep-rates by source (row-local filter)
-    val s5 = s4.where(CurationQueries.mixPred).eagerCheckpoint() // feeds pack + verdict
+    lazy val s5: DataFrame = s4.where(CurationQueries.mixPred).eagerCheckpoint() // feeds pack + verdict
+  }
+
+  /** The composed pipeline on any (doc_id, lang, source, n_chars, text)
+    * frame (parametric for fixture specs). */
+  private[queries] def pipelineOf(documents0: DataFrame): DataFrame =
+    pipelineOf(new CorpusStages(documents0))
+
+  private[queries] def pipelineOf(st: CorpusStages): DataFrame = {
 
     // stage 6 — c6: shard-pack the final kept set (distributed prefix sum)
-    val packed = CurationQueries.shardPackOf(s5, CurationQueries.ShardBudget)
+    val packed = CurationQueries.shardPackOf(st.s5, CurationQueries.ShardBudget)
       .select(col("doc_id"), col("shard"))
 
     // verdict: one row per corpus doc, monotone stage bitmap + shard
-    def flag(ids: DataFrame, name: String) =
-      ids.select(col("doc_id")).withColumn(name, lit(true))
-    def bit(name: String, v: Int) = when(col(name), v).otherwise(0)
-    documents.select("doc_id")
-      .join(flag(s1, "b1"), Seq("doc_id"), "left")
-      .join(flag(s2, "b2"), Seq("doc_id"), "left")
-      .join(flag(s3, "b3"), Seq("doc_id"), "left")
-      .join(flag(s4, "b4"), Seq("doc_id"), "left")
-      .join(flag(s5, "b5"), Seq("doc_id"), "left")
+    st.documents.select("doc_id")
+      .join(flag(st.s1, "b1"), Seq("doc_id"), "left")
+      .join(flag(st.s2, "b2"), Seq("doc_id"), "left")
+      .join(flag(st.s3, "b3"), Seq("doc_id"), "left")
+      .join(flag(st.s4, "b4"), Seq("doc_id"), "left")
+      .join(flag(st.s5, "b5"), Seq("doc_id"), "left")
       .join(packed, Seq("doc_id"), "left")
       .select(col("doc_id"),
         (bit("b1", BitSampled) + bit("b2", BitDecontam) + bit("b3", BitQuality) +
@@ -123,82 +221,194 @@ object PipelineQueries {
         col("shard"))
   }
 
-  /** The whole chain as one DuckDB WITH cascade — every stage CTE is the
-    * SAME formula family its per-stage oracle proves (c1/c7/t9+t12/d3/c3/c6),
-    * re-anchored to the previous stage's survivor set. */
+  private def flag(ids: DataFrame, name: String) =
+    ids.select(col("doc_id")).withColumn(name, lit(true))
+  private def bit(name: String, v: Int): Column = when(col(name), v).otherwise(0)
+
+  /** p2: DAY-2 of the pipeline — incremental admission of a new arrival
+    * batch against the corpus p1 built. The batch (a deterministic
+    * not-previously-sampled 10% slice standing in for the day's arrivals)
+    * flows through:
+    *
+    *   c7 decontam (same day-1 benchmark) → FROZEN t12 quality gate →
+    *   d12 near-dup admission (vs the KEPT corpus + in-batch clusters) →
+    *   c3 mixture
+    *
+    * The two deliberate day-2 semantics, both of which only a composed gate
+    * can cover:
+    *  - FROZEN model: batch docs are scored against day-1's bigram LM
+    *    (trained on the post-decontam corpus s2) and cut at day-1's
+    *    LEAVE-ONE-OUT per-lang p30 ([[CorpusStages.thFrozen]]) — production
+    *    does not retrain per batch, and the in-corpus threshold is the
+    *    wrong bar for out-of-model scorees (self-count bias; see thFrozen's
+    *    scaladoc for the measured gap). A batch bigram unseen in the corpus
+    *    scores 0 (harsh-OOV: unfamiliar text reads as low quality); a batch
+    *    doc whose lang has no day-1 threshold fails the gate (no model, no
+    *    admission — retrain before onboarding a new language).
+    *  - Dedup is against the KEPT corpus (p1's s5), not everything day 1
+    *    SAW: a copy of a day-1 doc that mixture dropped is admissible — its
+    *    text is not in the training corpus. Cluster-transitive corpus
+    *    contamination and min-id in-batch representatives are exactly
+    *    [[DedupQueries.incrementalDedup]]'s contract.
+    *
+    * Output: one row per batch doc — (doc_id, admit_reason, admitted) —
+    * bitmap monotone as in p1; `admitted` (= admit_reason 15) is the set
+    * that joins the corpus (and whose band keys production appends to the
+    * persisted index via [[DedupQueries.appendBandIndex]]).
+    *
+    * 100 TB notes: the corpus participates only through day-1 artifacts
+    * that are O(corpus) ONCE, not per batch — the bench bloom, the model
+    * tables (semi-join-pruned to the batch's grams before the prob join:
+    * O(batch-vocab) rows shuffle, not O(corpus-vocab)), broadcast
+    * thresholds, and the s5 band index (in production the PERSISTED index;
+    * rebuilt in-gate here so the oracle can replay it). Everything else is
+    * O(batch): the gate def's whole day-2 side fits one executor's worth of
+    * work per 10 GB of arrivals. */
+  private[queries] def incrementalAdmissionOf(documents0: DataFrame): DataFrame =
+    incrementalAdmissionOf(new CorpusStages(documents0))
+
+  private[queries] def incrementalAdmissionOf(st: CorpusStages): DataFrame = {
+    val day2 = CurationQueries.saltedHash("day2", col("doc_id")) % 100 < 10
+    val batch0 = st.documents
+      .where(!CurationQueries.samplePred && day2)
+      .eagerCheckpoint() // feeds every batch stage + the verdict spine
+
+    // stage 1 — decontam vs the DAY-1 benchmark (bench members themselves
+    // are never training data, same as p1's stage 2)
+    val bhit = st.g8(batch0.where(col("doc_id") % 20 =!= 0))
+      .where(graft.functions.BloomFunctions.mightContain(st.bloom, col("g")))
+      .join(st.bench, "g").select("doc_id").distinct()
+    val b1 = batch0.where(col("doc_id") % 20 =!= 0)
+      .join(bhit, Seq("doc_id"), "left_anti")
+      .eagerCheckpoint() // feeds scoring + lang join + verdict
+
+    // stage 2 — frozen quality gate: day-1 model, day-1 thresholds
+    val binst = TextQueries.bigramInstancesOf(b1).eagerCheckpoint() // feeds 2 semi-joins + the prob join
+    val corpusInst = TextQueries.bigramInstancesOf(st.s2)
+    val cnt = corpusInst.join(binst.select("g").distinct(), Seq("g"), "left_semi")
+      .groupBy("g").agg(count(lit(1)).as("c"))
+    val pre = corpusInst.join(binst.select("pg").distinct(), Seq("pg"), "left_semi")
+      .groupBy("pg").agg(count(lit(1)).as("c1"))
+    // unseen bigram → no cnt row → coalesce 0 (a bigram seen at all has a
+    // seen prefix — same string prefix, same hash — so c1 is never null
+    // when c isn't; the coalesce covers both)
+    val bp = binst.join(cnt, Seq("g"), "left").join(pre, Seq("pg"), "left")
+      .select(col("doc_id"), col("g"),
+        coalesce(col("c").cast("double") / col("c1").cast("double"), lit(0.0)).as("p"))
+    val bscore = bp.groupBy("doc_id").agg(
+      (graft.functions.VectorFunctions.sortedTermSum(
+        collect_list(struct(col("g").as("g"), col("p").as("t"))))
+        / count(lit(1))).as("avg_p"))
+    val passQ = bscore.join(b1.select("doc_id", "lang"), "doc_id")
+      .join(broadcast(st.thFrozen), "lang")
+      .where(col("avg_p") >= col("p30")).select("doc_id")
+    val b2 = b1.join(passQ, Seq("doc_id")).eagerCheckpoint() // feeds dedup + verdict
+
+    // stage 3 — near-dup admission vs the kept corpus + in-batch clusters
+    val b3 = DedupQueries.incrementalDedup(st.s5, b2)
+
+    // stage 4 — mixture keep-rates by source
+    val b4 = b3.where(CurationQueries.mixPred)
+
+    batch0.select("doc_id")
+      .join(flag(b1, "k1"), Seq("doc_id"), "left")
+      .join(flag(b2, "k2"), Seq("doc_id"), "left")
+      .join(flag(b3, "k3"), Seq("doc_id"), "left")
+      .join(flag(b4, "k4"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (bit("k1", Bit2Decontam) + bit("k2", Bit2Quality) +
+          bit("k3", Bit2Admitted) + bit("k4", Bit2Mixture)).cast("int").as("admit_reason"))
+      .withColumn("admitted", col("admit_reason") === AdmittedAll)
+  }
+
+  /** The day-1 corpus cascade (p1's s1 → s5) as a reusable CTE chain —
+    * every stage is the SAME formula family its per-stage oracle proves
+    * (c1/c7/t9+t12/d3/c3), re-anchored to the previous stage's survivor
+    * set. Shared verbatim by the p1 and p2 oracles so both replay ONE
+    * corpus-build definition. */
+  private lazy val corpusCascadeSql: String = {
+    val toks = tokensSql("text")
+    val gram8 = CurationQueries.gram8Sql
+    import DedupQueries.{JaccardT, ShingleK}
+    s"""s1 AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, n_chars, text FROM documents
+       |  WHERE ${CurationQueries.saltedHashSql("smpl", "doc_id")} % 100 < 10),
+       |bw AS MATERIALIZED (SELECT doc_id, $toks AS ws FROM documents WHERE doc_id % 20 = 0),
+       |bench AS MATERIALIZED (SELECT DISTINCT g FROM (
+       |  SELECT unnest([$gram8 for i in range(0, len(ws) - 7)]) AS g FROM bw)),
+       |cw AS MATERIALIZED (SELECT doc_id, $toks AS ws FROM s1 WHERE doc_id % 20 <> 0),
+       |hit AS MATERIALIZED (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, unnest([$gram8 for i in range(0, len(ws) - 7)]) AS g FROM cw) cg
+       |  JOIN bench USING (g)),
+       |s2 AS MATERIALIZED (SELECT * FROM s1 WHERE doc_id % 20 <> 0
+       |       AND doc_id NOT IN (SELECT doc_id FROM hit)),
+       |tt AS MATERIALIZED (SELECT doc_id, $toks AS ws FROM s2),
+       |inst AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest([${polyHashSql("ws[i+1] || ' ' || ws[i+2]")}
+       |            for i in range(0, len(ws) - 1)]) AS g,
+       |    unnest([${polyHashSql("ws[i+1]")}
+       |            for i in range(0, len(ws) - 1)]) AS pg
+       |  FROM tt WHERE len(ws) >= 2),
+       |cnt AS MATERIALIZED (SELECT g, COUNT(*)::BIGINT AS c FROM inst GROUP BY g),
+       |pre AS MATERIALIZED (SELECT pg, COUNT(*)::BIGINT AS c1 FROM inst GROUP BY pg),
+       |p AS MATERIALIZED (SELECT doc_id, inst.g AS g,
+       |        CAST(c AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+       |      FROM inst JOIN cnt ON inst.g = cnt.g
+       |                JOIN pre ON inst.pg = pre.pg),
+       |score AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY g, p)),
+       |      (a, x) -> a + x) / COUNT(*) AS avg_p
+       |  FROM p GROUP BY doc_id),
+       |sl AS MATERIALIZED (SELECT s.doc_id, d.lang, s.avg_p FROM score s JOIN s2 d USING (doc_id)),
+       |th AS MATERIALIZED (SELECT lang, quantile_cont(avg_p, 0.3) AS p30 FROM sl GROUP BY lang),
+       |passq AS MATERIALIZED (SELECT sl.doc_id FROM sl JOIN th USING (lang) WHERE sl.avg_p >= th.p30),
+       |s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN passq USING (doc_id)),
+       |sgl AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= $ShingleK THEN list_distinct(list_transform(
+       |      [array_to_string(t[i+1:i+$ShingleK], ' ') for i in range(0, len(t) - ${ShingleK - 1})],
+       |      x -> ${polyHashSql("x")}))
+       |    ELSE [] END AS sh
+       |  FROM (SELECT doc_id, $toks AS t FROM s3)),
+       |shf AS MATERIALIZED (SELECT doc_id, sh FROM sgl WHERE len(sh) > 0),
+       |sig AS MATERIALIZED (SELECT doc_id, sh, ${minhashSignatureSql("sh")} AS sig FROM shf),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(band AS VARCHAR) || ':' ||
+       |           array_to_string(sig[band*$RowsPerBand+1 : band*$RowsPerBand+$RowsPerBand], '-') AS bkey
+       |  FROM sig, range($NumBands) r(band)),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |rej AS MATERIALIZED (SELECT DISTINCT doc_b AS doc_id FROM (
+       |    SELECT doc_a, doc_b,
+       |           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+       |    FROM cand
+       |    JOIN shf sa ON sa.doc_id = cand.doc_a
+       |    JOIN shf sb ON sb.doc_id = cand.doc_b)
+       |  WHERE jaccard >= $JaccardT),
+       |s4 AS MATERIALIZED (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM rej)),
+       |s5 AS MATERIALIZED (SELECT * FROM s4
+       |  WHERE ${CurationQueries.saltedHashSql("mix", "doc_id")} % 100 <
+       |    [10, 25, 50, 100][CAST(CAST(substring(source, 4) AS INT) % 4 + 1 AS INT)])""".stripMargin
+  }
+
+  /** The whole chain as one DuckDB WITH cascade; p2 appends the batch-side
+    * cascade (decontam, frozen-model scoring, d12-family dedup replay with
+    * recursive in-batch reachability, mixture) to the same corpus CTEs. */
   val oracles: Map[String, String] = {
     val toks = tokensSql("text")
     val gram8 = CurationQueries.gram8Sql
     import DedupQueries.{JaccardT, ShingleK}
     Map(
       "p1_pipeline" ->
-        s"""WITH s1 AS (
-           |  SELECT doc_id, lang, source, n_chars, text FROM documents
-           |  WHERE ${CurationQueries.saltedHashSql("smpl", "doc_id")} % 100 < 10),
-           |bw AS (SELECT doc_id, $toks AS ws FROM documents WHERE doc_id % 20 = 0),
-           |bench AS (SELECT DISTINCT g FROM (
-           |  SELECT unnest([$gram8 for i in range(0, len(ws) - 7)]) AS g FROM bw)),
-           |cw AS (SELECT doc_id, $toks AS ws FROM s1 WHERE doc_id % 20 <> 0),
-           |hit AS (SELECT DISTINCT doc_id FROM (
-           |    SELECT doc_id, unnest([$gram8 for i in range(0, len(ws) - 7)]) AS g FROM cw) cg
-           |  JOIN bench USING (g)),
-           |s2 AS (SELECT * FROM s1 WHERE doc_id % 20 <> 0
-           |       AND doc_id NOT IN (SELECT doc_id FROM hit)),
-           |tt AS (SELECT doc_id, $toks AS ws FROM s2),
-           |inst AS (
-           |  SELECT doc_id,
-           |    unnest([${polyHashSql("ws[i+1] || ' ' || ws[i+2]")}
-           |            for i in range(0, len(ws) - 1)]) AS g,
-           |    unnest([${polyHashSql("ws[i+1]")}
-           |            for i in range(0, len(ws) - 1)]) AS pg
-           |  FROM tt WHERE len(ws) >= 2),
-           |cnt AS (SELECT g, COUNT(*)::BIGINT AS c FROM inst GROUP BY g),
-           |pre AS (SELECT pg, COUNT(*)::BIGINT AS c1 FROM inst GROUP BY pg),
-           |p AS (SELECT doc_id, inst.g AS g,
-           |        CAST(c AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
-           |      FROM inst JOIN cnt ON inst.g = cnt.g
-           |                JOIN pre ON inst.pg = pre.pg),
-           |score AS (
-           |  SELECT doc_id,
-           |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY g, p)),
-           |      (a, x) -> a + x) / COUNT(*) AS avg_p
-           |  FROM p GROUP BY doc_id),
-           |sl AS (SELECT s.doc_id, d.lang, s.avg_p FROM score s JOIN s2 d USING (doc_id)),
-           |th AS (SELECT lang, quantile_cont(avg_p, 0.3) AS p30 FROM sl GROUP BY lang),
-           |passq AS (SELECT sl.doc_id FROM sl JOIN th USING (lang) WHERE sl.avg_p >= th.p30),
-           |s3 AS (SELECT s2.* FROM s2 JOIN passq USING (doc_id)),
-           |sgl AS (
-           |  SELECT doc_id,
-           |    CASE WHEN len(t) >= $ShingleK THEN list_distinct(list_transform(
-           |      [array_to_string(t[i+1:i+$ShingleK], ' ') for i in range(0, len(t) - ${ShingleK - 1})],
-           |      x -> ${polyHashSql("x")}))
-           |    ELSE [] END AS sh
-           |  FROM (SELECT doc_id, $toks AS t FROM s3)),
-           |shf AS (SELECT doc_id, sh FROM sgl WHERE len(sh) > 0),
-           |sig AS (SELECT doc_id, sh, ${minhashSignatureSql("sh")} AS sig FROM shf),
-           |bands AS (
-           |  SELECT doc_id,
-           |         CAST(band AS VARCHAR) || ':' ||
-           |           array_to_string(sig[band*$RowsPerBand+1 : band*$RowsPerBand+$RowsPerBand], '-') AS bkey
-           |  FROM sig, range($NumBands) r(band)),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-           |rej AS (SELECT DISTINCT doc_b AS doc_id FROM (
-           |    SELECT doc_a, doc_b,
-           |           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-           |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-           |    FROM cand
-           |    JOIN shf sa ON sa.doc_id = cand.doc_a
-           |    JOIN shf sb ON sb.doc_id = cand.doc_b)
-           |  WHERE jaccard >= $JaccardT),
-           |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM rej)),
-           |s5 AS (SELECT * FROM s4
-           |  WHERE ${CurationQueries.saltedHashSql("mix", "doc_id")} % 100 <
-           |    [10, 25, 50, 100][CAST(CAST(substring(source, 4) AS INT) % 4 + 1 AS INT)]),
-           |h AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        s"""WITH $corpusCascadeSql,
+           |h AS MATERIALIZED (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
            |        ${CurationQueries.saltedHashSql("shard", "doc_id")} AS k FROM s5),
-           |packed AS (SELECT doc_id,
+           |packed AS MATERIALIZED (SELECT doc_id,
            |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY k, doc_id
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            |    // ${CurationQueries.ShardBudget} AS shard FROM h)
@@ -215,7 +425,129 @@ object PipelineQueries {
            |LEFT JOIN (SELECT doc_id FROM s3) b3 ON d.doc_id = b3.doc_id
            |LEFT JOIN (SELECT doc_id FROM s4) b4 ON d.doc_id = b4.doc_id
            |LEFT JOIN (SELECT doc_id FROM s5) b5 ON d.doc_id = b5.doc_id
-           |LEFT JOIN packed ON d.doc_id = packed.doc_id""".stripMargin
+           |LEFT JOIN packed ON d.doc_id = packed.doc_id""".stripMargin,
+
+      // p2: the corpus cascade defines the day-1 artifacts (bench, model
+      // cnt/pre, thresholds th, kept set s5 and its bands); the batch side
+      // replays decontam, frozen scoring (LEFT JOIN model, COALESCE 0 —
+      // the harsh-OOV rule), the d12 dedup cascade (band collisions vs
+      // s5's bands, exact Jaccard, recursive in-batch min-reachability,
+      // cluster-transitive contamination), and the mixture cut.
+      "p2_incremental_pipeline" ->
+        s"""WITH RECURSIVE $corpusCascadeSql,
+           |b0 AS MATERIALIZED (
+           |  SELECT doc_id, lang, source, n_chars, text FROM documents
+           |  WHERE NOT (${CurationQueries.saltedHashSql("smpl", "doc_id")} % 100 < 10)
+           |    AND ${CurationQueries.saltedHashSql("day2", "doc_id")} % 100 < 10),
+           |bcw AS MATERIALIZED (SELECT doc_id, $toks AS ws FROM b0 WHERE doc_id % 20 <> 0),
+           |bhit AS MATERIALIZED (SELECT DISTINCT doc_id FROM (
+           |    SELECT doc_id, unnest([$gram8 for i in range(0, len(ws) - 7)]) AS g FROM bcw) cg
+           |  JOIN bench USING (g)),
+           |b1 AS MATERIALIZED (SELECT * FROM b0 WHERE doc_id % 20 <> 0
+           |       AND doc_id NOT IN (SELECT doc_id FROM bhit)),
+           |btt AS MATERIALIZED (SELECT doc_id, $toks AS ws FROM b1),
+           |binst AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    unnest([${polyHashSql("ws[i+1] || ' ' || ws[i+2]")}
+           |            for i in range(0, len(ws) - 1)]) AS g,
+           |    unnest([${polyHashSql("ws[i+1]")}
+           |            for i in range(0, len(ws) - 1)]) AS pg
+           |  FROM btt WHERE len(ws) >= 2),
+           |bprob AS MATERIALIZED (SELECT doc_id, binst.g AS g,
+           |        COALESCE(CAST(c AS DOUBLE) / CAST(c1 AS DOUBLE), CAST(0 AS DOUBLE)) AS p
+           |      FROM binst LEFT JOIN cnt ON binst.g = cnt.g
+           |                 LEFT JOIN pre ON binst.pg = pre.pg),
+           |bscore AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY g, p)),
+           |      (a, x) -> a + x) / COUNT(*) AS avg_p
+           |  FROM bprob GROUP BY doc_id),
+           |owng AS MATERIALIZED (SELECT doc_id, g, COUNT(*)::BIGINT AS og FROM inst GROUP BY doc_id, g),
+           |ownp AS MATERIALIZED (SELECT doc_id, pg, COUNT(*)::BIGINT AS op FROM inst GROUP BY doc_id, pg),
+           |ploo AS MATERIALIZED (SELECT i.doc_id, i.g AS g,
+           |    CASE WHEN (c1 - op) > 0
+           |         THEN CAST(c - og AS DOUBLE) / CAST(c1 - op AS DOUBLE)
+           |         ELSE CAST(0 AS DOUBLE) END AS p
+           |  FROM inst i JOIN cnt ON i.g = cnt.g
+           |              JOIN pre ON i.pg = pre.pg
+           |              JOIN owng ON owng.doc_id = i.doc_id AND owng.g = i.g
+           |              JOIN ownp ON ownp.doc_id = i.doc_id AND ownp.pg = i.pg),
+           |scoreloo AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY g, p)),
+           |      (a, x) -> a + x) / COUNT(*) AS avg_p
+           |  FROM ploo GROUP BY doc_id),
+           |thf AS MATERIALIZED (SELECT lang, quantile_cont(s.avg_p, 0.3) AS p30
+           |        FROM scoreloo s JOIN s2 d USING (doc_id) GROUP BY lang),
+           |bq AS MATERIALIZED (SELECT s.doc_id FROM bscore s JOIN b1 d USING (doc_id)
+           |       JOIN thf ON d.lang = thf.lang WHERE s.avg_p >= thf.p30),
+           |b2 AS MATERIALIZED (SELECT * FROM b1 WHERE doc_id IN (SELECT doc_id FROM bq)),
+           |bsgl AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    CASE WHEN len(t) >= $ShingleK THEN list_distinct(list_transform(
+           |      [array_to_string(t[i+1:i+$ShingleK], ' ') for i in range(0, len(t) - ${ShingleK - 1})],
+           |      x -> ${polyHashSql("x")}))
+           |    ELSE [] END AS sh
+           |  FROM (SELECT doc_id, $toks AS t FROM b2)),
+           |bshf AS MATERIALIZED (SELECT doc_id, sh FROM bsgl WHERE len(sh) > 0),
+           |bsig AS MATERIALIZED (SELECT doc_id, sh, ${minhashSignatureSql("sh")} AS sig FROM bshf),
+           |nb AS MATERIALIZED (
+           |  SELECT doc_id,
+           |         CAST(band AS VARCHAR) || ':' ||
+           |           array_to_string(sig[band*$RowsPerBand+1 : band*$RowsPerBand+$RowsPerBand], '-') AS bkey
+           |  FROM bsig, range($NumBands) r(band)),
+           |ob AS MATERIALIZED (SELECT doc_id, bkey FROM bands
+           |       WHERE doc_id IN (SELECT doc_id FROM s5)),
+           |candold AS MATERIALIZED (
+           |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+           |  FROM nb n JOIN ob o ON n.bkey = o.bkey),
+           |dupvsold AS MATERIALIZED (
+           |  SELECT DISTINCT doc_new FROM candold
+           |  JOIN bshf sn ON sn.doc_id = candold.doc_new
+           |  JOIN shf so ON so.doc_id = candold.doc_old
+           |  WHERE CAST(len(list_intersect(sn.sh, so.sh)) AS DOUBLE) /
+           |          (len(sn.sh) + len(so.sh) - len(list_intersect(sn.sh, so.sh))) >= $JaccardT),
+           |ibp AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM nb a JOIN nb b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |ibv AS MATERIALIZED (
+           |  SELECT doc_a, doc_b FROM ibp
+           |  JOIN bshf sa ON sa.doc_id = ibp.doc_a
+           |  JOIN bshf sb ON sb.doc_id = ibp.doc_b
+           |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+           |          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= $JaccardT),
+           |bi AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM ibv
+           |       UNION ALL SELECT doc_b AS a, doc_a AS b FROM ibv),
+           |reach(node, r) AS (
+           |  SELECT a, b FROM bi
+           |  UNION
+           |  SELECT reach.node, bi.b FROM reach JOIN bi ON bi.a = reach.r WHERE bi.b <> reach.node),
+           |member AS MATERIALIZED (SELECT node AS doc_new, MIN(r) AS cl FROM reach GROUP BY node HAVING MIN(r) < node),
+           |contam AS MATERIALIZED (
+           |  SELECT COALESCE(m.cl, d.doc_new) AS doc_new
+           |  FROM dupvsold d LEFT JOIN member m ON m.doc_new = d.doc_new),
+           |brej AS MATERIALIZED (
+           |  -- DISTINCT over UNION ALL, not UNION: inside WITH RECURSIVE,
+           |  -- DuckDB does not dedup a non-recursive UNION (the d6/r01 gotcha)
+           |  SELECT DISTINCT doc_new FROM (
+           |    SELECT doc_new FROM dupvsold
+           |    UNION ALL SELECT doc_new FROM member
+           |    UNION ALL SELECT doc_new FROM contam)),
+           |b3 AS MATERIALIZED (SELECT * FROM b2 WHERE doc_id NOT IN (SELECT doc_new FROM brej)),
+           |b4 AS MATERIALIZED (SELECT doc_id FROM b3
+           |  WHERE ${CurationQueries.saltedHashSql("mix", "doc_id")} % 100 <
+           |    [10, 25, 50, 100][CAST(CAST(substring(source, 4) AS INT) % 4 + 1 AS INT)])
+           |SELECT doc_id, admit_reason, admit_reason = $AdmittedAll AS admitted FROM (
+           |  SELECT d.doc_id,
+           |    CAST(CASE WHEN k1.doc_id IS NOT NULL THEN $Bit2Decontam ELSE 0 END
+           |       + CASE WHEN k2.doc_id IS NOT NULL THEN $Bit2Quality ELSE 0 END
+           |       + CASE WHEN k3.doc_id IS NOT NULL THEN $Bit2Admitted ELSE 0 END
+           |       + CASE WHEN k4.doc_id IS NOT NULL THEN $Bit2Mixture ELSE 0 END AS INT) AS admit_reason
+           |  FROM b0 d
+           |  LEFT JOIN (SELECT doc_id FROM b1) k1 ON d.doc_id = k1.doc_id
+           |  LEFT JOIN (SELECT doc_id FROM b2) k2 ON d.doc_id = k2.doc_id
+           |  LEFT JOIN (SELECT doc_id FROM b3) k3 ON d.doc_id = k3.doc_id
+           |  LEFT JOIN (SELECT doc_id FROM b4) k4 ON d.doc_id = k4.doc_id)""".stripMargin
     )
   }
 }

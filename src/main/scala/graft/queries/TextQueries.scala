@@ -369,6 +369,23 @@ object TextQueries {
        |      (a, x) -> a + x) / COUNT(*) AS avg_p
        |  FROM p GROUP BY doc_id)""".stripMargin
 
+  /** (doc_id, pg, g) bigram instance events — t9's model event table,
+    * extracted so the composed pipelines can build a corpus model once and
+    * score OTHER documents against it (p2's frozen-model gate): `g` is the
+    * bigram hash, `pg` its unigram-prefix hash, one row per bigram
+    * OCCURRENCE (counts, not distinct — the MLE numerator/denominator both
+    * count instances). Docs with <2 tokens emit nothing. */
+  private[queries] def bigramInstancesOf(documents: DataFrame): DataFrame = {
+    val V = graft.functions.VectorFunctions
+    val base = documents.select(col("doc_id"),
+      V.shingleHashesAll(col("text"), 1, HashP).as("u"),
+      V.shingleHashesAll(col("text"), 2, HashP).as("b"))
+      .where(size(col("b")) >= 1)
+    base.select(col("doc_id"), explode(
+        expr("transform(b, (x, i) -> struct(u[i] AS pg, x AS g))")).as("z"))
+      .select(col("doc_id"), col("z.pg").as("pg"), col("z.g").as("g"))
+  }
+
   /** The t9 scoring chain on any (doc_id, text) frame — parametric so the
     * composed pipeline (p1) can score its SURVIVOR corpus with the same
     * model-build the t9/t12 gates prove: the corpus's own MLE bigram LM,
@@ -376,14 +393,7 @@ object TextQueries {
     * order-deterministic fold (bit-identical in the oracle). Output:
     * (doc_id, n_bigrams, avg_p); docs with <2 tokens are out of scope. */
   private[queries] def bigramLmScoresOf(documents: DataFrame): DataFrame = {
-    val V = graft.functions.VectorFunctions
-    val base = documents.select(col("doc_id"),
-      V.shingleHashesAll(col("text"), 1, HashP).as("u"),
-      V.shingleHashesAll(col("text"), 2, HashP).as("b"))
-      .where(size(col("b")) >= 1)
-    val inst = base.select(col("doc_id"), explode(
-        expr("transform(b, (x, i) -> struct(u[i] AS pg, x AS g))")).as("z"))
-      .select(col("doc_id"), col("z.pg").as("pg"), col("z.g").as("g"))
+    val inst = bigramInstancesOf(documents)
     val cnt = inst.groupBy("g").agg(count(lit(1)).as("c"))
     val pre = inst.groupBy("pg").agg(count(lit(1)).as("c1"))
     val p = inst.join(cnt, "g").join(pre, "pg")

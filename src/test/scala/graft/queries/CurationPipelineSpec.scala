@@ -99,6 +99,90 @@ class CurationPipelineSpec extends SparkSpec {
       assert(sh === (if (kr == 31) Some(0L) else None), s"doc $id: $kr -> $sh")
   }
 
+  test("p2 planted fixture: every admission outcome exercised, frozen-LOO bar exact") {
+    import spark.implicits._
+    // plant ids by evaluating the real salted predicates (as the p1 fixture
+    // does), here over THREE independent coordinates: day-1 sample, day-2
+    // arrival, mixture
+    val pool = spark.range(1, 8000).select(col("id").as("doc_id"))
+      .withColumn("source", lit("src1"))
+      .withColumn("smp", CurationQueries.samplePred)
+      .withColumn("day2", CurationQueries.saltedHash("day2", col("doc_id")) % 100 < 10)
+      .withColumn("mix", CurationQueries.mixPred)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+    def w(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val benchText = w("bz", 8)
+    // corpus side: day-1 sampled, non-bench. tA1 must (a) pass mixture and
+    // (b) be the MIN id of the four identical TA docs — d3's keep-rule
+    // retains the min, and only the retained doc can reach s5 and anchor
+    // the batch's corpus-dup rejection — so tA2..tA4 are drawn strictly
+    // AFTER tA1 in id order
+    val corpusIds = pool.collect { case (id, true, _, m) if id % 20 != 0 => (id, m) }
+    val tAidx = corpusIds.indexWhere(_._2)
+    val tA1 = corpusIds(tAidx)._1
+    val rest = corpusIds.drop(tAidx + 1).map(_._1).take(5)
+    val Array(tA2, tA3, tA4, low1, low2) = rest
+    // bench: one pure day-1 bench doc; one bench doc that is ALSO a day-2
+    // arrival (dropped at the batch's stage 1 — bench is never training data)
+    val benchId = pool.collectFirst { case (id, false, false, _) if id % 20 == 0 => id }.get
+    val bBench = pool.collectFirst { case (id, false, true, _) if id % 20 == 0 => id }.get
+    // batch side: NOT day-1-sampled, day-2 arrivals, non-bench
+    val batchIds = pool.collect { case (id, false, true, m) if id % 20 != 0 => (id, m) }
+    val mixPass = batchIds.collect { case (id, true) => id }.sorted
+    val mixFail = batchIds.collect { case (id, false) => id }.sorted
+    assert(mixPass.length >= 3 && mixFail.length >= 4, "pool too small")
+    val Array(bP1, bP2a, bSolo) = mixPass.take(3) // bP1 < bP2a
+    val Array(bContam, bLow, bDupC, bMixF) = mixFail.take(4)
+    val tA = w("ta", 5)
+    val fixture = (Seq(
+      benchId -> benchText, bBench -> benchText,
+      // corpus model: 4 identical TA docs (LOO p = 3/3 = 1) + 2 "the qx*"
+      // docs whose only bigram is theirs alone (LOO p = 0) → frozen en
+      // bar = p30 of [0,0,1,1,1,1] = 0.5; the in-corpus bar is 0.75, so
+      // the two bars genuinely differ and the batch is cut at the right one
+      tA1 -> tA, tA2 -> tA, tA3 -> tA, tA4 -> tA,
+      low1 -> "the qx1", low2 -> "the qx2",
+      // batch: every admission outcome
+      bContam -> (benchText + " zz0"),  // shares the bench 8-gram → 0
+      bLow -> w("zq", 3),               // all bigrams OOV → avg 0 < 0.5 → 1
+      bDupC -> tA,                      // near-dup of the KEPT corpus rep → 3
+      bP1 -> "ta0 ta1 xa0", bP2a -> "ta0 ta1 xa0", // avg (1+0)/2 = 0.5 passes;
+                                        // in-batch twins: rep bP1 → 15, bP2a → 3
+      bMixF -> "the qx2",               // p 0.5 passes, mixture fails → 7
+      bSolo -> "the qx1"                // 2 tokens: no shingles, admitted → 15
+    )).map { case (id, t) => (id, "en", "src1", 100L, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val got = PipelineQueries.incrementalAdmissionOf(fixture)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    val expect = Map(
+      bBench -> 0, bContam -> 0, bLow -> 1, bDupC -> 3, bP2a -> 3,
+      bMixF -> 7, bP1 -> 15, bSolo -> 15)
+    assert(got.view.mapValues(_._1).toMap === expect.view.mapValues(identity).toMap)
+    for ((id, (kr, adm)) <- got)
+      assert(adm === (kr == PipelineQueries.AdmittedAll), s"doc $id: $kr -> $adm")
+  }
+
+  test("p2 on the corpus: batch disjoint from day-1 sample, bitmap monotone") {
+    val docs = Tables.documents(spark, sf())
+    val got = PipelineQueries.defs("p2_incremental_pipeline")(spark, sf())
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    // spine = exactly the day-2 arrivals among not-day-1-sampled docs
+    val batch = docs
+      .where(!CurationQueries.samplePred &&
+        CurationQueries.saltedHash("day2", col("doc_id")) % 100 < 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet === batch)
+    // batch never overlaps the day-1 sample (the corpus got its chance on day 1)
+    val c1 = CurationQueries.defs("c1_hash_sample")(spark, sf())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet.intersect(c1).isEmpty)
+    for ((id, (kr, adm)) <- got) {
+      for (b <- Seq(2, 4, 8) if (kr & b) != 0)
+        assert((kr & (b - 1)) === b - 1, s"doc $id bitmap $kr not monotone")
+      assert(adm === (kr == PipelineQueries.AdmittedAll), s"doc $id: $kr -> $adm")
+    }
+  }
+
   test("p1 on the corpus: bitmap monotone, stages match the standalone operators") {
     val docs = Tables.documents(spark, sf())
     val got = PipelineQueries.pipelineOf(docs)

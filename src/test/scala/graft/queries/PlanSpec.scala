@@ -76,6 +76,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("p2 incremental pipeline: checkpoint-fed verdict, keyed joins only") {
+    // same contract as p1 for the day-2 side: the batch spine and every
+    // stage set derive from checkpoints (corpus artifacts are day-1
+    // products), so the assembled verdict plan re-reads no parquet; and
+    // the admission path's joins are all keyed (band-key / doc_id / lang
+    // equi-joins) — no cartesian, no inner nested-loop
+    val df = PipelineQueries.defs("p2_incremental_pipeline")(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin Build(Left|Right), Inner".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("d12/d13 incremental dedup: every join stays keyed — no nested-loop, no cartesian") {
     // the ingest-path keys: band-key / (cid, scid) equi-joins only — a
     // degradation here is the difference between O(batch) and O(corpus²)/day
