@@ -31,9 +31,9 @@ object DedupQueries {
 
   /** Jaccard threshold for near-dup (calibrated: planted dups sit at ≥0.9,
     * the background at ≤0.2 — clean separation at sf0.01/sf0.1). */
-  private[queries] val JaccardT = 0.5
+  private[graft] val JaccardT = 0.5
 
-  private[queries] val ShingleK = 3
+  private[graft] val ShingleK = 3
 
   /** d8: non-overlapping passage length in tokens (the sub-document dedup
     * granularity; the trailing <16-token remainder is not a passage). */
@@ -74,7 +74,7 @@ object DedupQueries {
     shCache.getOrElseUpdate(s, d)(SharedBuilds.timed("shingle_sets")(
       shingleSetsOf(docs(s, d)).eagerCheckpoint()))
 
-  private[queries] def shingleSetsOf(documents: DataFrame): DataFrame =
+  private[graft] def shingleSetsOf(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"),
         graft.functions.VectorFunctions.shingleHashes(col("text"), ShingleK, HashP).as("sh"))
@@ -302,6 +302,24 @@ object DedupQueries {
             slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
             _.cast("string")), "-")).as("bkey"))
   }
+
+  /** The default-dial band keys as [[graft.text.TextFunctions.NumBands]]
+    * ROW-LOCAL columns over a staged signature column (no explode, no
+    * shuffle) — the probe shape the STREAMING admission twin needs: one
+    * arriving doc stays one row, its band keys become join columns against
+    * the persisted index. Byte-identical format to [[lshBands]]'s `bkey`
+    * (spec-pinned), so a row-shaped probe joins the same index a batch
+    * ingest appends to. NULL key when the shingle set is empty (a <K-token
+    * doc collides with nothing — every equi-join misses on NULL). Callers
+    * stage `sig` in its own projection (the [[lshBands]] recomputation
+    * hazard). */
+  private[graft] def bandKeyCols(sig: Column, sh: Column): Seq[Column] =
+    (0 until NumBands).map { b =>
+      when(size(sh) > 0,
+        concat_ws(":", lit(b),
+          array_join(transform(slice(sig, b * RowsPerBand + 1, RowsPerBand),
+            _.cast("string")), "-")))
+    }
 
   /** The full d3 pipeline on a (doc_id, sh) shingle frame, parametric in the
     * banding dial: band-bucket candidate join, exact-Jaccard verification at

@@ -676,6 +676,88 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming admission — the 16th pipeline: p2's corpus-near-dup
+    * rejection as a PER-ARRIVAL verdict stream, completely STATELESS.
+    * Each arriving doc gets one output row (doc_id, n_corpus_dups,
+    * admitted) the moment its micro-batch runs: admitted iff NO corpus doc
+    * band-collides with it AND verifies at Jaccard >= the d3 threshold —
+    * exactly [[graft.queries.DedupQueries.incrementalDedup]]'s `dupVsOld`
+    * rule (StreamingSpec pins the equality). In-batch twin settlement
+    * (cluster rep selection across a day's arrivals) inherently needs the
+    * day's whole pair graph and stays in the nightly d12/p2 batch run; the
+    * stream gives ingestion an immediate vs-CORPUS verdict.
+    *
+    * Statelessness is the design: the arrival's shingle set, minhash
+    * signature and band keys are row-local expressions; the corpus
+    * participates as a STATIC bkey → postings-array map (grouped from the
+    * same persisted (doc_id, bkey) index a batch ingest appends to —
+    * [[graft.queries.DedupQueries.bandKeyCols]] is spec-pinned
+    * byte-identical to the index's key format); and instead of
+    * explode + join + re-aggregate (a stateful streaming aggregation), the
+    * NumBands keys become NumBands stream-static LEFT JOINS — one row in,
+    * one row out — with the Jaccard verify run by codegen'd higher-order
+    * functions over the concatenated postings. Spark re-plans the static
+    * side per micro-batch (broadcast while the index fits; corpus growth
+    * is picked up between batches with no restart).
+    *
+    * 100 TB notes: state is ZERO; per-batch work is O(arrivals × bands)
+    * join probes + O(colliding postings) verifies. The bkey map rides the
+    * same df-bound as the batch index (a pathological band bucket is a
+    * data-quality signal there too). At index sizes past broadcast range
+    * the joins degrade to per-batch shuffles — still stateless; bucket the
+    * index by bkey to keep them co-located. */
+  def admissionStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val D = graft.queries.DedupQueries
+    val T = graft.text.TextFunctions
+    // static side: bkey -> all corpus postings (doc + shingle set) in it
+    val postings = D.lshBandIndex(corpus)
+      .join(D.shingleSetsOf(corpus), "doc_id")
+      .groupBy("bkey")
+      .agg(collect_list(struct(col("doc_id").as("cid"), col("sh").as("csh"))).as("posts"))
+    // stream side: row-local shingles, signature, band keys (NULL when the
+    // doc has <K tokens — a NULL key misses every equi-join)
+    val sh = docs.select(col("doc_id"),
+        graft.functions.VectorFunctions
+          .shingleHashes(col("text"), D.ShingleK, T.HashP).as("sh"))
+      .select(col("doc_id"), col("sh"), T.minhashSignature(col("sh")).as("sig"))
+    val keyed = D.bandKeyCols(col("sig"), col("sh")).zipWithIndex
+      .foldLeft(sh) { case (df, (k, i)) => df.withColumn(s"bk$i", k) }
+    val joined = (0 until T.NumBands).foldLeft(keyed) { (df, i) =>
+      df.join(postings.select(col("bkey").as(s"bk$i"), col("posts").as(s"posts$i")),
+        Seq(s"bk$i"), "left")
+    }
+    // array_compact drops the bands that matched nothing (left-join NULLs)
+    // without needing a typed empty-array literal
+    val allPosts = flatten(array_compact(
+      array((0 until T.NumBands).map(i => col(s"posts$i")): _*)))
+    // distinct corpus matches: a pair colliding in several bands must count
+    // once — dedup by cid INSIDE the row (array ops, still stateless)
+    val matches = expr(
+      s"""array_distinct(transform(filter(all_posts, o ->
+         |  size(array_intersect(sh, o.csh)) / CAST(size(sh) + size(o.csh)
+         |    - size(array_intersect(sh, o.csh)) AS DOUBLE) >= ${D.JaccardT}),
+         |  o -> o.cid))""".stripMargin)
+    joined.withColumn("all_posts", allPosts)
+      .select(col("doc_id"),
+        size(matches).cast("int").as("n_corpus_dups"))
+      .withColumn("admitted", col("n_corpus_dups") === 0)
+  }
+
+  /** Run the streaming admission end-to-end (AvailableNow, memory sink):
+    * `corpus` static, the documents table replayed as the arrival stream. */
+  def runAdmissionOnce(spark: SparkSession, dir: String, corpus: DataFrame,
+                       queryName: String = "admission"): DataFrame = {
+    val q = admissionStream(documentStream(spark, dir), corpus)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Run sessionization end-to-end (AvailableNow, memory sink); returns the
     * CLOSED sessions emitted by the stream (open sessions remain in state —
     * the streaming contract). */

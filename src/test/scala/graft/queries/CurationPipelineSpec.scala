@@ -183,6 +183,18 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("memoized day-1 stages: the cached defs equal the uncached builds exactly") {
+    // p1/p2 share one CorpusStages per (session, dir) — the cached path
+    // must be indistinguishable from a fresh build of either pipeline
+    val docs = Tables.documents(spark, sf())
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(PipelineQueries.defs("p1_pipeline")(spark, sf()).collect()) ===
+      canon(PipelineQueries.pipelineOf(docs).collect()))
+    assert(canon(PipelineQueries.defs("p2_incremental_pipeline")(spark, sf()).collect()) ===
+      canon(PipelineQueries.incrementalAdmissionOf(docs).collect()))
+  }
+
   test("p1 on the corpus: bitmap monotone, stages match the standalone operators") {
     val docs = Tables.documents(spark, sf())
     val got = PipelineQueries.pipelineOf(docs)

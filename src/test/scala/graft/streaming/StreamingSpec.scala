@@ -176,6 +176,61 @@ class StreamingSpec extends SparkSpec {
     assert(sorted(streamed.collect()) === sorted(batch.collect()))
   }
 
+  test("band-key columns are byte-identical to the persisted index's bkey format") {
+    // the streaming admission probe joins the SAME index a batch ingest
+    // appends to — the row-local bandKeyCols and lshBandIndex's exploded
+    // bkey must never drift apart
+    val D = graft.queries.DedupQueries
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val viaIndex = D.lshBandIndex(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val sh = D.shingleSetsOf(docs)
+      .select(col("doc_id"), col("sh"),
+        graft.text.TextFunctions.minhashSignature(col("sh")).as("sig"))
+    val viaCols = sh.select(col("doc_id"),
+        explode(array(D.bandKeyCols(col("sig"), col("sh")): _*)).as("bkey"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaCols === viaIndex)
+  }
+
+  test("streaming admission == the batch corpus-dup rule, verdicts per arrival") {
+    // corpus = even doc_ids (static), arrivals = the full documents stream;
+    // expected rejections = exactly incrementalDedup's dupVsOld rule: a
+    // band collision with the corpus that VERIFIES at Jaccard >= T. Corpus
+    // members streaming past their own index entry are exact self-dups
+    // (Jaccard 1) — the stream must reject them, which doubles as the
+    // self-collision case
+    val D = graft.queries.DedupQueries
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val streamed = Streams.runAdmissionOnce(spark, sf(), corpus, "admission_spec")
+    assert(streamed.count() === docs.count()) // one verdict per arrival
+    val got = streamed.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    // batch oracle: band-collision candidates, exact-Jaccard verify
+    val nb = D.lshBandIndex(docs)
+    val ob = D.lshBandIndex(corpus)
+    val sh = D.shingleSetsOf(docs)
+    val expected = nb.as("n").join(ob.as("o"), col("n.bkey") === col("o.bkey"))
+      .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("cid")).distinct()
+      .join(sh.select(col("doc_id"), col("sh").as("sn")), "doc_id")
+      .join(sh.select(col("doc_id").as("cid"), col("sh").as("so")), "cid")
+      .where(size(array_intersect(col("sn"), col("so"))).cast("double") /
+        (size(col("sn")) + size(col("so")) - size(array_intersect(col("sn"), col("so"))))
+        >= D.JaccardT)
+      .groupBy("doc_id").agg(countDistinct("cid").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, (n, adm)) <- got) {
+      assert(n.toLong === expected.getOrElse(id, 0L), s"doc $id")
+      assert(adm === (n == 0), s"doc $id")
+    }
+    // every corpus member is its own exact dup — all rejected
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0))
+    assert(corpusIds.forall(id => !got(id)._2))
+    // and real attrition both ways on the corpus data
+    assert(got.values.count(_._2) > 0)
+  }
+
   test("streaming vector ingest equals the batch IVF cell assignment exactly") {
     // map-side literal argmax on the stream == broadcast-join argmax in batch
     // (same (cos, -cid) composite, bit-identical cosines)
