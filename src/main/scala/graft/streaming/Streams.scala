@@ -709,11 +709,16 @@ object Streams {
   def admissionStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
     val D = graft.queries.DedupQueries
     val T = graft.text.TextFunctions
-    // static side: bkey -> all corpus postings (doc + shingle set) in it
-    val postings = D.lshBandIndex(corpus)
+    // static side: bkey -> all corpus postings (doc + shingle set) in it.
+    // Materialized ONCE (checkpoint): Spark re-plans the static side of a
+    // stream-static join per micro-batch, and an unmaterialized map would
+    // re-shingle and re-minhash the whole corpus on every trigger (measured
+    // 16x re-derivation in the sf0.1 rehearsal). In production this frame
+    // IS the persisted index join — already on disk, read not recomputed.
+    val postings = graft.Checkpoints.eager(D.lshBandIndex(corpus)
       .join(D.shingleSetsOf(corpus), "doc_id")
       .groupBy("bkey")
-      .agg(collect_list(struct(col("doc_id").as("cid"), col("sh").as("csh"))).as("posts"))
+      .agg(collect_list(struct(col("doc_id").as("cid"), col("sh").as("csh"))).as("posts")))
     // stream side: row-local shingles, signature, band keys (NULL when the
     // doc has <K tokens — a NULL key misses every equi-join)
     val sh = docs.select(col("doc_id"),

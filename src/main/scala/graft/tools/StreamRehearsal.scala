@@ -99,6 +99,25 @@ object StreamRehearsal {
     run("sessionize", Streams.sessionize(src))
     run("funnel", Streams.funnelStream(src), OutputMode.Update()) // mapGroupsWithState re-emits per trigger
     run("rate_anomaly", Streams.rateAnomalyStream(src))
+
+    // ---- the admission pipeline: documents replay, corpus static --------
+    // Evidences the ZERO-state claim at volume: 16 doc chunks stream past
+    // the even-doc_id corpus's band index; the progress log must show NO
+    // state operator at any trigger (state_rows_max 0, state_bytes 0).
+    val docsFeed = s"$work/docs_feed"
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val docChunks = math.max(2, chunks * 4 / 5)
+    val dBucketed = docs.withColumn("chunk",
+      ntile(docChunks).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id"))))
+    for (c <- 1 to docChunks)
+      dBucketed.where(col("chunk") === c).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(docsFeed)
+    val dSchema = spark.read.parquet(docsFeed).schema
+    val dSrc = spark.readStream.schema(dSchema)
+      .option("maxFilesPerTrigger", "1").parquet(docsFeed)
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    run("admission", Streams.admissionStream(dSrc, corpus))
     spark.stop()
   }
 }
