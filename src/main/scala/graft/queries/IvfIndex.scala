@@ -97,11 +97,18 @@ object IvfIndex {
     * rows. An index built before stats existed reads as empty (stats begin
     * accruing at its next append); that is the ONLY swallowed case — a
     * corrupted or unreadable stats file propagates (ADVICE r11: silently
-    * disabling the drift trigger is the opposite of fail-loudly). */
-  private def readStats(s: SparkSession, indexDir: String): Map[Long, Long] =
-    try s.read.parquet(s"$indexDir/stats.parquet")
+    * disabling the drift trigger is the opposite of fail-loudly). The
+    * missing-path case is an explicit FileSystem.exists probe, not a caught
+    * AnalysisException: the exception path made Spark log a full
+    * PATH_NOT_FOUND stack trace on every first append, which reads as a
+    * failure in operator logs (flagged by two rounds of review). */
+  private def readStats(s: SparkSession, indexDir: String): Map[Long, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/stats.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else s.read.parquet(p.toString)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    catch { case _: org.apache.spark.sql.AnalysisException => Map.empty }
+  }
 
   /** DRIFT TRIGGER (VERDICT r10 #2): months of [[append]]s against frozen
     * centroids skew cell populations — hot cells degrade s7 recall (probed
