@@ -130,8 +130,8 @@ class CurationPipelineSpec extends SparkSpec {
     val batchIds = pool.collect { case (id, false, true, m) if id % 20 != 0 => (id, m) }
     val mixPass = batchIds.collect { case (id, true) => id }.sorted
     val mixFail = batchIds.collect { case (id, false) => id }.sorted
-    assert(mixPass.length >= 3 && mixFail.length >= 4, "pool too small")
-    val Array(bP1, bP2a, bSolo) = mixPass.take(3) // bP1 < bP2a
+    assert(mixPass.length >= 4 && mixFail.length >= 4, "pool too small")
+    val Array(bP1, bP2a, bSolo, bLang) = mixPass.take(4) // bP1 < bP2a
     val Array(bContam, bLow, bDupC, bMixF) = mixFail.take(4)
     val tA = w("ta", 5)
     val fixture = (Seq(
@@ -149,14 +149,20 @@ class CurationPipelineSpec extends SparkSpec {
       bP1 -> "ta0 ta1 xa0", bP2a -> "ta0 ta1 xa0", // avg (1+0)/2 = 0.5 passes;
                                         // in-batch twins: rep bP1 → 15, bP2a → 3
       bMixF -> "the qx2",               // p 0.5 passes, mixture fails → 7
-      bSolo -> "the qx1"                // 2 tokens: no shingles, admitted → 15
-    )).map { case (id, t) => (id, "en", "src1", 100L, t) }
-      .toDF("doc_id", "lang", "source", "n_chars", "text")
+      bSolo -> "the qx1",               // 2 tokens: no shingles, admitted → 15
+      bLang -> tA                       // lang 'xx': no day-1 threshold → 1
+                                        // even though its text would score 1.0
+                                        // (no model, no admission — the gate
+                                        // cut it BEFORE dedup could see the
+                                        // corpus dup)
+    )).map { case (id, t) =>
+      (id, if (id == bLang) "xx" else "en", "src1", 100L, t)
+    }.toDF("doc_id", "lang", "source", "n_chars", "text")
     val got = PipelineQueries.incrementalAdmissionOf(fixture)
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
     val expect = Map(
       bBench -> 0, bContam -> 0, bLow -> 1, bDupC -> 3, bP2a -> 3,
-      bMixF -> 7, bP1 -> 15, bSolo -> 15)
+      bMixF -> 7, bP1 -> 15, bSolo -> 15, bLang -> 1)
     assert(got.view.mapValues(_._1).toMap === expect.view.mapValues(identity).toMap)
     for ((id, (kr, adm)) <- got)
       assert(adm === (kr == PipelineQueries.AdmittedAll), s"doc $id: $kr -> $adm")
