@@ -55,7 +55,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // filtered runs write a FILTERED oracle map: manifest and oracle must
+    // describe the same key set, or compare.py's truncation guard would
+    // refuse a perfectly healthy filtered dump as "artifacts disagree"
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // manifest.json: per-key status + totals, written LAST so its presence

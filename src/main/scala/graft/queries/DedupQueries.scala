@@ -238,10 +238,20 @@ object DedupQueries {
     * maximally extended by exact bidirectional token comparison against
     * the two docs' token arrays (the candidate set is tiny, so carrying
     * the arrays through the join is cheap). Every emitted span is exact
-    * and maximal — identical to the corresponding [[substringDedupOf]]
-    * row; the tradeoff is bounded recall (see [[AnchorStride]]), the
-    * standard winnowing-style dial. Spec-pinned equal to the exact
-    * variant on the planted fixtures and on sf0.001. */
+    * and maximal; the tradeoff is bounded recall (see [[AnchorStride]]),
+    * the standard winnowing-style dial. Spec-pinned equal to the exact
+    * variant on the planted fixtures and on sf0.001.
+    *
+    * The [[MaxGramDf]] posting cap applies here too — without it the
+    * scale twin would carry exactly the hot-boilerplate cap² blow-up the
+    * exact variant guards against. Anchor-ness is a property of the GRAM
+    * (all postings of a gram share its hash), so a gram's df among
+    * anchors equals its full df and the cap binds identically. Caveat
+    * when the cap is ACTIVE: the exact variant SPLITS a span at a capped
+    * gram, while this variant's token-compare extension runs THROUGH it —
+    * the sampled span can then be the unsplit maximal one (a superset
+    * interval of the exact variant's two halves). At test SFs the cap is
+    * inert and the row-subset property is exact. */
   private[queries] def substringDedupSampledOf(documents: DataFrame,
                                                stride: Int = AnchorStride): DataFrame = {
     val K = SpanLen
@@ -250,6 +260,8 @@ object DedupQueries {
       .where(size(col("ws")) >= K)
     val anchors = allGramPostings(documents, K)
       .where(pmod(col("h"), lit(stride)) === 0)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("df") <= MaxGramDf).drop("df")
     val cand = anchors.as("a").join(anchors.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

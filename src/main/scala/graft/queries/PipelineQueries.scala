@@ -82,24 +82,32 @@ object PipelineQueries {
     .empty[(String, String), (java.lang.ref.WeakReference[SparkSession], CorpusStages)]
 
   private def stagesFor(s: SparkSession, d: String): CorpusStages = {
-    stagesCache.filterInPlace { case (_, (ref, _)) =>
-      Option(ref.get()).exists(ss => !ss.sparkContext.isStopped)
+    stagesCache.filterInPlace { case (_, (ref, st)) =>
+      val alive = Option(ref.get()).exists(ss => !ss.sparkContext.isStopped)
+      if (!alive) st.free() // dead session: drop its checkpoint blocks too
+      alive
     }
     stagesCache.getOrElseUpdate((SessionCache.idOf(s), d), {
-      val st = new CorpusStages(docs(s, d))
-      // force the whole day-1 chain inside the build attribution (each lazy
-      // val materializes via eagerCheckpoint as it is touched): the bench
-      // then reports p1/p2 NET of the shared corpus build
-      SharedBuilds.timed("pipeline_day1") {
-        val _ = (st.bloom, st.s5, st.thFrozen)
+      // construction AND the whole day-1 chain run inside the build
+      // attribution (the constructor already checkpoints the corpus scan;
+      // each lazy val materializes as it is touched): the bench then
+      // reports p1/p2 NET of the shared corpus build
+      val st = SharedBuilds.timed("pipeline_day1") {
+        val built = new CorpusStages(docs(s, d))
+        val _ = (built.bloom, built.s5, built.thFrozen)
+        built
       }
       (new java.lang.ref.WeakReference(s), st)
     })._2
   }
 
-  /** Evict one session's memoized day-1 stages (bench per-pass hygiene). */
+  /** Evict one session's memoized day-1 stages, unpersisting their
+    * checkpoints (bench per-pass hygiene — without the free(), each pass
+    * would stack another full set of stage blocks until GC). */
   def clearCaches(s: SparkSession): Unit =
-    stagesCache.keys.filter(_._1 == SessionCache.idOf(s)).foreach(stagesCache.remove)
+    stagesCache.keys.filter(_._1 == SessionCache.idOf(s)).foreach { k =>
+      stagesCache.remove(k).foreach(_._2.free())
+    }
 
   /** The day-1 corpus-build stage frames, shared by the p1 verdict assembly
     * and the p2 batch pipeline (which needs the DAY-1 bench gram set, the
@@ -109,40 +117,61 @@ object PipelineQueries {
   private[queries] final class CorpusStages(documents0: DataFrame) {
     private val B = graft.functions.BloomFunctions
 
-    val documents: DataFrame = documents0
+    // every checkpoint this instance materializes, so cache eviction can
+    // unpersist the blocks instead of leaking them until GC (the
+    // SessionCache handle.free() discipline, ADVICE r03)
+    private val owned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    private def own(df: DataFrame): DataFrame = owned.synchronized { owned += df; df }
+    /** Unpersist every checkpoint this instance forced (best-effort). */
+    def free(): Unit = owned.synchronized {
+      owned.foreach(graft.ccf.CCF.freeCheckpoint); owned.clear()
+    }
+
+    val documents: DataFrame = own(documents0
       .select("doc_id", "lang", "source", "n_chars", "text")
-      .eagerCheckpoint() // the ONE corpus materialization the chain reads
+      .eagerCheckpoint()) // the ONE corpus materialization the chain reads
 
     private[queries] def g8(df: DataFrame): DataFrame = df.select(col("doc_id"),
       explode(graft.functions.VectorFunctions.shingleHashes(col("text"), 8, HashP)).as("g"))
 
     // stage 1 — c1: deterministic 10% hash sample (pure row-local filter)
-    lazy val s1: DataFrame = documents.where(CurationQueries.samplePred).eagerCheckpoint()
+    lazy val s1: DataFrame = own(documents.where(CurationQueries.samplePred).eagerCheckpoint())
 
     // stage 2 — c7: benchmark decontamination. The bench slice (held-out
     // suite stand-in, doc_id % 20 == 0) comes from the FULL corpus — the
     // benchmark is external to the sample — and bench members themselves
     // are never training data. Bloom prune map-side, exact verify join.
-    lazy val bench: DataFrame = g8(documents.where(col("doc_id") % 20 === 0)).select("g").distinct()
+    // bench is checkpointed: four consumers (count, bloom build, the s2
+    // verify join, p2's bhit join) would otherwise each re-run the
+    // full-corpus 8-gram explode + distinct.
+    lazy val bench: DataFrame = own(
+      g8(documents.where(col("doc_id") % 20 === 0)).select("g").distinct().eagerCheckpoint())
     lazy val bloom: Array[Byte] =
       B.buildLongBloom(bench, "g", bench.count(), fpp = 1e-3)
     lazy val s2: DataFrame = {
       val hit = g8(s1.where(col("doc_id") % 20 =!= 0))
         .where(B.mightContain(bloom, col("g")))
         .join(bench, "g").select("doc_id").distinct()
-      s1.where(col("doc_id") % 20 =!= 0)
+      own(s1.where(col("doc_id") % 20 =!= 0)
         .join(hit, Seq("doc_id"), "left_anti")
-        .eagerCheckpoint() // feeds the LM build twice + the lang join
+        .eagerCheckpoint()) // feeds the LM build twice + the lang join
     }
+
+    /** The corpus bigram instance table, extracted ONCE: five consumers
+      * (th's scorer, s3's scorer, thFrozen's LOO tables, p2's cnt/pre)
+      * would otherwise each re-run the full-corpus tokenize + explode. */
+    lazy val corpusInst: DataFrame =
+      own(TextQueries.bigramInstancesOf(s2).eagerCheckpoint())
 
     // stage 3 — t12: LM-quality gate, model TRAINED ON THE SURVIVORS (the
     // published recipe scores against the corpus being curated, not some
-    // fixed external corpus), per-lang 30th-percentile cut.
-    lazy val th: DataFrame = {
-      val scored = TextQueries.bigramLmScoresOf(s2)
-      val sl = scored.join(s2.select("doc_id", "lang"), "doc_id")
+    // fixed external corpus), per-lang 30th-percentile cut. `sl` is shared
+    // by th and s3 (tiny: one row per scored doc).
+    private lazy val sl: DataFrame = own(
+      TextQueries.bigramLmScoresFromInstances(corpusInst)
+        .join(s2.select("doc_id", "lang"), "doc_id").eagerCheckpoint())
+    lazy val th: DataFrame =
       sl.groupBy("lang").agg(expr("percentile(avg_p, 0.3)").as("p30"))
-    }
 
     /** p2's FROZEN admission bar: per-lang p30 of LEAVE-ONE-OUT corpus
       * scores — each corpus doc scored against the model MINUS its own
@@ -156,7 +185,7 @@ object PipelineQueries {
       * and is a day-1 artifact: O(corpus-instances) joins keyed by
       * g/pg/doc, computed once, never per batch. */
     lazy val thFrozen: DataFrame = {
-      val inst = TextQueries.bigramInstancesOf(s2).eagerCheckpoint() // feeds 5 branches
+      val inst = corpusInst // one shared extraction, already checkpointed
       val cnt = inst.groupBy("g").agg(count(lit(1)).as("c"))
       val pre = inst.groupBy("pg").agg(count(lit(1)).as("c1"))
       val owng = inst.groupBy("doc_id", "g").agg(count(lit(1)).as("og"))
@@ -171,29 +200,30 @@ object PipelineQueries {
         (graft.functions.VectorFunctions.sortedTermSum(
           collect_list(struct(col("g").as("g"), col("p").as("t"))))
           / count(lit(1))).as("avg_p"))
-      scoreLoo.join(s2.select("doc_id", "lang"), "doc_id")
+      own(scoreLoo.join(s2.select("doc_id", "lang"), "doc_id")
         .groupBy("lang").agg(expr("percentile(avg_p, 0.3)").as("p30"))
-        .eagerCheckpoint() // tiny (one row per lang); fixes the LOO cost here
+        .eagerCheckpoint()) // tiny (one row per lang); fixes the LOO cost here
     }
     lazy val s3: DataFrame = {
-      val scored = TextQueries.bigramLmScoresOf(s2)
-      val sl = scored.join(s2.select("doc_id", "lang"), "doc_id")
       val passQ = sl.join(broadcast(th), "lang")
         .where(col("avg_p") >= col("p30")).select("doc_id")
-      s2.join(passQ, Seq("doc_id")).eagerCheckpoint() // feeds shingles + 3 verdict joins
+      own(s2.join(passQ, Seq("doc_id")).eagerCheckpoint()) // feeds shingles + 3 verdict joins
     }
 
     // stage 4 — d3: near-dup admission among quality survivors. Banding
     // proposes, exact Jaccard verifies; the pair's min doc_id is kept
     // (d10's per-pair keep-rule family — admission, not clustering).
-    lazy val s4: DataFrame = {
+    // Checkpointed: the LSH reject pass over s3 is the chain's most
+    // expensive stage, and s4 otherwise re-executes it for s5 AND the
+    // verdict's flag join.
+    lazy val s4: DataFrame = own {
       val rejected = DedupQueries.minhashLshOf(DedupQueries.shingleSetsOf(s3))
         .select(col("doc_b").as("doc_id")).distinct()
-      s3.join(rejected, Seq("doc_id"), "left_anti")
+      s3.join(rejected, Seq("doc_id"), "left_anti").eagerCheckpoint()
     }
 
     // stage 5 — c3: mixture keep-rates by source (row-local filter)
-    lazy val s5: DataFrame = s4.where(CurationQueries.mixPred).eagerCheckpoint() // feeds pack + verdict
+    lazy val s5: DataFrame = own(s4.where(CurationQueries.mixPred).eagerCheckpoint()) // feeds pack + verdict
   }
 
   /** The composed pipeline on any (doc_id, lang, source, n_chars, text)
@@ -284,7 +314,7 @@ object PipelineQueries {
 
     // stage 2 — frozen quality gate: day-1 model, day-1 thresholds
     val binst = TextQueries.bigramInstancesOf(b1).eagerCheckpoint() // feeds 2 semi-joins + the prob join
-    val corpusInst = TextQueries.bigramInstancesOf(st.s2)
+    val corpusInst = st.corpusInst // shared day-1 extraction, checkpointed
     val cnt = corpusInst.join(binst.select("g").distinct(), Seq("g"), "left_semi")
       .groupBy("g").agg(count(lit(1)).as("c"))
     val pre = corpusInst.join(binst.select("pg").distinct(), Seq("pg"), "left_semi")

@@ -392,8 +392,15 @@ object TextQueries {
     * each doc's mean conditional probability through the
     * order-deterministic fold (bit-identical in the oracle). Output:
     * (doc_id, n_bigrams, avg_p); docs with <2 tokens are out of scope. */
-  private[queries] def bigramLmScoresOf(documents: DataFrame): DataFrame = {
-    val inst = bigramInstancesOf(documents)
+  private[queries] def bigramLmScoresOf(documents: DataFrame): DataFrame =
+    bigramLmScoresFromInstances(bigramInstancesOf(documents))
+
+  /** The scoring chain from an ALREADY-EXTRACTED instance table — so a
+    * caller that needs the instances for other model tables too (the
+    * composed pipelines: thresholds, LOO calibration, p2's cnt/pre) can
+    * checkpoint ONE extraction instead of re-exploding the corpus per
+    * consumer. */
+  private[queries] def bigramLmScoresFromInstances(inst: DataFrame): DataFrame = {
     val cnt = inst.groupBy("g").agg(count(lit(1)).as("c"))
     val pre = inst.groupBy("pg").agg(count(lit(1)).as("c1"))
     val p = inst.join(cnt, "g").join(pre, "pg")

@@ -696,9 +696,18 @@ object Streams {
     * explode + join + re-aggregate (a stateful streaming aggregation), the
     * NumBands keys become NumBands stream-static LEFT JOINS — one row in,
     * one row out — with the Jaccard verify run by codegen'd higher-order
-    * functions over the concatenated postings. Spark re-plans the static
-    * side per micro-batch (broadcast while the index fits; corpus growth
-    * is picked up between batches with no restart).
+    * functions over the concatenated postings.
+    *
+    * Corpus freshness is the caller's dial, made explicit by the two
+    * entry points. THIS overload derives the map from a docs frame and
+    * materializes it ONCE (checkpoint) — the verdicts are frozen against
+    * the corpus as of stream start (an unmaterialized derived map would
+    * re-shingle the whole corpus EVERY trigger: measured 16× re-derivation
+    * in the sf0.1 rehearsal). To pick up batch-ingest appends without a
+    * restart, use [[admissionStreamAgainst]] with a postings frame over
+    * the PERSISTED index files: Spark re-plans the static side per
+    * micro-batch, so newly appended index rows show up at the next
+    * trigger, at the cost of re-reading (not re-deriving) the map.
     *
     * 100 TB notes: state is ZERO; per-batch work is O(arrivals × bands)
     * join probes + O(colliding postings) verifies. The bkey map rides the
@@ -706,19 +715,27 @@ object Streams {
     * data-quality signal there too). At index sizes past broadcast range
     * the joins degrade to per-batch shuffles — still stateless; bucket the
     * index by bkey to keep them co-located. */
-  def admissionStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+  def admissionStream(docs: DataFrame, corpus: DataFrame): DataFrame =
+    admissionStreamAgainst(docs, graft.Checkpoints.eager(admissionPostings(corpus)))
+
+  /** The bkey → postings-array map [[admissionStream]] probes, derived
+    * from a corpus docs frame. Production materializes this next to the
+    * persisted band index (one parquet write per corpus version) and
+    * passes the READ-BACK frame to [[admissionStreamAgainst]]. */
+  def admissionPostings(corpus: DataFrame): DataFrame = {
     val D = graft.queries.DedupQueries
-    val T = graft.text.TextFunctions
-    // static side: bkey -> all corpus postings (doc + shingle set) in it.
-    // Materialized ONCE (checkpoint): Spark re-plans the static side of a
-    // stream-static join per micro-batch, and an unmaterialized map would
-    // re-shingle and re-minhash the whole corpus on every trigger (measured
-    // 16x re-derivation in the sf0.1 rehearsal). In production this frame
-    // IS the persisted index join — already on disk, read not recomputed.
-    val postings = graft.Checkpoints.eager(D.lshBandIndex(corpus)
+    D.lshBandIndex(corpus)
       .join(D.shingleSetsOf(corpus), "doc_id")
       .groupBy("bkey")
-      .agg(collect_list(struct(col("doc_id").as("cid"), col("sh").as("csh"))).as("posts")))
+      .agg(collect_list(struct(col("doc_id").as("cid"), col("sh").as("csh"))).as("posts"))
+  }
+
+  /** [[admissionStream]] against a caller-supplied postings map — pass a
+    * frame backed by persisted files to have per-micro-batch re-planning
+    * pick up corpus appends without a stream restart. */
+  def admissionStreamAgainst(docs: DataFrame, postings: DataFrame): DataFrame = {
+    val D = graft.queries.DedupQueries
+    val T = graft.text.TextFunctions
     // stream side: row-local shingles, signature, band keys (NULL when the
     // doc has <K tokens — a NULL key misses every equi-join)
     val sh = docs.select(col("doc_id"),

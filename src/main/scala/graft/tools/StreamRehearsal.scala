@@ -36,6 +36,23 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
  */
 object StreamRehearsal {
 
+  /** Stage one replay chunk as `chunk-%05d.parquet`: parquet part names
+    * embed random UUIDs and filesystem mtime granularity can tie across
+    * consecutive writes, so the file source's (mtime, path) order would be
+    * random within a tie — explicit increasing names make the replay order
+    * deterministic regardless of timestamp resolution. */
+  private def writeChunk(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+                         feed: String, c: Int): Unit = {
+    val tmp = s"$feed.staging"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val d = new java.io.File(tmp)
+    val part = d.listFiles().find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written for chunk $c"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(feed, f"chunk-$c%05d.parquet"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val chunks = if (args.length > 1) args(1).toInt else 20
@@ -60,9 +77,8 @@ object StreamRehearsal {
     val bucketed = ev.withColumn("chunk",
       ntile(chunks).over(org.apache.spark.sql.expressions.Window
         .orderBy(col("ts"), col("event_id"))))
-    for (c <- 1 to chunks) // sequential writes: mod-times increase with time
-      bucketed.where(col("chunk") === c).drop("chunk")
-        .coalesce(1).write.mode("append").parquet(feed)
+    for (c <- 1 to chunks) writeChunk(spark,
+      bucketed.where(col("chunk") === c).drop("chunk"), feed, c)
     val schema = spark.read.parquet(feed).schema
 
     def src: Dataset[Streams.Event] = spark.readStream
@@ -110,9 +126,8 @@ object StreamRehearsal {
     val dBucketed = docs.withColumn("chunk",
       ntile(docChunks).over(org.apache.spark.sql.expressions.Window
         .orderBy(col("doc_id"))))
-    for (c <- 1 to docChunks)
-      dBucketed.where(col("chunk") === c).drop("chunk")
-        .coalesce(1).write.mode("append").parquet(docsFeed)
+    for (c <- 1 to docChunks) writeChunk(spark,
+      dBucketed.where(col("chunk") === c).drop("chunk"), docsFeed, c)
     val dSchema = spark.read.parquet(docsFeed).schema
     val dSrc = spark.readStream.schema(dSchema)
       .option("maxFilesPerTrigger", "1").parquet(docsFeed)
