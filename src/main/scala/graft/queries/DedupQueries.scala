@@ -86,8 +86,19 @@ object DedupQueries {
     * Session lifecycle handled by [[SessionCache]]. */
   private val pairsCache = new SessionCache[String]
 
+  /** Memoized d14 span report per (session, dir): d14 gates it, d15 cuts
+    * it — the spans self-join is the expensive half of both keys (the same
+    * engine-level reuse as pairsCache). */
+  private val spansCache = new SessionCache[String]
+
+  private[queries] def substringSpans(s: SparkSession, d: String): DataFrame =
+    spansCache.getOrElseUpdate(s, d)(SharedBuilds.timed("substring_spans")(
+      substringDedupOf(docs(s, d)).eagerCheckpoint()))
+
   /** Evict this session's memoized checkpoints (long-lived services). */
-  def clearCaches(s: SparkSession): Unit = { pairsCache.clear(s); shCache.clear(s) }
+  def clearCaches(s: SparkSession): Unit = {
+    pairsCache.clear(s); shCache.clear(s); spansCache.clear(s)
+  }
 
   private[queries] def cachedEntryCount: Int = pairsCache.size
 
@@ -196,10 +207,7 @@ object DedupQueries {
     * are ~1e-4-rare and identical in both engines — the d2 convention. */
   private[queries] def substringDedupOf(documents: DataFrame): DataFrame = {
     val K = SpanLen
-    val grams = allGramPostings(documents, K)
-    val capped = grams
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .where(col("df") <= MaxGramDf).drop("df")
+    val capped = cappedGramPostings(documents, K)
     val m = capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -212,6 +220,38 @@ object DedupQueries {
         min("b_pos").cast("long").as("b_pos"),
         (count(lit(1)) + (K - 1)).as("span_len"))
       .select("doc_a", "doc_b", "a_pos", "b_pos", "span_len")
+  }
+
+  /** All-position gram postings with the [[MaxGramDf]] cap applied via
+    * aggregate-then-semi-join — d2's df-cap idiom, NOT a Window over the
+    * postings. `groupBy("h").count()` partially aggregates map-side, so a
+    * pathological boilerplate gram (millions of postings — exactly what the
+    * cap exists for) collapses to one row per map partition before the
+    * shuffle; a `count().over(Window.partitionBy("h"))` would instead ship
+    * and buffer the hot gram's ENTIRE posting list in one task before the
+    * filter could drop it, making the guard itself the straggler. The
+    * semi-join re-keys postings by h — the same partitioning the candidate
+    * self-join needs next, so the exchange is reused, not added. */
+  private[queries] def cappedGramPostings(documents: DataFrame, K: Int,
+                                          maxDf: Int = MaxGramDf): DataFrame = {
+    val grams = allGramPostings(documents, K)
+    val rare = grams.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("h")
+    grams.join(rare, Seq("h"), "left_semi")
+  }
+
+  /** Same cap, same idiom, over the mod-sampled anchor postings of the
+    * 100 TB twin. Anchor-ness is a property of the gram (all postings of a
+    * gram share its hash), so a gram's df among anchors equals its full df
+    * and the cap binds identically to the exact variant's. */
+  private[queries] def cappedAnchorPostings(documents: DataFrame, K: Int,
+                                            stride: Int,
+                                            maxDf: Int = MaxGramDf): DataFrame = {
+    val anchors = allGramPostings(documents, K)
+      .where(pmod(col("h"), lit(stride)) === 0)
+    val rare = anchors.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("h")
+    anchors.join(rare, Seq("h"), "left_semi")
   }
 
   /** (doc_id, pos, h): the K-gram posting at every 0-based token offset. */
@@ -258,10 +298,7 @@ object DedupQueries {
     val toksDf = documents
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .where(size(col("ws")) >= K)
-    val anchors = allGramPostings(documents, K)
-      .where(pmod(col("h"), lit(stride)) === 0)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .where(col("df") <= MaxGramDf).drop("df")
+    val anchors = cappedAnchorPostings(documents, K, stride)
     val cand = anchors.as("a").join(anchors.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -286,6 +323,50 @@ object DedupQueries {
         (col("ext_l") + col("ext_r") + K).as("span_len"))
       .distinct()
   }
+
+  /** d15: the CONSUMABLE artifact of substring dedup — the corpus rewritten
+    * with later-occurrence duplicated spans CUT (Lee et al. end the pass by
+    * removing all but one occurrence of each duplicated substring; d14's
+    * span report is the intermediate, this is the deliverable a curation
+    * run feeds to training). Keep-first policy: for every d14 span
+    * (doc_a < doc_b) the doc_b copy is cut — the minimum-id occurrence
+    * survives, the d3/d10 keep-rule family. A doc may owe cuts to many
+    * partners and the intervals may overlap; no merge pass is needed —
+    * token pos is cut iff ANY owed interval covers it, an `exists` over the
+    * doc's interval array, row-local after one doc_id-keyed groupBy of the
+    * spans (O(spans) rows — the tiny end of the pipeline). Within-doc
+    * self-repetition is out of scope (d14 emits cross-doc pairs only).
+    *
+    * Output: one row per input doc — (doc_id, n_tokens, n_cut, text) with
+    * the rewritten token stream (original docs with no cuts pass through
+    * verbatim; a fully-duplicated doc rewrites to the empty string).
+    *
+    * 100 TB notes: beyond the shared d14 span build the added work is one
+    * groupBy over span rows plus a row-local filter over each doc's token
+    * array — O(corpus tokens) map-side, no extra wide shuffle. Production
+    * runs it off the PERSISTED span report, so cut-and-rewrite is a single
+    * map pass over the corpus join the tiny interval table. */
+  private[queries] def substringCutOf(documents: DataFrame, spans: DataFrame): DataFrame = {
+    val iv = spans
+      .select(col("doc_b").as("doc_id"), col("b_pos").as("st"),
+        (col("b_pos") + col("span_len")).as("en"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("st"), col("en"))).as("iv"))
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .join(iv, Seq("doc_id"), "left")
+      // exists over a NULL interval array is NULL; the coalesce keeps every
+      // token of a doc that owes no cuts
+      .withColumn("kept", expr(
+        "filter(ws, (t, i) -> NOT coalesce(exists(iv, v -> i >= v.st AND i < v.en), false))"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        (size(col("ws")) - size(col("kept"))).cast("long").as("n_cut"),
+        concat_ws(" ", col("kept")).as("text"))
+  }
+
+  private[queries] def substringCutOf(documents: DataFrame): DataFrame =
+    substringCutOf(documents, substringDedupOf(documents))
 
   /** (doc_id, bkey) LSH band keys of a (doc_id, sh) shingle-set frame.
     * Signature = one codegen'd pass (graft.functions.MinHashSignature)
@@ -671,7 +752,16 @@ object DedupQueries {
     // (df-capped, like d2) → diagonal gaps-and-islands merge to maximal
     // spans. The content-defined anchor twin [[substringDedupSampledOf]]
     // is the 100 TB shuffle-volume dial (spec-pinned equal here).
-    "d14_substring_dedup" -> ((s, d) => substringDedupOf(docs(s, d)))
+    // The span build is memoized per (session, dir): d14 reports it, d15
+    // consumes it.
+    "d14_substring_dedup" -> ((s, d) => substringSpans(s, d)),
+
+    // Substring-cut rewrite (d15, r14; VERDICT r13 "What's missing" #1 —
+    // d14 emitted spans but nothing consumed them): the corpus rewritten
+    // with later-occurrence duplicated spans removed, keep-first policy.
+    // This is the artifact Lee-et-al. substring dedup actually delivers to
+    // a training run; see [[substringCutOf]] for semantics and scale shape.
+    "d15_substring_cut" -> ((s, d) => substringCutOf(docs(s, d), substringSpans(s, d)))
   )
 
   /** The d10 per-vector frame (cid, vec_id, v, nrm, ccos): trained-quantizer
@@ -1070,25 +1160,54 @@ object DedupQueries {
     // 1 instead of 16), the df cap replayed, then the identical hash join +
     // diagonal islands. COUNT(*)+15 = island grams + (SpanLen-1).
     "d14_substring_dedup" ->
-      s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),
-         |g AS (
-         |  SELECT doc_id, u['pos'] AS pos, u['h'] AS h FROM (
-         |    SELECT doc_id, unnest([{'pos': i, 'h': ${polyHashSql(
-               s"array_to_string(ws[i+1 : i+$SpanLen], ' ')")}}
-         |                           for i in range(0, len(ws) - ${SpanLen - 1})]) AS u
-         |    FROM tt WHERE len(ws) >= $SpanLen)),
-         |cg AS (SELECT doc_id, pos, h FROM (
-         |         SELECT g.*, COUNT(*) OVER (PARTITION BY h) AS df FROM g)
-         |       WHERE df <= $MaxGramDf),
-         |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |             a.pos AS a_pos, b.pos AS b_pos
-         |      FROM cg a JOIN cg b ON a.h = b.h AND a.doc_id < b.doc_id),
-         |i AS (SELECT *, a_pos - row_number() OVER (
-         |        PARTITION BY doc_a, doc_b, a_pos - b_pos ORDER BY a_pos) AS isl
-         |      FROM m)
-         |SELECT doc_a, doc_b, CAST(MIN(a_pos) AS BIGINT) AS a_pos,
-         |       CAST(MIN(b_pos) AS BIGINT) AS b_pos,
-         |       COUNT(*) + ${SpanLen - 1} AS span_len
-         |FROM i GROUP BY doc_a, doc_b, a_pos - b_pos, isl""".stripMargin
+      s"""WITH $spanCtes
+         |SELECT doc_a, doc_b, a_pos, b_pos, span_len FROM sp""".stripMargin,
+
+    // d15: the same span CTEs, then the keep-first cut replayed — cut
+    // intervals [b_pos, b_pos + span_len) per doc_b, a token is cut iff any
+    // interval covers it (the anti-join on the distinct covered positions),
+    // rewritten text = the surviving tokens in original order. A fully-cut
+    // doc has no keptk row — the COALESCEs rewrite it to the empty string.
+    "d15_substring_cut" ->
+      s"""WITH $spanCtes,
+         |cutiv AS (SELECT doc_b AS doc_id, b_pos AS st, b_pos + span_len AS en FROM sp),
+         |ta AS (SELECT doc_id, $toks AS ws FROM documents),
+         |tp AS (SELECT doc_id, u['t'] AS t, u['i'] AS pos FROM (
+         |  SELECT doc_id, unnest([{'t': ws[i+1], 'i': i}
+         |                         for i in range(0, len(ws))]) AS u FROM ta)),
+         |cutpos AS (SELECT DISTINCT tp.doc_id, tp.pos FROM tp
+         |  JOIN cutiv c ON tp.doc_id = c.doc_id AND tp.pos >= c.st AND tp.pos < c.en),
+         |keptk AS (SELECT tp.doc_id, COUNT(*) AS n_kept,
+         |    string_agg(tp.t, ' ' ORDER BY tp.pos) AS text
+         |  FROM tp LEFT JOIN cutpos cp ON tp.doc_id = cp.doc_id AND tp.pos = cp.pos
+         |  WHERE cp.doc_id IS NULL GROUP BY tp.doc_id)
+         |SELECT ta.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |       CAST(len(ws) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_cut,
+         |       COALESCE(k.text, '') AS text
+         |FROM ta LEFT JOIN keptk k USING (doc_id)""".stripMargin
   )
+
+  /** Shared d14/d15 span CTE chain: all-position gram postings, the df cap,
+    * the gram-hash join, diagonal gaps-and-islands to maximal spans `sp`. */
+  private lazy val spanCtes: String =
+    s"""tt AS (SELECT doc_id, $toks AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, u['pos'] AS pos, u['h'] AS h FROM (
+       |    SELECT doc_id, unnest([{'pos': i, 'h': ${polyHashSql(
+             s"array_to_string(ws[i+1 : i+$SpanLen], ' ')")}}
+       |                           for i in range(0, len(ws) - ${SpanLen - 1})]) AS u
+       |    FROM tt WHERE len(ws) >= $SpanLen)),
+       |cg AS (SELECT doc_id, pos, h FROM (
+       |         SELECT g.*, COUNT(*) OVER (PARTITION BY h) AS df FROM g)
+       |       WHERE df <= $MaxGramDf),
+       |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |             a.pos AS a_pos, b.pos AS b_pos
+       |      FROM cg a JOIN cg b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |i AS (SELECT *, a_pos - row_number() OVER (
+       |        PARTITION BY doc_a, doc_b, a_pos - b_pos ORDER BY a_pos) AS isl
+       |      FROM m),
+       |sp AS (SELECT doc_a, doc_b, CAST(MIN(a_pos) AS BIGINT) AS a_pos,
+       |         CAST(MIN(b_pos) AS BIGINT) AS b_pos,
+       |         COUNT(*) + ${SpanLen - 1} AS span_len
+       |       FROM i GROUP BY doc_a, doc_b, a_pos - b_pos, isl)""".stripMargin
 }

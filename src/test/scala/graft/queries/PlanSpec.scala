@@ -64,6 +64,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d14 gram-df cap: map-side partial count + semi-join, never a Window over postings") {
+    // the cap exists for pathological boilerplate (a gram with millions of
+    // postings); a Window.partitionBy(h) count would buffer that gram's
+    // entire posting list in ONE task before filtering — the guard itself
+    // becoming the straggler. Pin the d2 idiom: partial_count in the cap
+    // sub-plan, no Window node anywhere before the candidate self-join.
+    val docsDf = graft.sources.Tables.documents(spark, sf())
+    for ((capped, label) <- Seq(
+        (DedupQueries.cappedGramPostings(docsDf, DedupQueries.SpanLen), "exact"),
+        (DedupQueries.cappedAnchorPostings(docsDf, DedupQueries.SpanLen,
+          DedupQueries.AnchorStride), "sampled"))) {
+      val p = plan(capped)
+      assert(p.contains("partial_count"), s"$label:\n$p")
+      assert(!p.contains("Window"), s"$label:\n$p")
+    }
+    // the full exact plan keeps exactly ONE Window — the O(span) islands
+    // row_number AFTER the join has already cut the data to matched pairs;
+    // the sampled twin (distinct-based extension) needs none at all
+    val pe = plan(graft.SparkEntry.queries("d14_substring_dedup")(spark, sf()))
+    assert("Window".r.findAllIn(pe).size == 1, pe)
+    val ps = plan(DedupQueries.substringDedupSampledOf(docsDf))
+    assert(!ps.contains("Window"), ps)
+  }
+
   test("p1 pipeline: one corpus scan feeds the whole chain (no parquet re-read downstream)") {
     // the composed pipeline checkpoints the projected corpus ONCE and every
     // stage derives from that materialization — so the assembled verdict

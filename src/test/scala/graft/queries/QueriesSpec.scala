@@ -155,6 +155,46 @@ class QueriesSpec extends SparkSpec {
       Set((1L, 2L, 0L, 3L, 64L)))
   }
 
+  test("d15 substring cut: keep-first rewrite, overlapping cut intervals, pass-through") {
+    import spark.implicits._
+    def words(from: Int, until: Int) = (from until until).map(i => s"a$i").mkString(" ")
+    // doc 3 owes overlapping intervals to TWO partners: [0,20) from doc 1
+    // and [10,30) from doc 2 — together they cover it entirely. Docs 1 and
+    // 2 share only 10 tokens (< SpanLen): no span, both keep-first intact.
+    val fixture = Seq(
+      (1L, words(0, 20)), (2L, words(10, 30)), (3L, words(0, 30)),
+      (4L, "hello world") // < SpanLen tokens: never in the posting index
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.substringCutOf(fixture)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got === Map(
+      1L -> (20L, 0L, words(0, 20)),
+      2L -> (20L, 0L, words(10, 30)),
+      3L -> (30L, 30L, ""),
+      4L -> (2L, 0L, "hello world")))
+  }
+
+  test("d15 on the corpus: n_cut equals the d14 doc_b interval coverage, text consistent") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val spans = DedupQueries.substringDedupOf(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(3) + r.getLong(4)))
+    val covered = spans.groupBy(_._1).view.mapValues(
+      _.flatMap { case (_, st, en) => st until en }.toSet).toMap
+    val toks = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1)).toMap
+    val got = DedupQueries.substringCutOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.keySet === toks.keySet)
+    assert(got.values.map(_._2).sum > 0, "corpus must contain at least one cut")
+    for ((id, (nTok, nCut, text)) <- got) {
+      val ws = toks(id); val cut = covered.getOrElse(id, Set.empty)
+      assert(nTok === ws.length.toLong, s"doc $id")
+      assert(nCut === cut.size.toLong, s"doc $id")
+      assert(text === ws.zipWithIndex.collect {
+        case (t, i) if !cut(i.toLong) => t }.mkString(" "), s"doc $id")
+    }
+  }
+
   test("incremental dedup: batch deduped against corpus + itself, corpus never re-paired") {
     import spark.implicits._
     def doc(prefix: String) = (0 until 12).map(i => s"$prefix$i").mkString(" ")
