@@ -189,6 +189,54 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("p3 corpus maintenance: provenance exact vs p1/p2, repack replayed sequentially") {
+    val docs = Tables.documents(spark, sf())
+    val got = PipelineQueries.defs("p3_corpus_maintenance")(spark, sf())
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // provenance: day1 rows = p1's fully-kept set, day2 rows = p2's admitted set
+    val day1 = PipelineQueries.defs("p1_pipeline")(spark, sf())
+      .collect().collect { case r if r.getInt(1) == PipelineQueries.KeptAll => r.getLong(0) }.toSet
+    val day2 = PipelineQueries.defs("p2_incremental_pipeline")(spark, sf())
+      .collect().collect { case r if r.getBoolean(2) => r.getLong(0) }.toSet
+    assert(day1.nonEmpty && day2.nonEmpty)
+    assert(got.collect { case (id, ("day1", _)) => id }.toSet === day1)
+    assert(got.collect { case (id, ("day2", _)) => id }.toSet === day2)
+    // the repack is c6's prefix-sum pack over the union: replay it
+    // sequentially on the driver in the same (salted key, doc_id) order
+    val meta = docs
+      .select(col("doc_id"), col("n_chars"),
+        CurationQueries.saltedHash("shard", col("doc_id")).as("k"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    var run = 0L
+    val exp = got.keys.toSeq.sortBy(id => (meta(id)._2, id)).map { id =>
+      val sh = run / CurationQueries.ShardBudget; run += meta(id)._1; id -> sh
+    }.toMap
+    for ((id, (_, sh)) <- got) assert(sh === exp(id), s"doc $id")
+  }
+
+  test("day-3 ingest: the appended persisted index rejects copies of day-2 admissions") {
+    // the production loop p3 documents: day-1 index persisted, day-2
+    // admissions APPENDED (never a rewrite), day-3 batch deduped against
+    // the READ-BACK index — a copy of a day-2 admission must be rejected
+    // even though day-1's corpus never contained its text
+    import spark.implicits._
+    def doc(p: String) = (0 until 12).map(i => s"$p$i").mkString(" ")
+    val idx = java.nio.file.Files.createTempDirectory("bandidx").toString + "/band_index.parquet"
+    val corpus = Seq((1L, doc("c")), (2L, doc("e"))).toDF("doc_id", "text")
+    DedupQueries.appendBandIndex(corpus, idx) // day 1: initial index write
+    val admitted2 = Seq((10L, doc("x"))).toDF("doc_id", "text")
+    DedupQueries.appendBandIndex(admitted2, idx) // day 2: admissions appended
+    val day3 = Seq(
+      (20L, doc("x")), // copy of the day-2 admission → rejected via the append
+      (21L, doc("c")), // copy of day-1 corpus → rejected via the base index
+      (22L, doc("f")) // fresh → admitted
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.incrementalDedup(
+        corpus.unionByName(admitted2), day3, Some(spark.read.parquet(idx)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(22L))
+  }
+
   test("memoized day-1 stages: the cached defs equal the uncached builds exactly") {
     // p1/p2 share one CorpusStages per (session, dir) — the cached path
     // must be indistinguishable from a fresh build of either pipeline

@@ -113,6 +113,17 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin Build(Left|Right), Inner".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("p3 corpus maintenance: checkpoint-fed union + pack, no parquet re-read, keyed joins") {
+    // the merge reads p1's kept checkpoint and p2's checkpointed verdict —
+    // the 100 TB corpus is NOT re-scanned to close the day-3 loop; the only
+    // joins are the admitted semi-join and the doc_id-keyed pack join
+    val df = PipelineQueries.defs("p3_corpus_maintenance")(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin Build(Left|Right), Inner".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("d12/d13 incremental dedup: every join stays keyed — no nested-loop, no cartesian") {
     // the ingest-path keys: band-key / (cid, scid) equi-joins only — a
     // degradation here is the difference between O(batch) and O(corpus²)/day
