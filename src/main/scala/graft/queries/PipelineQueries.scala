@@ -172,6 +172,12 @@ object PipelineQueries {
     // full-corpus 8-gram explode + distinct.
     lazy val bench: DataFrame = own(
       g8(documents.where(col("doc_id") % 20 === 0)).select("g").distinct().eagerCheckpoint())
+    // driver-resident for the SESSION (VERDICT r13 nit): the memoized day-1
+    // stages keep this bitset alive — free()/clearCaches drop checkpoints,
+    // not the array. Sized from the bench gram count at fpp 1e-3 it is
+    // small (one bloom per session); anyone scaling the bench set or
+    // tightening fpp should budget the resulting driver bytes, or switch to
+    // c7's distributed-build/driver-merge recipe before growing it.
     lazy val bloom: Array[Byte] =
       B.buildLongBloom(bench, "g", bench.count(), fpp = 1e-3)
     lazy val s2: DataFrame = {

@@ -732,10 +732,22 @@ object Streams {
 
   /** [[admissionStream]] against a caller-supplied postings map — pass a
     * frame backed by persisted files to have per-micro-batch re-planning
-    * pick up corpus appends without a stream restart. */
+    * pick up corpus appends without a stream restart.
+    *
+    * The supplied frame need NOT be bkey-unique (ADVICE r13): a postings
+    * artifact maintained by per-version APPENDS naturally accumulates
+    * several rows per bkey, and feeding those straight into the NumBands
+    * left joins would multiply each arrival into duplicate verdict rows.
+    * The map is therefore re-grouped here (posts flattened per bkey) before
+    * the joins — one exchange over the tiny O(distinct bkeys) static side
+    * per re-plan, which is what makes append-backed frames safe; an
+    * already-unique map pays one no-op-sized shuffle. Duplicate cids inside
+    * a bucket (a crashed append re-appending) stay harmless: the verdict
+    * dedups matches by cid in-row. */
   def admissionStreamAgainst(docs: DataFrame, postings: DataFrame): DataFrame = {
     val D = graft.queries.DedupQueries
     val T = graft.text.TextFunctions
+    val uniq = postings.groupBy("bkey").agg(flatten(collect_list(col("posts"))).as("posts"))
     // stream side: row-local shingles, signature, band keys (NULL when the
     // doc has <K tokens — a NULL key misses every equi-join)
     val sh = docs.select(col("doc_id"),
@@ -745,7 +757,7 @@ object Streams {
     val keyed = D.bandKeyCols(col("sig"), col("sh")).zipWithIndex
       .foldLeft(sh) { case (df, (k, i)) => df.withColumn(s"bk$i", k) }
     val joined = (0 until T.NumBands).foldLeft(keyed) { (df, i) =>
-      df.join(postings.select(col("bkey").as(s"bk$i"), col("posts").as(s"posts$i")),
+      df.join(uniq.select(col("bkey").as(s"bk$i"), col("posts").as(s"posts$i")),
         Seq(s"bk$i"), "left")
     }
     // array_compact drops the bands that matched nothing (left-join NULLs)

@@ -291,6 +291,32 @@ class IvfIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("atomic rename"), e.getMessage)
     // the sanctioned schemes still pass (exercised end-to-end by the
     // lifecycle test above on the local default FS)
+    // and the refusal names the scheme-agnostic alternative
+    assert(e.getMessage.contains("publishVersioned"), e.getMessage)
+  }
+
+  test("versioned-manifest publish: highest manifest wins, create-exclusive settles races") {
+    // the object-store pointer protocol (no rename, no overwrite): each
+    // publish writes an immutable MANIFEST-<n>, readers resolve the highest
+    // n — readable end to end on the local FS, and the create-exclusive
+    // primitive it rests on is exactly a conditional PUT on object stores
+    val root = java.nio.file.Files.createTempDirectory("ivf-vroot").toString
+    assert(intercept[IllegalStateException] {
+      IvfIndex.currentVersioned(spark, root)
+    }.getMessage.contains("nothing published"))
+    assert(IvfIndex.publishVersioned(spark, root, "v1") === 0L)
+    assert(IvfIndex.currentVersioned(spark, root) === s"$root/v1")
+    assert(IvfIndex.publishVersioned(spark, root, "v2") === 1L)
+    assert(IvfIndex.currentVersioned(spark, root) === s"$root/v2",
+      "a later manifest must supersede the earlier one")
+    // simulate losing the create race: plant the manifest number the next
+    // publish would pick; it must skip past it, not clobber or fail
+    val planted = new java.io.File(root, f"MANIFEST-${2L}%020d")
+    java.nio.file.Files.writeString(planted.toPath, "intruder")
+    assert(IvfIndex.publishVersioned(spark, root, "v3") === 3L)
+    assert(IvfIndex.currentVersioned(spark, root) === s"$root/v3")
+    assert(java.nio.file.Files.readString(planted.toPath) === "intruder",
+      "an existing manifest is immutable — create-exclusive must not overwrite it")
   }
 
   test("farthest-point seeding stops at the distinct-direction count — no duplicate centroids") {

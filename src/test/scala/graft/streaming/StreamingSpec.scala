@@ -231,6 +231,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.count(_._2) > 0)
   }
 
+  test("admission over an APPENDED postings artifact: re-created stream sees new corpus, duplicate bkeys stay one-verdict-per-arrival") {
+    // the corpus-growth freshness contract (VERDICT r13 missing #4): the
+    // postings map is maintained by per-version APPENDS, so (a) a stream
+    // created after an append must reject copies of the newly indexed
+    // content, and (b) the artifact then holds DUPLICATE bkey rows across
+    // versions (here: version 2 re-indexes doc("c")'s text under a new id)
+    // — the in-function re-group must flatten them into ONE verdict row
+    // per arrival with the dup count summed across versions (ADVICE r13).
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def doc(p: String) = (0 until 12).map(i => s"$p$i").mkString(" ")
+    val posts = java.nio.file.Files.createTempDirectory("postings").toString +
+      "/postings.parquet"
+    def runOnce(name: String): Map[Long, (Int, Boolean)] = {
+      val input = MemoryStream[(Long, String)]
+      input.addData((20L, doc("c")), (21L, doc("x")), (22L, doc("f")))
+      val q = Streams.admissionStreamAgainst(
+          input.toDF().toDF("doc_id", "text"), spark.read.parquet(posts))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    }
+    // version 1: only doc("c") content is indexed
+    Streams.admissionPostings(Seq((1L, doc("c"))).toDF("doc_id", "text"))
+      .write.parquet(posts)
+    assert(runOnce("adm_v1") ===
+      Map(20L -> (1, false), 21L -> (0, true), 22L -> (0, true)))
+    // version 2 APPENDED: doc("x") newly indexed + doc("c") re-indexed
+    // under a new id — every bkey of the latter now appears twice
+    Streams.admissionPostings(
+        Seq((2L, doc("c")), (10L, doc("x"))).toDF("doc_id", "text"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(posts)
+    assert(runOnce("adm_v2") ===
+      Map(20L -> (2, false), 21L -> (1, false), 22L -> (0, true)))
+  }
+
   test("streaming vector ingest equals the batch IVF cell assignment exactly") {
     // map-side literal argmax on the stream == broadcast-join argmax in batch
     // (same (cos, -cid) composite, bit-identical cosines)
