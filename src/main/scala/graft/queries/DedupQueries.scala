@@ -535,16 +535,23 @@ object DedupQueries {
       (size(sa) + size(sb) - size(array_intersect(sa, sb)))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact dedup: group identical text, keep the smallest doc_id. The
-    // hash-groupBy pattern (shuffle by text) — at scale one groups by
-    // sha2(text) to shrink shuffle keys; here text itself keeps the oracle
-    // trivially equivalent.
+    // Exact dedup: group identical text by its SHA-256, keep the smallest
+    // doc_id per group, join the keeper back on the digest. This is the
+    // 100 TB shape outright (r14 — previously a Window.partitionBy(text)
+    // test-scale concession): the groupBy min is map-side combinable, so a
+    // million-fold duplicated text collapses to one row per map partition
+    // instead of buffering the whole group in one task, and the shuffles
+    // carry 32-byte digests + ids, never document text. Keeper-side join
+    // input is one row per distinct text. Equivalence to grouping by text
+    // itself is modulo SHA-256 collisions — the standard production
+    // assumption; the oracle keeps PARTITION BY text, which agrees on every
+    // input unless such a collision exists.
     "d1_exact_dedup" -> ((s, d) => {
-      val w = Window.partitionBy("text")
-      docs(s, d).select(
-        col("doc_id"),
-        min("doc_id").over(w).as("keeper_id"),
-        (col("doc_id") =!= min("doc_id").over(w)).as("is_dup"))
+      val withH = docs(s, d).select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      val keepers = withH.groupBy("h").agg(min("doc_id").as("keeper_id"))
+      withH.join(keepers, "h")
+        .select(col("doc_id"), col("keeper_id"),
+          (col("doc_id") =!= col("keeper_id")).as("is_dup"))
     }),
 
     // n-gram Jaccard near-dup via shingle inverted index: explode shingles,

@@ -55,9 +55,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup/similarity joins never degrade to cartesian products") {
-    for (name <- Seq("d2_ngram_jaccard", "d3_minhash_lsh", "s2_knn_lsh",
-                     "d14_substring_dedup")) {
-      val p = plan(graft.SparkEntry.queries(name)(spark, sf()))
+    // d14 planned via its pipeline, not the gated def — the def returns a
+    // memoized checkpoint whose plan would make the assertions vacuous
+    val d14 = DedupQueries.substringDedupOf(graft.sources.Tables.documents(spark, sf()))
+    val plans = Seq("d2_ngram_jaccard", "d3_minhash_lsh", "s2_knn_lsh")
+      .map(n => n -> plan(graft.SparkEntry.queries(n)(spark, sf()))) :+
+      ("d14_substring_dedup" -> plan(d14))
+    for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
       assert("BroadcastNestedLoopJoin Build(Left|Right), Inner".r.findFirstIn(p).isEmpty,
         s"$name:\n$p")
@@ -81,11 +85,22 @@ class PlanSpec extends SparkSpec {
     }
     // the full exact plan keeps exactly ONE Window — the O(span) islands
     // row_number AFTER the join has already cut the data to matched pairs;
-    // the sampled twin (distinct-based extension) needs none at all
-    val pe = plan(graft.SparkEntry.queries("d14_substring_dedup")(spark, sf()))
+    // the sampled twin (distinct-based extension) needs none at all.
+    // (Plan the pipeline directly: the gated def memoizes an eager
+    // CHECKPOINT of it, whose replanned reads are block scans.)
+    val pe = plan(DedupQueries.substringDedupOf(docsDf))
     assert("Window".r.findAllIn(pe).size == 1, pe)
     val ps = plan(DedupQueries.substringDedupSampledOf(docsDf))
     assert(!ps.contains("Window"), ps)
+  }
+
+  test("d1 exact dedup: digest groupBy with map-side partial min, no Window over text") {
+    // the keeper per identical text comes from a sha2-keyed aggregate —
+    // partial min collapses a massively duplicated text to one row per map
+    // partition, and the shuffles move 32-byte digests, never document text
+    val p = plan(graft.SparkEntry.queries("d1_exact_dedup")(spark, sf()))
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("p1 pipeline: one corpus scan feeds the whole chain (no parquet re-read downstream)") {
