@@ -1170,28 +1170,29 @@ object DedupQueries {
       s"""WITH $spanCtes
          |SELECT doc_a, doc_b, a_pos, b_pos, span_len FROM sp""".stripMargin,
 
-    // d15: the same span CTEs, then the keep-first cut replayed — cut
-    // intervals [b_pos, b_pos + span_len) per doc_b, a token is cut iff any
-    // interval covers it (the anti-join on the distinct covered positions),
-    // rewritten text = the surviving tokens in original order. A fully-cut
-    // doc has no keptk row — the COALESCEs rewrite it to the empty string.
+    // d15: the same span CTEs, then the keep-first cut replayed ROW-LOCALLY
+    // — exactly the Spark formulation: each doc carries its owed-interval
+    // list, and the kept tokens are a list comprehension filtering token
+    // positions against it. (The first formulation exploded every token to
+    // its own row and range-joined positions against intervals — at sf1
+    // that per-token table OOM-killed the sweep's DuckDB process; this one
+    // peaks ~1 GB and runs sf1 in seconds.) array_to_string of the empty
+    // kept list is NULL — the COALESCE rewrites a fully-cut doc to ''.
     "d15_substring_cut" ->
       s"""WITH $spanCtes,
          |cutiv AS (SELECT doc_b AS doc_id, b_pos AS st, b_pos + span_len AS en FROM sp),
+         |civ AS (SELECT doc_id, list({'st': st, 'en': en}) AS iv FROM cutiv GROUP BY doc_id),
          |ta AS (SELECT doc_id, $toks AS ws FROM documents),
-         |tp AS (SELECT doc_id, u['t'] AS t, u['i'] AS pos FROM (
-         |  SELECT doc_id, unnest([{'t': ws[i+1], 'i': i}
-         |                         for i in range(0, len(ws))]) AS u FROM ta)),
-         |cutpos AS (SELECT DISTINCT tp.doc_id, tp.pos FROM tp
-         |  JOIN cutiv c ON tp.doc_id = c.doc_id AND tp.pos >= c.st AND tp.pos < c.en),
-         |keptk AS (SELECT tp.doc_id, COUNT(*) AS n_kept,
-         |    string_agg(tp.t, ' ' ORDER BY tp.pos) AS text
-         |  FROM tp LEFT JOIN cutpos cp ON tp.doc_id = cp.doc_id AND tp.pos = cp.pos
-         |  WHERE cp.doc_id IS NULL GROUP BY tp.doc_id)
-         |SELECT ta.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
-         |       CAST(len(ws) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_cut,
-         |       COALESCE(k.text, '') AS text
-         |FROM ta LEFT JOIN keptk k USING (doc_id)""".stripMargin
+         |tc AS (SELECT ta.doc_id, ws, COALESCE(civ.iv, []) AS iv
+         |       FROM ta LEFT JOIN civ ON ta.doc_id = civ.doc_id),
+         |k AS (SELECT doc_id, ws,
+         |        [ws[i+1] for i in range(0, len(ws))
+         |         if len(list_filter(iv, v -> i >= v['st'] AND i < v['en'])) = 0] AS kept
+         |      FROM tc)
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |       CAST(len(ws) - len(kept) AS BIGINT) AS n_cut,
+         |       COALESCE(array_to_string(kept, ' '), '') AS text
+         |FROM k""".stripMargin
   )
 
   /** Shared d14/d15 span CTE chain: all-position gram postings, the df cap,
