@@ -548,8 +548,22 @@ object Streams {
     *    it, so counting it would only grow state it would immediately
     *    re-prune. This keeps state monotonically bounded (~TrailHours+1
     *    entries) under UNBOUNDED disorder, not just bounded-in-steady-state.
-    * If the source cannot guarantee replay order, put a `withWatermark` on
-    * the input to bound how much disorder reaches this operator at all. */
+    *
+    * CHOSEN CONTRACT (emit-or-watermark, VERDICT r13 #6): a late-seen hour
+    * NEVER emits a late verdict. Emitting one could not be batch-bit-
+    * identical — its wall-clock trail reaches below the pruned horizon, so
+    * the stream cannot reconstruct the exact trail batch e11 used — and a
+    * monitor that emits a same-hour verdict twice (once wrong) is worse
+    * than one that emits each hour at most once. Instead, DISORDER IS
+    * BOUNDED AT THE SOURCE: [[runRateAnomalyOnce]] pre-binds
+    * `withWatermark(ts, TrailHours hours)` on the input path, so a source
+    * honoring the watermark can only deliver events the kernel counts
+    * (open hour or in-horizon refinement) — the no-verdict and drop rules
+    * above then handle only watermark-violating stragglers, as belt and
+    * braces. Callers wiring [[rateAnomalyStream]] to their own source
+    * should pre-bind the same watermark. StreamingSpec asserts this
+    * contract explicitly with a pathological replay (late-unseen hour:
+    * no verdict ever, but its count refines the next close's trail). */
   def rateAnomalyStream(events: Dataset[Event]): Dataset[RateAnomalyOut] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -605,11 +619,18 @@ object Streams {
   }
 
   /** Run the streaming rate-anomaly monitor end-to-end (AvailableNow,
-    * memory sink, Append mode — each closed hour's verdict emits once). */
+    * memory sink, Append mode — each closed hour's verdict emits once).
+    * The input is watermarked at exactly the kernel's trail horizon
+    * ([[graft.queries.EventQueries.TrailHours]]) — the emit-or-watermark
+    * contract's watermark half: the engine bounds cross-trigger disorder
+    * to the window the kernel can still use, so the kernel's late-drop
+    * path is a second line of defense, not the only one. */
   def runRateAnomalyOnce(spark: SparkSession, dir: String,
                          queryName: String = "rate_anomaly"): DataFrame = {
     import spark.implicits._
-    val q = rateAnomalyStream(eventStream(spark, dir).as[Event])
+    val horizon = s"${graft.queries.EventQueries.TrailHours} hours"
+    val q = rateAnomalyStream(
+      eventStream(spark, dir).withWatermark("ts", horizon).as[Event])
       .writeStream
       .format("memory")
       .queryName(queryName)

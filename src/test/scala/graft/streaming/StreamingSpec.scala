@@ -152,6 +152,71 @@ class StreamingSpec extends SparkSpec {
     assert(st3.counts.size <= trailH + 1)
   }
 
+  test("rate-anomaly late-UNSEEN hour: no verdict ever, but it refines the next trail") {
+    // the emit-or-watermark contract's chosen half, asserted explicitly
+    // (VERDICT r13 #6): an hour FIRST SEEN only after a later hour opened
+    // never emits its own (necessarily non-bit-identical) late verdict —
+    // but its count DOES feed every future verdict's wall-clock trail.
+    def ev(id: Long, hour: Long): Streams.Event =
+      Streams.Event(id, new java.sql.Timestamp(hour * 3600L * 1000L), 1L, "t", 0.0, "{}")
+    // trigger 1: hours 1000..1003 in order — hour 990 passes with NO events
+    val (st1, out1) = Streams.rateAnomalyKernel("t",
+      (0 to 3).map(i => ev(i, 1000L + i)),
+      Streams.RateState(Map.empty, Long.MinValue))
+    assert(out1.map(_.hour.getTime / 3600000L) === Seq(1000L, 1001L, 1002L))
+    // trigger 2: three late events for the UNSEEN in-horizon hour 990
+    // (990 >= 1003 - TrailHours = 979, absent from state)
+    val (st2, out2) = Streams.rateAnomalyKernel("t",
+      (10L to 12L).map(ev(_, 990L)), st1)
+    assert(out2.isEmpty, "a late-unseen hour must not emit a late verdict")
+    assert(st2.counts(990L) === 3L)
+    // trigger 3: hour 1004 closes hour 1003 — its trail over present hours
+    // in [979, 1003) is {990->3, 1000->1, 1001->1, 1002->1} = avg 1.5; had
+    // the late-unseen hour been ignored it would be 1.0
+    val (_, out3) = Streams.rateAnomalyKernel("t", Seq(ev(13, 1004L)), st2)
+    assert(out3.map(_.hour.getTime / 3600000L) === Seq(1003L))
+    assert(out3.head.trail_avg === Some(1.5))
+    // and the unseen hour never appears among emitted verdict hours
+    assert(!(out1 ++ out2 ++ out3).exists(_.hour.getTime / 3600000L == 990L))
+  }
+
+  test("rate-anomaly end to end: watermark-bound disorder, late-unseen contract holds") {
+    // the same pathological replay through the REAL streaming operator with
+    // the pre-bound horizon watermark runRateAnomalyOnce uses: the engine
+    // bounds disorder to the trail horizon; whatever straggles through is
+    // handled by the kernel's no-verdict/drop rules. Emitted verdict hours
+    // and the refined trail must match the kernel-level contract exactly.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, hour: Long): Streams.Event =
+      Streams.Event(id, new java.sql.Timestamp(hour * 3600L * 1000L), 1L, "t", 0.0, "{}")
+    val trailH = EventQueries.TrailHours
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.rateAnomalyStream(
+        input.toDS().withWatermark("ts", s"$trailH hours").as[Streams.Event])
+      .writeStream.format("memory").queryName("rate_anomaly_wm_spec")
+      .outputMode("append").start()
+    try {
+      input.addData((0 to 3).map(i => ev(i, 1000L + i)): _*)
+      q.processAllAvailable()
+      // late batch: 3 events for the unseen in-horizon hour 990, plus one
+      // ancient event (hour 100, far below the watermark = 1003h - 24h)
+      input.addData(ev(10, 990L), ev(11, 990L), ev(12, 990L), ev(13, 100L))
+      q.processAllAvailable()
+      input.addData(ev(14, 1004L))
+      q.processAllAvailable()
+      val rows = spark.table("rate_anomaly_wm_spec")
+        .select(col("hour").cast("long") / 3600, col("n"), col("trail_avg"))
+        .collect().map(r => (r.getDouble(0).toLong, r.getLong(1), Option(r.get(2))))
+        .sortBy(_._1)
+      assert(rows.map(_._1) === Seq(1000L, 1001L, 1002L, 1003L),
+        s"exactly the closed hours emit, never 990 or 100: $rows")
+      // hour 1003's trail saw the late-unseen 990 count (avg 1.5, not 1.0)
+      assert(rows.last === ((1003L, 1L, Some(1.5))))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment equals the batch dimension join") {
     val streamed = Streams.runEnrichOnce(spark, sf(), "enrich_spec")
     val cust = graft.sources.Tables.customer(spark, sf())
