@@ -768,7 +768,15 @@ object DedupQueries {
     // with later-occurrence duplicated spans removed, keep-first policy.
     // This is the artifact Lee-et-al. substring dedup actually delivers to
     // a training run; see [[substringCutOf]] for semantics and scale shape.
-    "d15_substring_cut" -> ((s, d) => substringCutOf(docs(s, d), substringSpans(s, d)))
+    "d15_substring_cut" -> ((s, d) => substringCutOf(docs(s, d), substringSpans(s, d))),
+
+    // The 100 TB anchor twin of d14, GATED (r14): mod-sampled content-
+    // defined anchor postings (~stride× less shuffle), exact bidirectional
+    // token-compare extension to maximal spans. Until now it was only
+    // spec-pinned against the exact variant; the oracle replays anchor
+    // selection, the df cap, and the LCP extension, so the recall dial's
+    // semantics are gate-checked, not just asserted equal at stride 1.
+    "d16_substring_anchors" -> ((s, d) => substringDedupSampledOf(docs(s, d)))
   )
 
   /** The d10 per-vector frame (cid, vec_id, v, nrm, ccos): trained-quantizer
@@ -1192,8 +1200,55 @@ object DedupQueries {
          |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
          |       CAST(len(ws) - len(kept) AS BIGINT) AS n_cut,
          |       COALESCE(array_to_string(kept, ' '), '') AS text
-         |FROM k""".stripMargin
+         |FROM k""".stripMargin,
+
+    // d16: the anchor twin replayed exactly — postings restricted to grams
+    // with h % stride = 0 (anchor-ness is a property of the gram, so the
+    // df cap binds identically), anchor-hash candidate join, then the same
+    // bidirectional longest-common-prefix extension the engine computes
+    // with zip_with/array_position, here as list_zip/list_position (both
+    // pad the shorter list with NULLs; NULL <=> token is false on both
+    // engines, so the scan stops at the first mismatch or length end).
+    "d16_substring_anchors" ->
+      s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, u['pos'] AS pos, u['h'] AS h FROM (
+         |    SELECT doc_id, unnest([{'pos': i, 'h': ${polyHashSql(
+               s"array_to_string(ws[i+1 : i+$SpanLen], ' ')")}}
+         |                           for i in range(0, len(ws) - ${SpanLen - 1})]) AS u
+         |    FROM tt WHERE len(ws) >= $SpanLen)),
+         |anch AS (SELECT doc_id, pos, h FROM g WHERE h % $AnchorStride = 0),
+         |ca AS (SELECT doc_id, pos, h FROM (
+         |         SELECT anch.*, COUNT(*) OVER (PARTITION BY h) AS df FROM anch)
+         |       WHERE df <= $MaxGramDf),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.pos AS a_pos, b.pos AS b_pos
+         |         FROM ca a JOIN ca b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |j AS (SELECT cand.*, ta.ws AS wa, tb.ws AS wb
+         |      FROM cand JOIN tt ta ON ta.doc_id = cand.doc_a
+         |                JOIN tt tb ON tb.doc_id = cand.doc_b),
+         |e AS (SELECT doc_a, doc_b, a_pos, b_pos,
+         |        ${lcpSql("list_reverse(wa[1:a_pos])", "list_reverse(wb[1:b_pos])")} AS ext_l,
+         |        ${lcpSql(s"wa[a_pos+${SpanLen + 1}:len(wa)]",
+                          s"wb[b_pos+${SpanLen + 1}:len(wb)]")} AS ext_r
+         |      FROM j)
+         |SELECT DISTINCT doc_a, doc_b,
+         |  CAST(a_pos - ext_l AS BIGINT) AS a_pos,
+         |  CAST(b_pos - ext_l AS BIGINT) AS b_pos,
+         |  CAST(ext_l + ext_r + $SpanLen AS BIGINT) AS span_len
+         |FROM e""".stripMargin
   )
+
+  /** DuckDB twin of the engine's token-array longest-common-prefix:
+    * 1-based position of the first elementwise mismatch (NULL-padded to the
+    * longer list) minus one; no mismatch means the shorter length. Mirrors
+    * `array_position(zip_with(x, y, (a, b) => a <=> b), false)` exactly,
+    * including the not-found-as-0 convention. */
+  private def lcpSql(x: String, y: String): String = {
+    val p = s"COALESCE(list_position(list_transform(list_zip($x, $y), " +
+      s"s -> s[1] IS NOT DISTINCT FROM s[2]), false), 0)"
+    s"(CASE WHEN $p = 0 THEN least(len($x), len($y)) ELSE $p - 1 END)"
+  }
 
   /** Shared d14/d15 span CTE chain: all-position gram postings, the df cap,
     * the gram-hash join, diagonal gaps-and-islands to maximal spans `sp`. */
