@@ -245,9 +245,15 @@ object IvfIndex {
     * gets FileAlreadyExists and retries at a fresh n — on S3-style stores
     * this maps to a conditional PUT (If-None-Match), the primitive the
     * scaladoc pointed at; on HDFS/local it is the namespace's atomic
-    * create. Readers never see a torn pointer: a manifest either lists
-    * (complete) or doesn't. Works on EVERY scheme, so it is also the
-    * drop-in for [[publish]] when the root's filesystem is unknown.
+    * create. On object stores a manifest either lists (complete PUT) or
+    * doesn't; on create-visible filesystems (HDFS/local) there IS a brief
+    * window where a manifest lists with an EMPTY body (created, body not
+    * yet written — or a publisher crashed right there and left it empty
+    * forever), so [[currentVersioned]] scans DOWN from the highest n and
+    * takes the first NON-EMPTY body: an empty manifest is skipped as
+    * in-flight-or-dead, never resolved, and a successor publish simply
+    * numbers past it. Works on EVERY scheme, so it is also the drop-in
+    * for [[publish]] when the root's filesystem is unknown.
     * Returns the manifest number written. */
   def publishVersioned(s: SparkSession, root: String, version: String): Long = {
     import org.apache.hadoop.fs.{CreateFlag, FileContext, Path}
@@ -274,29 +280,41 @@ object IvfIndex {
   }
 
   /** Resolve the live index dir under a [[publishVersioned]]-managed root:
-    * read the highest-numbered manifest. */
+    * the highest-numbered manifest with a NON-EMPTY body. An empty body
+    * means a publisher is mid-write (create visible, content not yet) or
+    * crashed between create and write — either way that n never becomes
+    * the pointer; scan down to the newest complete one. */
   def currentVersioned(s: SparkSession, root: String): String = {
-    import org.apache.hadoop.fs.{FileContext, Path}
-    val (_, p) = latestManifest(s, root).getOrElse(throw new IllegalStateException(
-      s"IvfIndex.currentVersioned: no $ManifestPrefix* under $root — nothing published"))
-    val fc = FileContext.getFileContext(p.toUri, s.sparkContext.hadoopConfiguration)
-    val in = fc.open(p)
-    val version = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    s"$root/$version"
+    import org.apache.hadoop.fs.FileContext
+    val all = manifests(s, root)
+    if (all.isEmpty) throw new IllegalStateException(
+      s"IvfIndex.currentVersioned: no $ManifestPrefix* under $root — nothing published")
+    all.sortBy(-_._1).iterator.map { case (_, p) =>
+      val fc = FileContext.getFileContext(p.toUri, s.sparkContext.hadoopConfiguration)
+      val in = fc.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }.find(_.nonEmpty).map(v => s"$root/$v").getOrElse(throw new IllegalStateException(
+      s"IvfIndex.currentVersioned: only empty (in-flight or crashed) $ManifestPrefix* " +
+        s"objects under $root — no complete publish to resolve"))
   }
 
   /** Highest (n, path) among `root`'s manifest objects, if any. One LIST —
-    * the only store primitive resolution needs. */
-  private def latestManifest(s: SparkSession, root: String) = {
+    * the only store primitive the next-n choice needs (an empty in-flight
+    * manifest still claims its number: successors write PAST it). */
+  private def latestManifest(s: SparkSession, root: String) =
+    manifests(s, root).maxByOption(_._1)
+
+  /** All (n, path) manifest objects under `root`, one LIST. */
+  private def manifests(s: SparkSession, root: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath)) None
+    if (!fs.exists(rootPath)) Seq.empty
     else fs.listStatus(rootPath).iterator
       .map(_.getPath)
       .filter(_.getName.startsWith(ManifestPrefix))
       .flatMap(p => p.getName.stripPrefix(ManifestPrefix).toLongOption.map(_ -> p))
-      .maxByOption(_._1)
+      .toSeq
   }
 
   def centroids(s: SparkSession, indexDir: String): DataFrame =

@@ -317,6 +317,16 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.currentVersioned(spark, root) === s"$root/v3")
     assert(java.nio.file.Files.readString(planted.toPath) === "intruder",
       "an existing manifest is immutable — create-exclusive must not overwrite it")
+    // an EMPTY manifest above the live one = a publisher mid-write or dead
+    // between create and write (the create-visible-filesystem window): the
+    // reader must skip it — resolve v3, never a torn "<root>/" pointer —
+    // and the next publish must number past it
+    val inflight = new java.io.File(root, f"MANIFEST-${4L}%020d")
+    java.nio.file.Files.createFile(inflight.toPath)
+    assert(IvfIndex.currentVersioned(spark, root) === s"$root/v3",
+      "an empty (in-flight/crashed) manifest must not resolve")
+    assert(IvfIndex.publishVersioned(spark, root, "v4") === 5L)
+    assert(IvfIndex.currentVersioned(spark, root) === s"$root/v4")
   }
 
   test("farthest-point seeding stops at the distinct-direction count — no duplicate centroids") {
