@@ -161,11 +161,18 @@ object DedupQueries {
           sequence(lit(0), (size(col("ws")) / P).cast("int") - 1),
           i => polyHash(concat_ws(" ", slice(col("ws"), i * P + 1, lit(P))))))
           .as(Seq("pos", "h")))
-    val first = min(struct(col("doc_id"), col("pos")))
-      .over(Window.partitionBy("h"))
-    passages
+    // first occurrence per passage hash via aggregate-then-join, NOT a
+    // Window over the postings (the d1/d14 r14 idiom): min(struct) combines
+    // map-side, so a pathological boilerplate passage repeated across
+    // millions of docs reduces to one row per map partition instead of
+    // buffering its whole posting list in a single WindowExec task; the
+    // join back streams the probe side (and AQE can split a skewed hash),
+    // which a window partition cannot.
+    val first = passages.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    passages.join(first, "h")
       .select(col("doc_id"),
-        (struct(col("doc_id"), col("pos")) =!= first).as("dup"))
+        (struct(col("doc_id"), col("pos")) =!= col("first")).as("dup"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_passages"),
            sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))

@@ -103,6 +103,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("d8 passage dedup: first-occurrence via map-side partial min, no Window over postings") {
+    // same class as d1/d14: a boilerplate passage repeated across millions
+    // of docs must reduce map-side and stream through the join back, never
+    // buffer its whole posting list in one WindowExec task
+    val p = plan(graft.SparkEntry.queries("d8_passage_dedup")(spark, sf()))
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("p1 pipeline: one corpus scan feeds the whole chain (no parquet re-read downstream)") {
     // the composed pipeline checkpoints the projected corpus ONCE and every
     // stage derives from that materialization — so the assembled verdict
@@ -278,12 +287,16 @@ class PlanSpec extends SparkSpec {
     assert(plan(df).contains("rangepartitioning"), plan(df))
   }
 
-  test("d8 passage dedup: one passage shuffle (window by hash), no join, no cartesian") {
+  test("d8 passage dedup: keyed first-occurrence join, no cartesian, bounded exchanges") {
     val df = DedupQueries.defs("d8_passage_dedup")(spark, sf())
     val p = plan(df)
-    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
-    // the only wide ops: window keyed by passage hash + the final per-doc agg
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin Build(Left|Right), Inner".r.findFirstIn(p).isEmpty, p)
+    // wide ops: the h-keyed first-occurrence aggregate (reused by the join
+    // back — same key) + the final per-doc agg; r14 replaced the window by
+    // hash with aggregate-then-join, trading the old "no join" pin for
+    // map-side combine on a hot passage hash (see the map-side-min test)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
   }
 
   test("e8 hopping window: two-phase aggregate (map-side partial combine)") {
