@@ -1234,11 +1234,16 @@ object DedupQueries {
          |j AS (SELECT cand.*, ta.ws AS wa, tb.ws AS wb
          |      FROM cand JOIN tt ta ON ta.doc_id = cand.doc_a
          |                JOIN tt tb ON tb.doc_id = cand.doc_b),
+         |e0 AS (SELECT doc_a, doc_b, a_pos, b_pos, len(wa) AS la, len(wb) AS lb,
+         |        ${lcpPosSql("list_reverse(wa[1:a_pos])", "list_reverse(wb[1:b_pos])")} AS pl,
+         |        ${lcpPosSql(s"wa[a_pos+${SpanLen + 1}:len(wa)]",
+                             s"wb[b_pos+${SpanLen + 1}:len(wb)]")} AS pr
+         |       FROM j),
          |e AS (SELECT doc_a, doc_b, a_pos, b_pos,
-         |        ${lcpSql("list_reverse(wa[1:a_pos])", "list_reverse(wb[1:b_pos])")} AS ext_l,
-         |        ${lcpSql(s"wa[a_pos+${SpanLen + 1}:len(wa)]",
-                          s"wb[b_pos+${SpanLen + 1}:len(wb)]")} AS ext_r
-         |      FROM j)
+         |        CASE WHEN pl = 0 THEN least(a_pos, b_pos) ELSE pl - 1 END AS ext_l,
+         |        CASE WHEN pr = 0 THEN least(la - a_pos - $SpanLen, lb - b_pos - $SpanLen)
+         |             ELSE pr - 1 END AS ext_r
+         |      FROM e0)
          |SELECT DISTINCT doc_a, doc_b,
          |  CAST(a_pos - ext_l AS BIGINT) AS a_pos,
          |  CAST(b_pos - ext_l AS BIGINT) AS b_pos,
@@ -1246,16 +1251,19 @@ object DedupQueries {
          |FROM e""".stripMargin
   )
 
-  /** DuckDB twin of the engine's token-array longest-common-prefix:
-    * 1-based position of the first elementwise mismatch (NULL-padded to the
-    * longer list) minus one; no mismatch means the shorter length. Mirrors
+  /** DuckDB twin of the engine's LCP mismatch probe: 1-based position of
+    * the first elementwise difference between two NULL-padded lists, 0 when
+    * they match end to end. Mirrors
     * `array_position(zip_with(x, y, (a, b) => a <=> b), false)` exactly,
-    * including the not-found-as-0 convention. */
-  private def lcpSql(x: String, y: String): String = {
-    val p = s"COALESCE(list_position(list_transform(list_zip($x, $y), " +
+    * including the not-found-as-0 convention. The p=0 → shorter-length CASE
+    * is applied in a SEPARATE CTE stage over scalar columns: DuckDB 1.x
+    * segfaults when this list-lambda chain sits under a CASE branch at sf1
+    * row volume (reproduced + bisected in r14; each layer alone is fine),
+    * and the two-stage shape also evaluates the lambda once instead of
+    * per CASE-referenced copy. */
+  private def lcpPosSql(x: String, y: String): String =
+    s"COALESCE(list_position(list_transform(list_zip($x, $y), " +
       s"s -> s[1] IS NOT DISTINCT FROM s[2]), false), 0)"
-    s"(CASE WHEN $p = 0 THEN least(len($x), len($y)) ELSE $p - 1 END)"
-  }
 
   /** Shared d14/d15 span CTE chain: all-position gram postings, the df cap,
     * the gram-hash join, diagonal gaps-and-islands to maximal spans `sp`. */
