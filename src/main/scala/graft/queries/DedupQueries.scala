@@ -279,15 +279,64 @@ object DedupQueries {
     * alignment. stride=4 reads ~0.99 at L = 2x SpanLen. */
   private[queries] val AnchorStride = 4
 
+  /** Raw anchor-hash collision pairs with their diagonal — the d16
+    * candidate join's input BEFORE island collapse (exposed so the planted
+    * long-span spec can assert the collapse ratio directly). One row per
+    * colliding (anchor-in-a, anchor-in-b) pair. */
+  private[queries] def anchorPairHits(documents: DataFrame, stride: Int): DataFrame = {
+    val anchors = cappedAnchorPostings(documents, SpanLen, stride)
+    anchors.as("a").join(anchors.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("a_pos"), col("b.pos").as("b_pos"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+  }
+
+  /** ONE extension candidate per same-diagonal anchor ISLAND (VERDICT r14
+    * #1 — the d16 plan defect): a shared span of length L contains ~L/stride
+    * anchors, ALL of which collide on the same diagonal a_pos - b_pos, and
+    * extending each one independently re-derived the SAME maximal span
+    * ~L/stride times with both docs' full token arrays shipped per
+    * candidate — O(L²/stride) token compares and O(L·doc_len/stride)
+    * shuffled bytes per span, a quadratic wall on exactly the
+    * boilerplate-heavy corpora this variant exists for. Two anchors on one
+    * diagonal at gap <= K sit on overlapping/adjacent matched grams, so the
+    * tokens between them provably match — they are in the SAME maximal
+    * span and extension from either reaches identical bounds. Collapse is
+    * therefore: per (doc_a, doc_b, diag), sort the anchor positions and
+    * keep only ISLAND STARTS (previous anchor more than K back). Anchors
+    * of one true span that straddle a > K anchor gap land in separate
+    * islands; each extends to the same maximal bounds and the downstream
+    * `.distinct()` merges them — output provably identical to per-anchor
+    * extension, work O(L) per span, one token-array join row per island.
+    *
+    * Shape: the islands pass is a row-local indexed `filter` over each
+    * diagonal's collected position array — per-group state is O(anchors on
+    * the diagonal) ≈ L/stride (the d15 owed-interval bound), the groupBy
+    * combines map-side, and NO Window buffers a posting stream
+    * (PlanSpec-pinned: the sampled twin plans zero Window nodes). */
+  private[queries] def anchorIslandCandidates(documents: DataFrame, stride: Int): DataFrame =
+    anchorPairHits(documents, stride)
+      .groupBy("doc_a", "doc_b", "diag")
+      .agg(array_sort(collect_list(col("a_pos"))).as("ps"))
+      .select(col("doc_a"), col("doc_b"), col("diag"),
+        explode(expr(
+          s"filter(ps, (p, i) -> i = 0 OR p - element_at(ps, i) > $SpanLen)")).as("a_pos"))
+      .select(col("doc_a"), col("doc_b"), col("a_pos"),
+        (col("a_pos") - col("diag")).as("b_pos"))
+
   /** The 100 TB scale twin of [[substringDedupOf]]: mod-sampled
     * content-defined anchors cut the gram-hash shuffle (and the join's
-    * per-key fan-out) by ~stride×; surviving candidates are verified AND
-    * maximally extended by exact bidirectional token comparison against
-    * the two docs' token arrays (the candidate set is tiny, so carrying
-    * the arrays through the join is cheap). Every emitted span is exact
-    * and maximal; the tradeoff is bounded recall (see [[AnchorStride]]),
-    * the standard winnowing-style dial. Spec-pinned equal to the exact
-    * variant on the planted fixtures and on sf0.001.
+    * per-key fan-out) by ~stride×; surviving candidates — collapsed to one
+    * per same-diagonal anchor island by [[anchorIslandCandidates]], so a
+    * long shared span costs ONE extension, not one per anchor — are
+    * verified AND maximally extended by exact bidirectional token
+    * comparison against the two docs' token arrays (island candidates are
+    * one-per-span-ish, so carrying the arrays through the join is cheap).
+    * Every emitted span is exact and maximal; the tradeoff is bounded
+    * recall (see [[AnchorStride]]), the standard winnowing-style dial.
+    * Spec-pinned equal to the exact variant on the planted fixtures and on
+    * sf0.001.
     *
     * The [[MaxGramDf]] posting cap applies here too — without it the
     * scale twin would carry exactly the hot-boilerplate cap² blow-up the
@@ -305,11 +354,7 @@ object DedupQueries {
     val toksDf = documents
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .where(size(col("ws")) >= K)
-    val anchors = cappedAnchorPostings(documents, K, stride)
-    val cand = anchors.as("a").join(anchors.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.pos").as("a_pos"), col("b.pos").as("b_pos"))
+    val cand = anchorIslandCandidates(documents, stride)
     // longest common prefix of two token arrays (zip_with pads the shorter
     // side with nulls; null <=> token is false, so the scan stops there)
     def lcp(x: Column, y: Column): Column = {
@@ -338,11 +383,20 @@ object DedupQueries {
     * run feeds to training). Keep-first policy: for every d14 span
     * (doc_a < doc_b) the doc_b copy is cut — the minimum-id occurrence
     * survives, the d3/d10 keep-rule family. A doc may owe cuts to many
-    * partners and the intervals may overlap; no merge pass is needed —
-    * token pos is cut iff ANY owed interval covers it, an `exists` over the
-    * doc's interval array, row-local after one doc_id-keyed groupBy of the
-    * spans (O(spans) rows — the tiny end of the pipeline). Within-doc
-    * self-repetition is out of scope (d14 emits cross-doc pairs only).
+    * partners and the intervals may overlap — popular boilerplate can owe
+    * THOUSANDS of near-identical intervals — so the collected array is
+    * first folded into sorted DISJOINT merged intervals inside the same
+    * row-local stage (VERDICT r14 #2: the raw per-token `exists` scanned
+    * the full raw array per token, O(tokens × owed-intervals) per doc;
+    * merging makes it O(s log s + tokens × merged), with merged bounded by
+    * the doc's length/SpanLen). Coverage is preserved exactly — a token is
+    * inside some raw interval iff it is inside some merged one — so the
+    * rewrite is byte-identical (spec-pinned on a 1200-overlapping-interval
+    * fixture). Token pos is cut iff ANY merged interval covers it, an
+    * `exists` over the doc's interval array, row-local after one
+    * doc_id-keyed groupBy of the spans (O(spans) rows — the tiny end of
+    * the pipeline). Within-doc self-repetition is out of scope (d14 emits
+    * cross-doc pairs only).
     *
     * Output: one row per input doc — (doc_id, n_tokens, n_cut, text) with
     * the rewritten token stream (original docs with no cuts pass through
@@ -358,7 +412,21 @@ object DedupQueries {
       .select(col("doc_b").as("doc_id"), col("b_pos").as("st"),
         (col("b_pos") + col("span_len")).as("en"))
       .groupBy("doc_id")
-      .agg(collect_list(struct(col("st"), col("en"))).as("iv"))
+      .agg(collect_list(struct(col("st"), col("en"))).as("iv0"))
+      // sort + fold into disjoint merged intervals (st/en are the spans'
+      // long positions; array_sort on the struct orders by st, then en).
+      // Overlapping OR adjacent intervals union — token coverage identical.
+      .select(col("doc_id"), expr(
+        """aggregate(array_sort(iv0),
+          |  cast(array() as array<struct<st:bigint,en:bigint>>),
+          |  (acc, v) -> CASE
+          |    WHEN size(acc) > 0 AND v.st <= element_at(acc, -1).en THEN
+          |      CASE WHEN v.en > element_at(acc, -1).en
+          |           THEN concat(slice(acc, 1, size(acc) - 1),
+          |                       array(named_struct('st', element_at(acc, -1).st,
+          |                                          'en', v.en)))
+          |           ELSE acc END
+          |    ELSE concat(acc, array(v)) END)""".stripMargin).as("iv"))
     documents
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .join(iv, Seq("doc_id"), "left")

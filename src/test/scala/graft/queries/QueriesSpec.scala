@@ -155,6 +155,50 @@ class QueriesSpec extends SparkSpec {
       Set((1L, 2L, 0L, 3L, 64L)))
   }
 
+  test("d16 long-span collapse: the extension join sees islands, not anchors (VERDICT r14 #1)") {
+    import spark.implicits._
+    def w(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i").mkString(" ")
+    // a 600-token shared span at shifted alignment: ~600/stride anchors all
+    // collide on ONE diagonal. Pre-fix, EACH anchor became its own
+    // extension candidate carrying both docs' full token arrays and
+    // re-deriving the same maximal span; the island collapse must cut the
+    // candidate set to the handful of > SpanLen-gap islands BEFORE the
+    // token-array join (anchorIslandCandidates IS that join's input).
+    val planted = Seq(
+      (1L, w("p", 600)),
+      (2L, "q0 q1 q2 q3 q4 " + w("p", 600))).toDF("doc_id", "text")
+    val hits = DedupQueries.anchorPairHits(planted, DedupQueries.AnchorStride).count()
+    val islands = DedupQueries.anchorIslandCandidates(planted, DedupQueries.AnchorStride).count()
+    // ~150 anchors expected on the diagonal (hash % 4 == 0 over 585 grams);
+    // islands split only at > SpanLen anchor gaps (P ≈ 0.75^16 per anchor)
+    assert(hits >= 100L, s"fixture must plant a dense anchor diagonal (got $hits)")
+    assert(islands >= 1L && islands * 8 <= hits,
+      s"island collapse must shrink the candidate set ($hits hits -> $islands islands)")
+    // and the collapsed extension still emits exactly the one maximal span
+    val got = DedupQueries.substringDedupSampledOf(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set((1L, 2L, 0L, 5L, 600L)))
+  }
+
+  test("d15 cut: 1000+ overlapping owed intervals merge row-locally, rewrite byte-identical") {
+    import spark.implicits._
+    // VERDICT r14 #2: a popular-boilerplate doc can owe thousands of
+    // overlapping intervals; they must fold into disjoint merged intervals
+    // before the per-token scan, with coverage (hence the rewritten text)
+    // EXACTLY preserved — including the adjacent-interval union case.
+    val text = (0 until 100).map(i => s"a$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "hello world")).toDF("doc_id", "text")
+    val spans = ((0 until 1200).map { i =>
+      val st = (i % 41).toLong; (0L, 1L, st, st, 20L) // 1200 overlapping: [0,60)
+    } ++ Seq((0L, 1L, 60L, 60L, 10L), (0L, 1L, 70L, 70L, 10L))) // adjacent: [60,80)
+      .toDF("doc_a", "doc_b", "a_pos", "b_pos", "span_len")
+    val got = DedupQueries.substringCutOf(docs, spans).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got === Map(
+      1L -> (100L, 80L, (80 until 100).map(i => s"a$i").mkString(" ")),
+      2L -> (2L, 0L, "hello world")))
+  }
+
   test("d15 substring cut: keep-first rewrite, overlapping cut intervals, pass-through") {
     import spark.implicits._
     def words(from: Int, until: Int) = (from until until).map(i => s"a$i").mkString(" ")
