@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The shared versioned-manifest protocol (factored from IvfIndex in r15)
+  * and its segment-artifact layer: create-exclusive numbering, completeness
+  * sentinel (ADVICE r14 — torn partial bodies skipped like empty ones), and
+  * the versioned band-index / admission-postings integrations. */
+class ManifestsSpec extends SparkSpec {
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  test("publish/resolve round-trip: multi-line payload, highest complete manifest wins") {
+    val root = freshRoot("manifests")
+    assert(intercept[IllegalStateException] {
+      Manifests.resolve(spark, root)
+    }.getMessage.contains("nothing published"))
+    assert(Manifests.resolveOption(spark, root).isEmpty)
+    assert(Manifests.publish(spark, root, Seq("seg-a")) === 0L)
+    assert(Manifests.resolve(spark, root) === Seq("seg-a"))
+    assert(Manifests.publish(spark, root, Seq("seg-a", "seg-b")) === 1L)
+    assert(Manifests.resolve(spark, root) === Seq("seg-a", "seg-b"))
+  }
+
+  test("torn manifests: empty AND partial non-empty bodies are skipped, never resolved") {
+    // ADVICE r14: on create-visible filesystems the body is not atomic with
+    // the create — a reader can race a publisher into an empty OR a
+    // partially-written body. Both must read as in-flight-or-dead.
+    val root = freshRoot("manifests-torn")
+    Manifests.publish(spark, root, Seq("good"))
+    // planted in-flight/crashed cases ABOVE the live manifest:
+    java.nio.file.Files.createFile( // empty body
+      java.nio.file.Path.of(root, f"MANIFEST-${1L}%020d"))
+    java.nio.file.Files.writeString( // torn prefix: content, no sentinel
+      java.nio.file.Path.of(root, f"MANIFEST-${2L}%020d"), "good2\n#EN")
+    assert(Manifests.resolve(spark, root) === Seq("good"),
+      "incomplete manifests above the live one must not resolve")
+    // successor publishes number PAST the claims, and the planted bodies
+    // stay immutable (create-exclusive must not clobber)
+    assert(Manifests.publish(spark, root, Seq("good3")) === 3L)
+    assert(Manifests.resolve(spark, root) === Seq("good3"))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Path.of(root, f"MANIFEST-${2L}%020d")) === "good2\n#EN")
+    // a root holding ONLY incomplete manifests fails loudly — someone tried
+    // to publish and never finished; silence would mask a dead publisher
+    val torn = freshRoot("manifests-only-torn")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(torn, f"MANIFEST-${0L}%020d"), "half")
+    assert(intercept[IllegalStateException] {
+      Manifests.resolve(spark, torn)
+    }.getMessage.contains("no complete publish"))
+    assert(intercept[IllegalStateException] {
+      Manifests.resolveOption(spark, torn)
+    }.getMessage.contains("no complete publish"))
+  }
+
+  test("payload guard: newline-bearing or sentinel-valued lines are refused") {
+    val root = freshRoot("manifests-guard")
+    intercept[IllegalArgumentException] { Manifests.publish(spark, root, Seq("a\nb")) }
+    intercept[IllegalArgumentException] { Manifests.publish(spark, root, Seq("#END")) }
+    intercept[IllegalArgumentException] { Manifests.publish(spark, root, Seq.empty) }
+  }
+
+  test("segment artifact: appends are whole-versions-only, readers see a consistent set") {
+    import spark.implicits._
+    val root = freshRoot("segments")
+    val n0 = Manifests.appendSegment(Seq((1L, "a")).toDF("id", "v"), root)
+    assert(n0 === 0L)
+    assert(Manifests.readSegments(spark, root).collect().map(_.getLong(0)).toSet === Set(1L))
+    Manifests.appendSegment(Seq((2L, "b")).toDF("id", "v"), root)
+    assert(Manifests.readSegments(spark, root)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // a parquet dir written under the root but NOT yet manifest-listed (a
+    // mid-append crash, or an in-flight writer) is invisible to readers —
+    // the torn-read guarantee an in-place parquet append cannot give
+    Seq((99L, "half")).toDF("id", "v").write.parquet(s"$root/seg-orphan")
+    assert(Manifests.readSegments(spark, root)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("versioned band index: closed ingest loop through the published segments") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    def doc(prefix: String) = (0 until 12).map(i => s"$prefix$i").mkString(" ")
+    val root = freshRoot("bandidx-v")
+    val corpus0 = Seq((1L, doc("a")), (2L, doc("b"))).toDF("doc_id", "text")
+    DedupQueries.appendBandIndexVersioned(corpus0, root) // day 1: initial publish
+    // batch 1 against the resolved index: the corpus dup drops, the novel
+    // doc admits; its bands are appended AS A NEW VERSION
+    val b1 = Seq((10L, doc("b")), (11L, doc("x"))).toDF("doc_id", "text")
+    val adm1 = DedupQueries.incrementalDedup(corpus0, b1,
+      Some(DedupQueries.readBandIndexVersioned(spark, root)))
+    assert(adm1.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
+    DedupQueries.appendBandIndexVersioned(adm1, root)
+    // batch 2 duplicates ONLY batch 1's admission — visible solely through
+    // the re-resolved versioned index (corpus text = old ∪ admitted)
+    val corpus1 = corpus0.unionByName(adm1.select("doc_id", "text"))
+    val b2 = Seq((20L, doc("x")), (21L, doc("z"))).toDF("doc_id", "text")
+    val adm2 = DedupQueries.incrementalDedup(corpus1, b2,
+      Some(DedupQueries.readBandIndexVersioned(spark, root)))
+    assert(adm2.select("doc_id").collect().map(_.getLong(0)).toSet === Set(21L))
+    // a reader that resolved BEFORE the append still holds day-1's complete
+    // snapshot semantics; and a torn manifest planted above the live one
+    // leaves resolution on the newest complete version
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(root, f"MANIFEST-${9L}%020d"), "seg-bogus")
+    assert(DedupQueries.incrementalDedup(corpus1, b2,
+        Some(DedupQueries.readBandIndexVersioned(spark, root)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(21L))
+  }
+}
