@@ -183,7 +183,7 @@ object DedupQueries {
     * contains the shared SpanLen-gram at EVERY offset inside it, so
     * detection is exact at arbitrary alignment (unlike d8's fixed-stride
     * passages, which miss any copy shifted off the 16-token grid). */
-  private[queries] val SpanLen = 16
+  private[graft] val SpanLen = 16
 
   /** Posting cap for d14's all-position gram index — the same recall
     * contract as [[MaxShingleDf]]: a 16-token gram repeated in more than
@@ -251,9 +251,9 @@ object DedupQueries {
     * 100 TB twin. Anchor-ness is a property of the gram (all postings of a
     * gram share its hash), so a gram's df among anchors equals its full df
     * and the cap binds identically to the exact variant's. */
-  private[queries] def cappedAnchorPostings(documents: DataFrame, K: Int,
-                                            stride: Int,
-                                            maxDf: Int = MaxGramDf): DataFrame = {
+  private[graft] def cappedAnchorPostings(documents: DataFrame, K: Int,
+                                          stride: Int,
+                                          maxDf: Int = MaxGramDf): DataFrame = {
     val anchors = allGramPostings(documents, K)
       .where(pmod(col("h"), lit(stride)) === 0)
     val rare = anchors.groupBy("h").agg(count(lit(1)).as("df"))
@@ -277,7 +277,15 @@ object DedupQueries {
     * shared span select the SAME grams), so recall per shared span of
     * length L is 1 - (1 - 1/stride)^(L - SpanLen + 1), independent of
     * alignment. stride=4 reads ~0.99 at L = 2x SpanLen. */
-  private[queries] val AnchorStride = 4
+  private[graft] val AnchorStride = 4
+
+  /** Longest common prefix of two token arrays (zip_with pads the shorter
+    * side with nulls; null <=> token is false, so the scan stops there) —
+    * the d16 extension primitive, shared with the streaming anchor probe. */
+  private[graft] def lcpTokens(x: Column, y: Column): Column = {
+    val p = array_position(zip_with(x, y, (a, b) => a <=> b), lit(false))
+    when(p === 0, least(size(x), size(y)).cast("long")).otherwise(p - 1)
+  }
 
   /** Raw anchor-hash collision pairs with their diagonal — the d16
     * candidate join's input BEFORE island collapse (exposed so the planted
@@ -348,19 +356,14 @@ object DedupQueries {
     * the sampled span can then be the unsplit maximal one (a superset
     * interval of the exact variant's two halves). At test SFs the cap is
     * inert and the row-subset property is exact. */
-  private[queries] def substringDedupSampledOf(documents: DataFrame,
+  private[graft] def substringDedupSampledOf(documents: DataFrame,
                                                stride: Int = AnchorStride): DataFrame = {
     val K = SpanLen
     val toksDf = documents
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .where(size(col("ws")) >= K)
     val cand = anchorIslandCandidates(documents, stride)
-    // longest common prefix of two token arrays (zip_with pads the shorter
-    // side with nulls; null <=> token is false, so the scan stops there)
-    def lcp(x: Column, y: Column): Column = {
-      val p = array_position(zip_with(x, y, (a, b) => a <=> b), lit(false))
-      when(p === 0, least(size(x), size(y)).cast("long")).otherwise(p - 1)
-    }
+    val lcp = lcpTokens _
     cand
       .join(toksDf.select(col("doc_id").as("doc_a"), col("ws").as("wa")), Seq("doc_a"))
       .join(toksDf.select(col("doc_id").as("doc_b"), col("ws").as("wb")), Seq("doc_b"))
@@ -1283,19 +1286,8 @@ object DedupQueries {
     // kept list is NULL — the COALESCE rewrites a fully-cut doc to ''.
     "d15_substring_cut" ->
       s"""WITH $spanCtes,
-         |cutiv AS (SELECT doc_b AS doc_id, b_pos AS st, b_pos + span_len AS en FROM sp),
-         |civ AS (SELECT doc_id, list({'st': st, 'en': en}) AS iv FROM cutiv GROUP BY doc_id),
-         |ta AS (SELECT doc_id, $toks AS ws FROM documents),
-         |tc AS (SELECT ta.doc_id, ws, COALESCE(civ.iv, []) AS iv
-         |       FROM ta LEFT JOIN civ ON ta.doc_id = civ.doc_id),
-         |k AS (SELECT doc_id, ws,
-         |        [ws[i+1] for i in range(0, len(ws))
-         |         if len(list_filter(iv, v -> i >= v['st'] AND i < v['en'])) = 0] AS kept
-         |      FROM tc)
-         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
-         |       CAST(len(ws) - len(kept) AS BIGINT) AS n_cut,
-         |       COALESCE(array_to_string(kept, ' '), '') AS text
-         |FROM k""".stripMargin,
+         |${cutCtesFor("documents", "")}
+         |SELECT doc_id, n_tokens, n_cut, text FROM cut""".stripMargin,
 
     // d16: the anchor twin replayed exactly — postings restricted to grams
     // with h % stride = 0 (anchor-ness is a property of the gram, so the
@@ -1355,25 +1347,50 @@ object DedupQueries {
 
   /** Shared d14/d15 span CTE chain: all-position gram postings, the df cap,
     * the gram-hash join, diagonal gaps-and-islands to maximal spans `sp`. */
-  private lazy val spanCtes: String =
-    s"""tt AS (SELECT doc_id, $toks AS ws FROM documents),
-       |g AS (
+  private lazy val spanCtes: String = spanCtesFor("documents", "")
+
+  /** The span chain re-anchorable to ANY (doc_id, text) CTE/table `src`,
+    * CTE names prefixed with `p` so it can sit inside a larger cascade
+    * without collisions (p4 anchors it to the pipeline's quality-survivor
+    * set). Output: `${p}sp(doc_a, doc_b, a_pos, b_pos, span_len)`. */
+  private[queries] def spanCtesFor(src: String, p: String): String =
+    s"""${p}tt AS (SELECT doc_id, $toks AS ws FROM $src),
+       |${p}g AS (
        |  SELECT doc_id, u['pos'] AS pos, u['h'] AS h FROM (
        |    SELECT doc_id, unnest([{'pos': i, 'h': ${polyHashSql(
              s"array_to_string(ws[i+1 : i+$SpanLen], ' ')")}}
        |                           for i in range(0, len(ws) - ${SpanLen - 1})]) AS u
-       |    FROM tt WHERE len(ws) >= $SpanLen)),
-       |cg AS (SELECT doc_id, pos, h FROM (
-       |         SELECT g.*, COUNT(*) OVER (PARTITION BY h) AS df FROM g)
+       |    FROM ${p}tt WHERE len(ws) >= $SpanLen)),
+       |${p}cg AS (SELECT doc_id, pos, h FROM (
+       |         SELECT ${p}g.*, COUNT(*) OVER (PARTITION BY h) AS df FROM ${p}g)
        |       WHERE df <= $MaxGramDf),
-       |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |${p}m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |             a.pos AS a_pos, b.pos AS b_pos
-       |      FROM cg a JOIN cg b ON a.h = b.h AND a.doc_id < b.doc_id),
-       |i AS (SELECT *, a_pos - row_number() OVER (
+       |      FROM ${p}cg a JOIN ${p}cg b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |${p}i AS (SELECT *, a_pos - row_number() OVER (
        |        PARTITION BY doc_a, doc_b, a_pos - b_pos ORDER BY a_pos) AS isl
-       |      FROM m),
-       |sp AS (SELECT doc_a, doc_b, CAST(MIN(a_pos) AS BIGINT) AS a_pos,
+       |      FROM ${p}m),
+       |${p}sp AS (SELECT doc_a, doc_b, CAST(MIN(a_pos) AS BIGINT) AS a_pos,
        |         CAST(MIN(b_pos) AS BIGINT) AS b_pos,
        |         COUNT(*) + ${SpanLen - 1} AS span_len
-       |       FROM i GROUP BY doc_a, doc_b, a_pos - b_pos, isl)""".stripMargin
+       |       FROM ${p}i GROUP BY doc_a, doc_b, a_pos - b_pos, isl)""".stripMargin
+
+  /** The keep-first cut replayed over `src` against `${p}sp` — append after
+    * [[spanCtesFor]] with the same prefix. Output:
+    * `${p}cut(doc_id, n_tokens, n_cut, text)` — the d15 semantics (see the
+    * d15 oracle comment for the row-local formulation's sf1 rationale). */
+  private[queries] def cutCtesFor(src: String, p: String): String =
+    s"""${p}cutiv AS (SELECT doc_b AS doc_id, b_pos AS st, b_pos + span_len AS en FROM ${p}sp),
+       |${p}civ AS (SELECT doc_id, list({'st': st, 'en': en}) AS iv FROM ${p}cutiv GROUP BY doc_id),
+       |${p}ta AS (SELECT doc_id, $toks AS ws FROM $src),
+       |${p}tc AS (SELECT ${p}ta.doc_id, ws, COALESCE(${p}civ.iv, []) AS iv
+       |       FROM ${p}ta LEFT JOIN ${p}civ ON ${p}ta.doc_id = ${p}civ.doc_id),
+       |${p}k AS (SELECT doc_id, ws,
+       |        [ws[i+1] for i in range(0, len(ws))
+       |         if len(list_filter(iv, v -> i >= v['st'] AND i < v['en'])) = 0] AS kept
+       |      FROM ${p}tc),
+       |${p}cut AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |       CAST(len(ws) - len(kept) AS BIGINT) AS n_cut,
+       |       COALESCE(array_to_string(kept, ' '), '') AS text
+       |     FROM ${p}k)""".stripMargin
 }

@@ -133,6 +133,17 @@ object StreamRehearsal {
       .option("maxFilesPerTrigger", "1").parquet(docsFeed)
     val corpus = docs.where(col("doc_id") % 2 === 0)
     run("admission", Streams.admissionStream(dSrc, corpus))
+
+    // ---- the substring probe: same docs replay, anchor postings static --
+    // Evidences the r15 streaming substring twin's ZERO-state claim and
+    // the row-local single-emission geometry at volume: every emitted hit
+    // is one maximal span (the first-in-span-anchor rule suppressing the
+    // ~span/stride duplicate anchor hits with no state operator anywhere).
+    val posts = graft.Checkpoints.eager(Streams.substringPostings(corpus))
+    val store = graft.Checkpoints.eager(Streams.substringTokenStore(corpus))
+    val dSrc2 = spark.readStream.schema(dSchema)
+      .option("maxFilesPerTrigger", "1").parquet(docsFeed)
+    run("substring_probe", Streams.substringHitStream(dSrc2, posts, store))
     spark.stop()
   }
 }

@@ -99,6 +99,70 @@ class CurationPipelineSpec extends SparkSpec {
       assert(sh === (if (kr == 31) Some(0L) else None), s"doc $id: $kr -> $sh")
   }
 
+  test("p4 planted fixture: the cut changes BOTH the admission verdict and a shard assignment") {
+    import spark.implicits._
+    // ids planted by evaluating the real salted predicates (the p1 fixture
+    // recipe); all fixture texts are globally non-branching bigram streams,
+    // so every s2 survivor scores avg_p = 1.0 and the quality gate passes
+    // everything (p30 = 1.0) — p1's spec covers quality attrition.
+    val pool = spark.range(1, 4000).select(col("id").as("doc_id"))
+      .withColumn("source", lit("src1"))
+      .withColumn("smp", CurationQueries.samplePred)
+      .withColumn("mix", CurationQueries.mixPred)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3)))
+    val benchId = pool.collectFirst { case (id, false, _) if id % 20 == 0 => id }.get
+    val mixPass = pool.collect { case (id, true, true) if id % 20 != 0 => id }.sorted
+    assert(mixPass.length >= 6, "pool too small")
+    val Array(idSrc, idCut, k1, k2, k3, k4) = mixPass.take(6) // idSrc < idCut
+    def w(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val A = w("aa", 2000) // the duplicated span: ~13k chars, >> SpanLen
+    val fixture = Seq(
+      benchId -> w("bz", 8),
+      idSrc -> A,                                     // keep-first survivor
+      idCut -> (w("bb", 100) + " " + A + " " + w("cc", 100)), // owes the A cut
+      k1 -> w("ka", 1000), k2 -> w("kb", 1000),
+      k3 -> w("kc", 1000), k4 -> w("kd", 1000)
+    ).map { case (id, t) => (id, "en", "src1", t.length.toLong, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val got = PipelineQueries.pipelineCutOf(fixture)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+         Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    // ADMISSION flips: uncut, idCut is a d3 near-dup of idSrc (Jaccard
+    // ≈ 0.83) and p1 rejects it at stage 4; cut, the shared span is gone
+    // from idCut's text, the pair dissolves, and BOTH are fully kept
+    val p1got = PipelineQueries.pipelineOf(fixture)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(p1got(idCut) === 7, "uncut, the copy must fall at p1's near-dup stage")
+    assert(p1got(idSrc) === 31)
+    assert(got(idCut)._1 === 31, "cut, the rewritten doc must be admitted")
+    assert(got(idCut)._2 === Some(2000L), "the A span is cut from the doc_b copy")
+    assert(got(idSrc) === (31, Some(0L), got(idSrc)._3), "keep-first: the min id keeps A")
+    // SHARD: replay c6's sequential pack over the REWRITTEN lengths — p4's
+    // shards must match it exactly, and replaying the same kept set over
+    // the UNCUT lengths must assign at least one doc differently (the cut
+    // moves ~13k chars out of a 20k-char budget stream)
+    val texts = fixture.collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val rewritten = texts.map { case (id, t) =>
+      id -> (if (id == idCut) (w("bb", 100) + " " + w("cc", 100)) else t) }
+    val kept = got.collect { case (id, (31, _, _)) => id }.toSeq
+    val key = kept.toDF("doc_id")
+      .withColumn("k", CurationQueries.saltedHash("shard", col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def replay(len: Long => Long): Map[Long, Long] = {
+      var run = 0L
+      kept.sortBy(id => (key(id), id)).map { id =>
+        val sh = run / CurationQueries.ShardBudget
+        run += len(id); id -> sh
+      }.toMap
+    }
+    val cutPack = replay(id => rewritten(id).length.toLong)
+    val uncutPack = replay(id => texts(id).length.toLong)
+    for (id <- kept) assert(got(id)._3 === Some(cutPack(id)), s"doc $id")
+    assert(kept.exists(id => cutPack(id) != uncutPack(id)),
+      s"the cut must move a shard boundary: $cutPack vs $uncutPack")
+  }
+
   test("p2 planted fixture: every admission outcome exercised, frozen-LOO bar exact") {
     import spark.implicits._
     // plant ids by evaluating the real salted predicates (as the p1 fixture

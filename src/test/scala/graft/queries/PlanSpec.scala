@@ -148,6 +148,19 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin Build(Left|Right), Inner".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("p4 cut pipeline: checkpoint-fed verdict, no parquet re-read, keyed joins only") {
+    // same contract as p1/p3 with the cut branch in the flow: the span
+    // build, the cut rewrite, and the cut-text d3 all derive from the s3
+    // checkpoint — the corpus parquet is scanned once (by the day-1 build),
+    // never by the assembled verdict plan; joins stay keyed (gram-hash /
+    // bkey / doc_id equi-joins)
+    val df = PipelineQueries.defs("p4_pipeline_cut")(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin Build(Left|Right), Inner".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("d12/d13 incremental dedup: every join stays keyed — no nested-loop, no cartesian") {
     // the ingest-path keys: band-key / (cid, scid) equi-joins only — a
     // degradation here is the difference between O(batch) and O(corpus²)/day
