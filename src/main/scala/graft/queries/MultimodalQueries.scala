@@ -101,8 +101,50 @@ object MultimodalQueries {
         .select(col("a").as("media_id_a"), col("b").as("media_id_b"),
           graft.functions.VectorFunctions.l1(col("ha"), col("hb")).as("l1"))
         .where(col("l1") <= L1NearDupT)
+    }),
+
+    // MEDIA-EMBEDDING ANN (m7, r15; VERDICT r14 missing #4 — cross-modal
+    // retrieval stopped at m6's pairwise L1; a user with CLIP-style media
+    // vectors had to re-build the s2 plumbing): top-k cosine retrieval
+    // over a media FEATURE-VECTOR column, the s2 LSH-bucketed shape run on
+    // the codec features. The vector here is the 16-bucket byte histogram
+    // as double — the container's deterministic stand-in for a learned
+    // media embedding; a real CLIP/CLAP vector drops in by swapping the
+    // extractor, every downstream piece (normalization, hyperplane
+    // bucketing, same-kind candidate join, exact cosine top-k) is
+    // dimension-parametric and transfers unchanged. Blocking is bucket ∧
+    // same-kind (retrieval within a modality); candidates O(n) keyed rows,
+    // never all-pairs; ranking the s2 (cos desc, id asc) contract.
+    "m7_media_ann" -> ((s, d) => {
+      val V = graft.functions.VectorFunctions
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(docs(s, d))
+      val f = graft.multimodal.Multimodal.extractFeatures(media).toDF()
+        .where(col("n_bytes") > 0) // an empty payload has no direction
+        .select(col("media_id"), col("kind"),
+          transform(col("histogram16"), _.cast("double")).as("mv"))
+        .withColumn("nrm", sqrt(V.dot(col("mv"), col("mv"))))
+        .withColumn("bkt", V.lshBucket(col("mv"), MediaAnnPlanes, MediaAnnDim))
+      val q = f.where(col("media_id") < 10)
+        .select(col("media_id").as("query_id"), col("kind"),
+          col("mv").as("qv"), col("nrm").as("qn"), col("bkt").as("qbkt"))
+      val scored = q.join(f,
+          col("qbkt") === col("bkt") && q("kind") === f("kind") &&
+            col("media_id") =!= col("query_id"))
+        .select(col("query_id"), col("media_id").as("neighbor_id"),
+          (V.dot(col("qv"), col("mv")) / (col("qn") * col("nrm"))).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= MediaAnnTopK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     })
   )
+
+  /** m7 dial: 16-dim histogram vectors, 8 hyperplanes (the d7 bucket
+    * count), s-family top-k. */
+  private val MediaAnnDim = 16
+  private val MediaAnnPlanes = 8
+  private val MediaAnnTopK = 5
 
   /** m6 near-dup bound: max L1 histogram distance (<= T byte edits moves at
     * most T unit counts... each changed byte moves 2; planted near-dups in
@@ -187,6 +229,42 @@ object MultimodalQueries {
          |  SELECT l.a, r.b,
          |    CAST(list_sum([abs(ha[i+1] - hb[i+1]) for i in range(0, 16)]) AS BIGINT) AS l1
          |  FROM l JOIN r ON l.kind = r.kind AND l.probe = r.probe AND l.a < r.b)
-         |SELECT a AS media_id_a, b AS media_id_b, l1 FROM pairs WHERE l1 <= $L1NearDupT""".stripMargin
+         |SELECT a AS media_id_a, b AS media_id_b, l1 FROM pairs WHERE l1 <= $L1NearDupT""".stripMargin,
+
+    // m7: the same stub-codec histogram as m3/m6 — as a DOUBLE vector —
+    // then s2's oracle shape verbatim: sequential-fold dot (bit-identical
+    // to the codegen'd engine fold), the shared hyperplane bucket SQL,
+    // same-kind bucket join, (cos DESC, id ASC) rank.
+    "m7_media_ann" ->
+      s"""WITH f AS (
+         |  SELECT doc_id AS media_id,
+         |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |    list_transform(split(text, ''), c -> ord(c)) AS os
+         |  FROM documents),
+         |v AS (
+         |  SELECT media_id, kind,
+         |    [CAST(len(list_filter(os, o -> o // 16 = b)) AS DOUBLE) for b in range(0, 16)] AS mv
+         |  FROM f WHERE n_bytes > 0),
+         |e AS (
+         |  SELECT media_id, kind, mv, sqrt(${dot16Sql("mv", "mv")}) AS nrm,
+         |    ${graft.functions.LshBucket.sql("mv", 8, 16)} AS bkt
+         |  FROM v),
+         |scored AS (
+         |  SELECT q.media_id AS query_id, e.media_id AS neighbor_id,
+         |    ${dot16Sql("q.mv", "e.mv")} / (q.nrm * e.nrm) AS cos
+         |  FROM e q JOIN e ON q.media_id < 10 AND e.bkt = q.bkt
+         |    AND e.kind = q.kind AND e.media_id <> q.media_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin
   )
+
+  /** 16-dim sequential-fold dot — the engine's left-fold order exactly. */
+  private def dot16Sql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(0, 16), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))), " +
+      s"(acc, v) -> acc + v)"
 }

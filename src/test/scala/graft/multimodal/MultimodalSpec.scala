@@ -45,6 +45,35 @@ class MultimodalSpec extends SparkSpec {
       .forall { case (a, b) => java.util.Arrays.equals(a.payload, b.payload) })
   }
 
+
+  test("m7 media ANN: rank contract, exact-dup media at rank 1, bucket recall bound") {
+    val got = graft.queries.MultimodalQueries.defs("m7_media_ann")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // per query: ranks are 1..k contiguous, cosines non-increasing, ties id-asc
+    for ((qid, rows) <- got.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to rows.length).toSeq, s"query $qid")
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray) if rows.length > 1)
+        assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3), s"query $qid order")
+    }
+    // the corpus plants exact-dup texts; an exact-dup pair has identical
+    // payload bytes, hence identical histograms — same bucket ALWAYS (the
+    // LSH recall floor), cosine exactly 1.0 — and the same kind iff ids are
+    // congruent mod 3. Find one such pair with a query-side id and assert
+    // it surfaces at rank 1.
+    val d = Tables.documents(spark, sf())
+    val dup = d.as("a").join(d.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("a.doc_id") % 3 === col("b.doc_id") % 3 && col("a.doc_id") < 10)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    for ((q, n) <- dup) {
+      val hit = got.filter(r => r._1 == q && r._3 == n)
+      assert(hit.nonEmpty && hit.head._4 === 1.0, s"exact dup $q -> $n must surface")
+    }
+  }
+
   test("metadata summary never reads payload (column pruning)") {
     val summary = Multimodal.metadataSummary(media)
     assert(summary.collect().map(_.getLong(2)).sum === media.count())
