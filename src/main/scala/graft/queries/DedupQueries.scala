@@ -317,6 +317,12 @@ object DedupQueries {
     * islands; each extends to the same maximal bounds and the downstream
     * `.distinct()` merges them — output provably identical to per-anchor
     * extension, work O(L) per span, one token-array join row per island.
+    * The one non-identity window is a ~1e-4-rare gram-hash COLLISION
+    * landing within K on the same diagonal (the "provably one span" step
+    * assumes gram match ⇒ token equality), so the ORACLE replays this
+    * island rule verbatim (sorted per-diagonal positions, first-in-island
+    * filter) — both engines merge even a collision identically, keeping
+    * the d2 gate-valid-at-any-scale convention.
     *
     * Shape: the islands pass is a row-local indexed `filter` over each
     * diagonal's collected position array — per-group state is O(anchors on
@@ -1291,11 +1297,15 @@ object DedupQueries {
 
     // d16: the anchor twin replayed exactly — postings restricted to grams
     // with h % stride = 0 (anchor-ness is a property of the gram, so the
-    // df cap binds identically), anchor-hash candidate join, then the same
-    // bidirectional longest-common-prefix extension the engine computes
-    // with zip_with/array_position, here as list_zip/list_position (both
-    // pad the shorter list with NULLs; NULL <=> token is false on both
-    // engines, so the scan stops at the first mismatch or length end).
+    // df cap binds identically), anchor-hash candidate join, the r15
+    // ISLAND COLLAPSE (per-diagonal sorted positions filtered to island
+    // starts — the engine's rule verbatim, so even the ~1e-4-rare
+    // gram-hash-collision merges behave identically in both engines: the
+    // d2 convention), then the same bidirectional longest-common-prefix
+    // extension the engine computes with zip_with/array_position, here as
+    // list_zip/list_position (both pad the shorter list with NULLs;
+    // NULL <=> token is false on both engines, so the scan stops at the
+    // first mismatch or length end).
     "d16_substring_anchors" ->
       s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),
          |g AS (
@@ -1308,10 +1318,21 @@ object DedupQueries {
          |ca AS (SELECT doc_id, pos, h FROM (
          |         SELECT anch.*, COUNT(*) OVER (PARTITION BY h) AS df FROM anch)
          |       WHERE df <= $MaxGramDf),
-         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |                a.pos AS a_pos, b.pos AS b_pos
          |         FROM ca a JOIN ca b ON a.h = b.h AND a.doc_id < b.doc_id),
-         |j AS (SELECT cand.*, ta.ws AS wa, tb.ws AS wb
+         |diagp AS (SELECT doc_a, doc_b, a_pos - b_pos AS diag,
+         |            list_sort(list(a_pos)) AS ps
+         |          FROM hits GROUP BY doc_a, doc_b, a_pos - b_pos),
+         |isl AS (SELECT doc_a, doc_b, diag,
+         |          unnest(list_filter(ps, (p, i) -> i = 1 OR p - ps[i-1] > $SpanLen)) AS a_pos
+         |        FROM diagp),
+         |cand AS (SELECT doc_a, doc_b, a_pos, a_pos - diag AS b_pos FROM isl),
+         |-- MATERIALIZED: at sf1 DuckDB 1.x segfaults when the island
+         |-- unnest(list_filter) chain and the downstream LCP lambdas fuse
+         |-- into one pipeline (the r14 CASE-over-lambda crash family —
+         |-- bisected the same way: j alone materialized is sufficient)
+         |j AS MATERIALIZED (SELECT cand.*, ta.ws AS wa, tb.ws AS wb
          |      FROM cand JOIN tt ta ON ta.doc_id = cand.doc_a
          |                JOIN tt tb ON tb.doc_id = cand.doc_b),
          |e0 AS (SELECT doc_a, doc_b, a_pos, b_pos, len(wa) AS la, len(wb) AS lb,
