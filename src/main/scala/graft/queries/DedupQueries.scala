@@ -97,7 +97,7 @@ object DedupQueries {
 
   /** Evict this session's memoized checkpoints (long-lived services). */
   def clearCaches(s: SparkSession): Unit = {
-    pairsCache.clear(s); shCache.clear(s); spansCache.clear(s)
+    pairsCache.clear(s); shCache.clear(s); spansCache.clear(s); anchorCache.clear(s)
   }
 
   private[queries] def cachedEntryCount: Int = pairsCache.size
@@ -253,13 +253,30 @@ object DedupQueries {
     * and the cap binds identically to the exact variant's. */
   private[graft] def cappedAnchorPostings(documents: DataFrame, K: Int,
                                           stride: Int,
-                                          maxDf: Int = MaxGramDf): DataFrame = {
-    val anchors = allGramPostings(documents, K)
-      .where(pmod(col("h"), lit(stride)) === 0)
+                                          maxDf: Int = MaxGramDf): DataFrame =
+    capAnchors(rawAnchorPostings(documents, K, stride), maxDf)
+
+  private def rawAnchorPostings(documents: DataFrame, K: Int, stride: Int): DataFrame =
+    allGramPostings(documents, K).where(pmod(col("h"), lit(stride)) === 0)
+
+  private def capAnchors(anchors: DataFrame, maxDf: Int): DataFrame = {
     val rare = anchors.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select("h")
     anchors.join(rare, Seq("h"), "left_semi")
   }
+
+  /** Memoized RAW anchor postings per (session, dir) — the gated d16's
+    * staging: the anchor frame feeds the df-count aggregate, the semi-join
+    * probe, AND both sides of the candidate self-join; unstaged, the gram
+    * scan (tokenize + hash every position — the pipeline's heaviest map
+    * stage) re-executes per branch (measured 2.5→1.6 s at sf0.1; at 100 TB
+    * the same staging is a persisted postings table, the d2 shCache
+    * rationale). Freed via [[clearCaches]]. */
+  private val anchorCache = new SessionCache[String]
+
+  private def anchorPostings(s: SparkSession, d: String): DataFrame =
+    anchorCache.getOrElseUpdate(s, d)(SharedBuilds.timed("anchor_postings")(
+      rawAnchorPostings(docs(s, d), SpanLen, AnchorStride).eagerCheckpoint()))
 
   /** (doc_id, pos, h): the K-gram posting at every 0-based token offset. */
   private def allGramPostings(documents: DataFrame, K: Int): DataFrame =
@@ -291,14 +308,15 @@ object DedupQueries {
     * candidate join's input BEFORE island collapse (exposed so the planted
     * long-span spec can assert the collapse ratio directly). One row per
     * colliding (anchor-in-a, anchor-in-b) pair. */
-  private[queries] def anchorPairHits(documents: DataFrame, stride: Int): DataFrame = {
-    val anchors = cappedAnchorPostings(documents, SpanLen, stride)
+  private[queries] def anchorPairHits(documents: DataFrame, stride: Int): DataFrame =
+    anchorPairHitsOf(cappedAnchorPostings(documents, SpanLen, stride))
+
+  private def anchorPairHitsOf(anchors: DataFrame): DataFrame =
     anchors.as("a").join(anchors.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("a_pos"), col("b.pos").as("b_pos"),
         (col("a.pos") - col("b.pos")).as("diag"))
-  }
 
   /** ONE extension candidate per same-diagonal anchor ISLAND (VERDICT r14
     * #1 — the d16 plan defect): a shared span of length L contains ~L/stride
@@ -330,7 +348,10 @@ object DedupQueries {
     * combines map-side, and NO Window buffers a posting stream
     * (PlanSpec-pinned: the sampled twin plans zero Window nodes). */
   private[queries] def anchorIslandCandidates(documents: DataFrame, stride: Int): DataFrame =
-    anchorPairHits(documents, stride)
+    anchorIslandCandidatesOf(cappedAnchorPostings(documents, SpanLen, stride))
+
+  private def anchorIslandCandidatesOf(capped: DataFrame): DataFrame =
+    anchorPairHitsOf(capped)
       .groupBy("doc_a", "doc_b", "diag")
       .agg(array_sort(collect_list(col("a_pos"))).as("ps"))
       .select(col("doc_a"), col("doc_b"), col("diag"),
@@ -363,12 +384,22 @@ object DedupQueries {
     * interval of the exact variant's two halves). At test SFs the cap is
     * inert and the row-subset property is exact. */
   private[graft] def substringDedupSampledOf(documents: DataFrame,
-                                               stride: Int = AnchorStride): DataFrame = {
+                                             stride: Int = AnchorStride): DataFrame =
+    substringDedupFrom(documents, cappedAnchorPostings(documents, SpanLen, stride))
+
+  /** The gated d16: same pipeline, the raw anchor frame staged via
+    * [[anchorPostings]] (one gram scan instead of one per consuming
+    * branch; the cap's df aggregate and semi-join probe read the
+    * materialized blocks, as does each side of the candidate self-join). */
+  private def substringDedupSampledStaged(s: SparkSession, d: String): DataFrame =
+    substringDedupFrom(docs(s, d), capAnchors(anchorPostings(s, d), MaxGramDf))
+
+  private def substringDedupFrom(documents: DataFrame, capped: DataFrame): DataFrame = {
     val K = SpanLen
     val toksDf = documents
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .where(size(col("ws")) >= K)
-    val cand = anchorIslandCandidates(documents, stride)
+    val cand = anchorIslandCandidatesOf(capped)
     val lcp = lcpTokens _
     cand
       .join(toksDf.select(col("doc_id").as("doc_a"), col("ws").as("wa")), Seq("doc_a"))
@@ -880,7 +911,7 @@ object DedupQueries {
     // spec-pinned against the exact variant; the oracle replays anchor
     // selection, the df cap, and the LCP extension, so the recall dial's
     // semantics are gate-checked, not just asserted equal at stride 1.
-    "d16_substring_anchors" -> ((s, d) => substringDedupSampledOf(docs(s, d)))
+    "d16_substring_anchors" -> ((s, d) => substringDedupSampledStaged(s, d))
   )
 
   /** The d10 per-vector frame (cid, vec_id, v, nrm, ccos): trained-quantizer
