@@ -93,11 +93,11 @@ object DedupQueries {
 
   private[queries] def substringSpans(s: SparkSession, d: String): DataFrame =
     spansCache.getOrElseUpdate(s, d)(SharedBuilds.timed("substring_spans")(
-      substringDedupOf(docs(s, d)).eagerCheckpoint()))
+      spansFromCapped(capPostings(gramPostings(s, d), MaxGramDf)).eagerCheckpoint()))
 
   /** Evict this session's memoized checkpoints (long-lived services). */
   def clearCaches(s: SparkSession): Unit = {
-    pairsCache.clear(s); shCache.clear(s); spansCache.clear(s); anchorCache.clear(s)
+    pairsCache.clear(s); shCache.clear(s); spansCache.clear(s); gramCache.clear(s)
   }
 
   private[queries] def cachedEntryCount: Int = pairsCache.size
@@ -212,9 +212,11 @@ object DedupQueries {
     * (doc_a, doc_b, a_pos, b_pos, span_len), positions 0-based token
     * offsets, pairs ordered doc_a < doc_b. Gram-hash collisions (P ~ 2^30)
     * are ~1e-4-rare and identical in both engines — the d2 convention. */
-  private[queries] def substringDedupOf(documents: DataFrame): DataFrame = {
+  private[queries] def substringDedupOf(documents: DataFrame): DataFrame =
+    spansFromCapped(cappedGramPostings(documents, SpanLen))
+
+  private def spansFromCapped(capped: DataFrame): DataFrame = {
     val K = SpanLen
-    val capped = cappedGramPostings(documents, K)
     val m = capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -240,12 +242,8 @@ object DedupQueries {
     * semi-join re-keys postings by h — the same partitioning the candidate
     * self-join needs next, so the exchange is reused, not added. */
   private[queries] def cappedGramPostings(documents: DataFrame, K: Int,
-                                          maxDf: Int = MaxGramDf): DataFrame = {
-    val grams = allGramPostings(documents, K)
-    val rare = grams.groupBy("h").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select("h")
-    grams.join(rare, Seq("h"), "left_semi")
-  }
+                                          maxDf: Int = MaxGramDf): DataFrame =
+    capPostings(allGramPostings(documents, K), maxDf)
 
   /** Same cap, same idiom, over the mod-sampled anchor postings of the
     * 100 TB twin. Anchor-ness is a property of the gram (all postings of a
@@ -254,29 +252,32 @@ object DedupQueries {
   private[graft] def cappedAnchorPostings(documents: DataFrame, K: Int,
                                           stride: Int,
                                           maxDf: Int = MaxGramDf): DataFrame =
-    capAnchors(rawAnchorPostings(documents, K, stride), maxDf)
+    capPostings(allGramPostings(documents, K)
+      .where(pmod(col("h"), lit(stride)) === 0), maxDf)
 
-  private def rawAnchorPostings(documents: DataFrame, K: Int, stride: Int): DataFrame =
-    allGramPostings(documents, K).where(pmod(col("h"), lit(stride)) === 0)
-
-  private def capAnchors(anchors: DataFrame, maxDf: Int): DataFrame = {
-    val rare = anchors.groupBy("h").agg(count(lit(1)).as("df"))
+  /** The df cap as a reusable stage over any (doc_id, pos, h) posting
+    * frame — the aggregate-then-semi-join idiom (see [[cappedGramPostings]]
+    * for why never a Window). */
+  private def capPostings(postings: DataFrame, maxDf: Int): DataFrame = {
+    val rare = postings.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select("h")
-    anchors.join(rare, Seq("h"), "left_semi")
+    postings.join(rare, Seq("h"), "left_semi")
   }
 
-  /** Memoized RAW anchor postings per (session, dir) — the gated d16's
-    * staging: the anchor frame feeds the df-count aggregate, the semi-join
-    * probe, AND both sides of the candidate self-join; unstaged, the gram
-    * scan (tokenize + hash every position — the pipeline's heaviest map
-    * stage) re-executes per branch (measured 2.5→1.6 s at sf0.1; at 100 TB
-    * the same staging is a persisted postings table, the d2 shCache
+  /** Memoized RAW all-position gram postings per (session, dir) — the
+    * substring family's shared staging: the gram scan (tokenize + hash
+    * every position, the family's heaviest map stage) otherwise re-executes
+    * on every consuming branch — the cap's df aggregate, its semi-join
+    * probe, and both sides of the candidate self-join, in BOTH the exact
+    * (d14/d15) and anchor (d16 — one filter over the same blocks) variants.
+    * Measured at sf0.1: spans build 3.0 → 1.5 s, d16 2.8 → 1.6 s. At
+    * 100 TB the same staging is a persisted postings table (the d2 shCache
     * rationale). Freed via [[clearCaches]]. */
-  private val anchorCache = new SessionCache[String]
+  private val gramCache = new SessionCache[String]
 
-  private def anchorPostings(s: SparkSession, d: String): DataFrame =
-    anchorCache.getOrElseUpdate(s, d)(SharedBuilds.timed("anchor_postings")(
-      rawAnchorPostings(docs(s, d), SpanLen, AnchorStride).eagerCheckpoint()))
+  private def gramPostings(s: SparkSession, d: String): DataFrame =
+    gramCache.getOrElseUpdate(s, d)(SharedBuilds.timed("gram_postings")(
+      allGramPostings(docs(s, d), SpanLen).eagerCheckpoint()))
 
   /** (doc_id, pos, h): the K-gram posting at every 0-based token offset. */
   private def allGramPostings(documents: DataFrame, K: Int): DataFrame =
@@ -387,12 +388,14 @@ object DedupQueries {
                                              stride: Int = AnchorStride): DataFrame =
     substringDedupFrom(documents, cappedAnchorPostings(documents, SpanLen, stride))
 
-  /** The gated d16: same pipeline, the raw anchor frame staged via
-    * [[anchorPostings]] (one gram scan instead of one per consuming
-    * branch; the cap's df aggregate and semi-join probe read the
-    * materialized blocks, as does each side of the candidate self-join). */
+  /** The gated d16: same pipeline, the anchor frame derived by filtering
+    * the session's staged [[gramPostings]] blocks (ONE gram scan shared
+    * with the d14/d15 span build; the cap's df aggregate, its semi-join
+    * probe, and both candidate self-join sides all read materialized
+    * blocks). */
   private def substringDedupSampledStaged(s: SparkSession, d: String): DataFrame =
-    substringDedupFrom(docs(s, d), capAnchors(anchorPostings(s, d), MaxGramDf))
+    substringDedupFrom(docs(s, d), capPostings(
+      gramPostings(s, d).where(pmod(col("h"), lit(AnchorStride)) === 0), MaxGramDf))
 
   private def substringDedupFrom(documents: DataFrame, capped: DataFrame): DataFrame = {
     val K = SpanLen
