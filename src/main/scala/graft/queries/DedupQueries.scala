@@ -215,6 +215,15 @@ object DedupQueries {
   private[queries] def substringDedupOf(documents: DataFrame): DataFrame =
     spansFromCapped(cappedGramPostings(documents, SpanLen))
 
+  /** The span pipeline with the raw gram postings routed through a
+    * caller-supplied staging hook (eager checkpoint + ownership) — for
+    * composed flows that span-detect a DERIVED doc set (p4's quality
+    * survivors) and manage their own block lifecycle, the same
+    * re-scan-per-branch rationale as [[gramPostings]]. */
+  private[queries] def substringDedupStagedBy(documents: DataFrame)
+                                             (stage: DataFrame => DataFrame): DataFrame =
+    spansFromCapped(capPostings(stage(allGramPostings(documents, SpanLen)), MaxGramDf))
+
   private def spansFromCapped(capped: DataFrame): DataFrame = {
     val K = SpanLen
     val m = capped.as("a").join(capped.as("b"),

@@ -274,7 +274,12 @@ object PipelineQueries {
       * Checkpointed: feeds the cut-d3 shingle build, the anti-join spine,
       * and the verdict's n_cut column. */
     lazy val cutDocs: DataFrame = own {
-      val cut = DedupQueries.substringCutOf(s3, DedupQueries.substringDedupOf(s3))
+      // the span build's gram scan over s3 is staged (owned checkpoint):
+      // unstaged it re-executes on the cap aggregate, the semi-join probe
+      // and both self-join sides — the DedupQueries.gramPostings rationale,
+      // here over the derived survivor set
+      val spans = DedupQueries.substringDedupStagedBy(s3)(g => own(g.eagerCheckpoint()))
+      val cut = DedupQueries.substringCutOf(s3, spans)
       s3.select("doc_id", "lang", "source")
         .join(cut.select("doc_id", "n_cut", "text"), "doc_id")
         .eagerCheckpoint()

@@ -428,6 +428,39 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists { case (a, _, _, _, _) => a == 11L || a == 13L })
   }
 
+  test("substring probe over VERSIONED artifacts: corpus growth visible, torn manifest skipped") {
+    // the probe's persisted pair (anchor postings + token store) rides the
+    // same Manifests protocol as the admission postings — whole published
+    // versions only, tokens published before postings so a reader can
+    // never resolve a posting whose cid the token store lacks
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def w(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val root = java.nio.file.Files.createTempDirectory("substr-v").toString
+    def runOnce(name: String): Set[(Long, Long)] = {
+      val (posts, toks) = Streams.substringArtifactsVersioned(spark, root)
+      val input = MemoryStream[(Long, String)]
+      input.addData((20L, w("aa", 40)), (21L, w("bb", 40)))
+      val q = Streams.substringHitStream(
+          input.toDF().toDF("doc_id", "text"), posts, toks)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // corpus v1: only the aa content exists
+    Streams.publishSubstringArtifacts(Seq((1L, w("aa", 40))).toDF("doc_id", "text"), root)
+    assert(runOnce("sub_v1") === Set((20L, 1L)))
+    // corpus v2 appended: bb content — a re-created stream sees both; a
+    // torn manifest above the live postings version must not break it
+    Streams.publishSubstringArtifacts(Seq((2L, w("bb", 40))).toDF("doc_id", "text"), root)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(root, "postings", f"MANIFEST-${7L}%020d"), "seg-torn")
+    assert(runOnce("sub_v2") === Set((20L, 1L), (21L, 2L)))
+  }
+
   test("streaming vector ingest equals the batch IVF cell assignment exactly") {
     // map-side literal argmax on the stream == broadcast-join argmax in batch
     // (same (cos, -cid) composite, bit-identical cosines)
