@@ -224,7 +224,7 @@ object DedupQueries {
                                              (stage: DataFrame => DataFrame): DataFrame =
     spansFromCapped(capPostings(stage(allGramPostings(documents, SpanLen)), MaxGramDf))
 
-  private def spansFromCapped(capped: DataFrame): DataFrame = {
+  private[queries] def spansFromCapped(capped: DataFrame): DataFrame = {
     val K = SpanLen
     val m = capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -406,7 +406,7 @@ object DedupQueries {
     substringDedupFrom(docs(s, d), capPostings(
       gramPostings(s, d).where(pmod(col("h"), lit(AnchorStride)) === 0), MaxGramDf))
 
-  private def substringDedupFrom(documents: DataFrame, capped: DataFrame): DataFrame = {
+  private[queries] def substringDedupFrom(documents: DataFrame, capped: DataFrame): DataFrame = {
     val K = SpanLen
     val toksDf = documents
       .select(col("doc_id"), tokens(col("text")).as("ws"))

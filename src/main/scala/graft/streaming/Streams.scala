@@ -883,6 +883,17 @@ object Streams {
     * lies inside the shared span), so "first in-span" selects exactly one
     * hit per (arrival, corpus doc, span) with no cross-row state.
     *
+    * CAP-ACTIVE caveat (one notch past the batch d16's own): the "every
+    * in-span anchor collides" premise fails for an anchor whose gram is
+    * df-capped out of the posting artifact — if the span's FIRST in-span
+    * arrival anchor is such a hot gram, its hit row never exists and the
+    * later anchors' rows fail the first-in-span test, so the stream
+    * reports NOTHING for that span (where the capped batch run reports it
+    * unsplit via rare anchors). Inert wherever the cap is (every test
+    * scale); on a boilerplate-heavy production corpus the nightly batch
+    * pass — the published substring-dedup norm — remains the span source
+    * of truth, and the stream is its early-warning probe.
+    *
     * 100 TB notes: state ZERO; per-batch work is O(arrival anchors) probe
     * rows (~tokens/stride) joined against the posting artifact, plus the
     * token-store lookup per colliding pair. The probe joins are

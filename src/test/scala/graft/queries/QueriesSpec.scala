@@ -180,6 +180,45 @@ class QueriesSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 0L, 5L, 600L)))
   }
 
+  test("d14/d16 gram-df cap ACTIVE: exact variant splits at the hot gram, anchor twin extends through") {
+    import spark.implicits._
+    // the documented cap-active contracts, pinned: a 56-token shared span
+    // whose middle 16 tokens are boilerplate B planted in 30 other docs
+    // (df(B) = 32 > cap 10). Exactly ONE gram sits fully inside B (the B
+    // gram itself); every gram overlapping B partially carries pair-unique
+    // tokens (df 2, rare).
+    def w(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val B = w("boil", 16)
+    val span = w("u", 20) + " " + B + " " + w("v", 20) // 56 tokens
+    val fixture = (Seq(
+      1L -> (span + " " + w("x", 5)),
+      2L -> (span + " " + w("y", 5))) ++
+      (0 until 30).map(i => (100L + i) -> (s"z${i}a z${i}b " + B)))
+      .toDF("doc_id", "text")
+    def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // uncapped: one maximal 56-token span for (1,2); every doc carrying B
+    // pairs with every other at the 16-token B span
+    val un = spans(DedupQueries.substringDedupOf(fixture)) // default cap 1000, inert
+    assert(un.count(s => s._1 == 1L && s._2 == 2L) === 1)
+    assert(un.find(s => s._1 == 1L && s._2 == 2L).get._5 === 56L)
+    assert(un.count(s => s._1 >= 100L) === 30 * 29 / 2) // B-doc pairs, span 16
+    // cap 10 ACTIVE: the hot B gram's postings drop. Exact variant: the
+    // (1,2) diagonal loses position 20, gaps-and-islands SPLITS the span
+    // into two 35-token halves; the B-only docs share nothing rare → no
+    // pairs at all
+    val capped = spans(DedupQueries.spansFromCapped(
+      DedupQueries.cappedGramPostings(fixture, DedupQueries.SpanLen, maxDf = 10)))
+    assert(capped.toSet === Set((1L, 2L, 0L, 0L, 35L), (1L, 2L, 21L, 21L, 35L)))
+    // anchor twin at stride 1, same cap: candidates come only from rare
+    // anchors, but the exact token-compare extension runs THROUGH the
+    // capped gram — the span is reported UNSPLIT (the documented superset
+    // caveat), and the B-only docs still produce nothing
+    val anchorCapped = spans(DedupQueries.substringDedupFrom(fixture,
+      DedupQueries.cappedAnchorPostings(fixture, DedupQueries.SpanLen, stride = 1, maxDf = 10)))
+    assert(anchorCapped.toSet === Set((1L, 2L, 0L, 0L, 56L)))
+  }
+
   test("d15 cut: 1000+ overlapping owed intervals merge row-locally, rewrite byte-identical") {
     import spark.implicits._
     // VERDICT r14 #2: a popular-boilerplate doc can owe thousands of
