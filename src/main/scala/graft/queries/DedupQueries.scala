@@ -194,7 +194,7 @@ object DedupQueries {
     * so the cap is inert at test SFs and bites only on pathological
     * boilerplate at 100 TB — and the oracle replays it bit-identically, so
     * the gate stays valid at scales where it is ACTIVE. */
-  private[queries] val MaxGramDf = 1000
+  private[graft] val MaxGramDf = 1000
 
   /** d14 pipeline on any (doc_id, text) frame: EXACT cross-doc duplicated
     * token spans (>= [[SpanLen]] tokens) at arbitrary offsets — the
@@ -267,7 +267,7 @@ object DedupQueries {
   /** The df cap as a reusable stage over any (doc_id, pos, h) posting
     * frame — the aggregate-then-semi-join idiom (see [[cappedGramPostings]]
     * for why never a Window). */
-  private def capPostings(postings: DataFrame, maxDf: Int): DataFrame = {
+  private[graft] def capPostings(postings: DataFrame, maxDf: Int): DataFrame = {
     val rare = postings.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select("h")
     postings.join(rare, Seq("h"), "left_semi")

@@ -115,30 +115,35 @@ object MultimodalQueries {
     // dimension-parametric and transfers unchanged. Blocking is bucket ∧
     // same-kind (retrieval within a modality); candidates O(n) keyed rows,
     // never all-pairs; ranking the s2 (cos desc, id asc) contract.
-    "m7_media_ann" -> ((s, d) => {
-      val V = graft.functions.VectorFunctions
-      val media = graft.multimodal.Multimodal.mediaFromDocuments(docs(s, d))
-      val f = graft.multimodal.Multimodal.extractFeatures(media).toDF()
-        .where(col("n_bytes") > 0) // an empty payload has no direction
-        .select(col("media_id"), col("kind"),
-          transform(col("histogram16"), _.cast("double")).as("mv"))
-        .withColumn("nrm", sqrt(V.dot(col("mv"), col("mv"))))
-        .withColumn("bkt", V.lshBucket(col("mv"), MediaAnnPlanes, MediaAnnDim))
-      val q = f.where(col("media_id") < 10)
-        .select(col("media_id").as("query_id"), col("kind"),
-          col("mv").as("qv"), col("nrm").as("qn"), col("bkt").as("qbkt"))
-      val scored = q.join(f,
-          col("qbkt") === col("bkt") && q("kind") === f("kind") &&
-            col("media_id") =!= col("query_id"))
-        .select(col("query_id"), col("media_id").as("neighbor_id"),
-          (V.dot(col("qv"), col("mv")) / (col("qn") * col("nrm"))).as("cos"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= MediaAnnTopK)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-    })
+    "m7_media_ann" -> ((s, d) => mediaAnnOf(docs(s, d)))
   )
+
+  /** The m7 pipeline on any (doc_id, text) frame — fixture/spec entry
+    * point (the planted exact-dup spec: sf0.001 carries no exact dups, so
+    * the rank-1 recall-floor property needs its own corpus). */
+  private[graft] def mediaAnnOf(documents: DataFrame): DataFrame = {
+    val V = graft.functions.VectorFunctions
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(documents)
+    val f = graft.multimodal.Multimodal.extractFeatures(media).toDF()
+      .where(col("n_bytes") > 0) // an empty payload has no direction
+      .select(col("media_id"), col("kind"),
+        transform(col("histogram16"), _.cast("double")).as("mv"))
+      .withColumn("nrm", sqrt(V.dot(col("mv"), col("mv"))))
+      .withColumn("bkt", V.lshBucket(col("mv"), MediaAnnPlanes, MediaAnnDim))
+    val q = f.where(col("media_id") < 10)
+      .select(col("media_id").as("query_id"), col("kind"),
+        col("mv").as("qv"), col("nrm").as("qn"), col("bkt").as("qbkt"))
+    val scored = q.join(f,
+        col("qbkt") === col("bkt") && q("kind") === f("kind") &&
+          col("media_id") =!= col("query_id"))
+      .select(col("query_id"), col("media_id").as("neighbor_id"),
+        (V.dot(col("qv"), col("mv")) / (col("qn") * col("nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= MediaAnnTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
 
   /** m7 dial: 16-dim histogram vectors, 8 hyperplanes (the d7 bucket
     * count), s-family top-k. */
@@ -244,11 +249,11 @@ object MultimodalQueries {
          |  FROM documents),
          |v AS (
          |  SELECT media_id, kind,
-         |    [CAST(len(list_filter(os, o -> o // 16 = b)) AS DOUBLE) for b in range(0, 16)] AS mv
+         |    [CAST(len(list_filter(os, o -> o // 16 = b)) AS DOUBLE) for b in range(0, $MediaAnnDim)] AS mv
          |  FROM f WHERE n_bytes > 0),
          |e AS (
          |  SELECT media_id, kind, mv, sqrt(${dot16Sql("mv", "mv")}) AS nrm,
-         |    ${graft.functions.LshBucket.sql("mv", 8, 16)} AS bkt
+         |    ${graft.functions.LshBucket.sql("mv", MediaAnnPlanes, MediaAnnDim)} AS bkt
          |  FROM v),
          |scored AS (
          |  SELECT q.media_id AS query_id, e.media_id AS neighbor_id,
@@ -259,12 +264,14 @@ object MultimodalQueries {
          |  SELECT query_id, neighbor_id, cos,
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |  FROM scored) WHERE rank <= 5""".stripMargin
+         |  FROM scored) WHERE rank <= $MediaAnnTopK""".stripMargin
   )
 
-  /** 16-dim sequential-fold dot — the engine's left-fold order exactly. */
+  /** MediaAnnDim-dim sequential-fold dot — the engine's left-fold order
+    * exactly (and the engine's dial, interpolated so a retune cannot
+    * silently diverge the oracle). */
   private def dot16Sql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      s"list_transform(range(0, 16), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))), " +
+      s"list_transform(range(0, $MediaAnnDim), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))), " +
       s"(acc, v) -> acc + v)"
 }

@@ -542,6 +542,42 @@ object PipelineQueries {
     materializedFreeing(documents0)(st =>
       corpusMaintenanceOf(st, incrementalAdmissionOf(st)))
 
+  /** d3's banding-rejection CTE family over `src`'s (doc_id, text) rows,
+    * CTE names prefixed `p` — `${p}sgl` .. `${p}rej` (rej = the keep-rule
+    * losers, doc_b of each verified pair). ONE definition for the corpus
+    * cascade (p = "", the names batchCascadeSql also references) and the
+    * p4 cut cascade (p = "c"); the spans/cut idiom of
+    * [[DedupQueries.spanCtesFor]]. */
+  private def bandingRejCtesFor(src: String, p: String): String = {
+    val toks = tokensSql("text")
+    import DedupQueries.{JaccardT, ShingleK}
+    s"""${p}sgl AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= $ShingleK THEN list_distinct(list_transform(
+       |      [array_to_string(t[i+1:i+$ShingleK], ' ') for i in range(0, len(t) - ${ShingleK - 1})],
+       |      x -> ${polyHashSql("x")}))
+       |    ELSE [] END AS sh
+       |  FROM (SELECT doc_id, $toks AS t FROM $src)),
+       |${p}shf AS MATERIALIZED (SELECT doc_id, sh FROM ${p}sgl WHERE len(sh) > 0),
+       |${p}sig AS MATERIALIZED (SELECT doc_id, sh, ${minhashSignatureSql("sh")} AS sig FROM ${p}shf),
+       |${p}bands AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(band AS VARCHAR) || ':' ||
+       |           array_to_string(sig[band*$RowsPerBand+1 : band*$RowsPerBand+$RowsPerBand], '-') AS bkey
+       |  FROM ${p}sig, range($NumBands) r(band)),
+       |${p}cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ${p}bands a JOIN ${p}bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |${p}rej AS MATERIALIZED (SELECT DISTINCT doc_b AS doc_id FROM (
+       |    SELECT doc_a, doc_b,
+       |           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+       |    FROM ${p}cand
+       |    JOIN ${p}shf sa ON sa.doc_id = ${p}cand.doc_a
+       |    JOIN ${p}shf sb ON sb.doc_id = ${p}cand.doc_b)
+       |  WHERE jaccard >= $JaccardT)""".stripMargin
+  }
+
   /** The day-1 corpus cascade (p1's s1 → s5) as a reusable CTE chain —
     * every stage is the SAME formula family its per-stage oracle proves
     * (c1/c7/t9+t12/d3/c3), re-anchored to the previous stage's survivor
@@ -586,31 +622,7 @@ object PipelineQueries {
        |th AS MATERIALIZED (SELECT lang, quantile_cont(avg_p, 0.3) AS p30 FROM sl GROUP BY lang),
        |passq AS MATERIALIZED (SELECT sl.doc_id FROM sl JOIN th USING (lang) WHERE sl.avg_p >= th.p30),
        |s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN passq USING (doc_id)),
-       |sgl AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    CASE WHEN len(t) >= $ShingleK THEN list_distinct(list_transform(
-       |      [array_to_string(t[i+1:i+$ShingleK], ' ') for i in range(0, len(t) - ${ShingleK - 1})],
-       |      x -> ${polyHashSql("x")}))
-       |    ELSE [] END AS sh
-       |  FROM (SELECT doc_id, $toks AS t FROM s3)),
-       |shf AS MATERIALIZED (SELECT doc_id, sh FROM sgl WHERE len(sh) > 0),
-       |sig AS MATERIALIZED (SELECT doc_id, sh, ${minhashSignatureSql("sh")} AS sig FROM shf),
-       |bands AS MATERIALIZED (
-       |  SELECT doc_id,
-       |         CAST(band AS VARCHAR) || ':' ||
-       |           array_to_string(sig[band*$RowsPerBand+1 : band*$RowsPerBand+$RowsPerBand], '-') AS bkey
-       |  FROM sig, range($NumBands) r(band)),
-       |cand AS MATERIALIZED (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |rej AS MATERIALIZED (SELECT DISTINCT doc_b AS doc_id FROM (
-       |    SELECT doc_a, doc_b,
-       |           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-       |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-       |    FROM cand
-       |    JOIN shf sa ON sa.doc_id = cand.doc_a
-       |    JOIN shf sb ON sb.doc_id = cand.doc_b)
-       |  WHERE jaccard >= $JaccardT),
+       |${bandingRejCtesFor("s3", "")},
        |s4 AS MATERIALIZED (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM rej)),
        |s5 AS MATERIALIZED (SELECT * FROM s4
        |  WHERE ${CurationQueries.saltedHashSql("mix", "doc_id")} % 100 <
@@ -727,31 +739,7 @@ object PipelineQueries {
     s"""cd AS MATERIALIZED (
        |  SELECT s3.doc_id, s3.lang, s3.source, xc.n_cut, xc.text
        |  FROM s3 JOIN xcut xc ON s3.doc_id = xc.doc_id),
-       |csgl AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    CASE WHEN len(t) >= $ShingleK THEN list_distinct(list_transform(
-       |      [array_to_string(t[i+1:i+$ShingleK], ' ') for i in range(0, len(t) - ${ShingleK - 1})],
-       |      x -> ${polyHashSql("x")}))
-       |    ELSE [] END AS sh
-       |  FROM (SELECT doc_id, $toks AS t FROM cd)),
-       |cshf AS MATERIALIZED (SELECT doc_id, sh FROM csgl WHERE len(sh) > 0),
-       |csig AS MATERIALIZED (SELECT doc_id, sh, ${minhashSignatureSql("sh")} AS sig FROM cshf),
-       |cbands AS MATERIALIZED (
-       |  SELECT doc_id,
-       |         CAST(band AS VARCHAR) || ':' ||
-       |           array_to_string(sig[band*$RowsPerBand+1 : band*$RowsPerBand+$RowsPerBand], '-') AS bkey
-       |  FROM csig, range($NumBands) r(band)),
-       |ccand AS MATERIALIZED (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM cbands a JOIN cbands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |crej AS MATERIALIZED (SELECT DISTINCT doc_b AS doc_id FROM (
-       |    SELECT doc_a, doc_b,
-       |           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-       |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-       |    FROM ccand
-       |    JOIN cshf sa ON sa.doc_id = ccand.doc_a
-       |    JOIN cshf sb ON sb.doc_id = ccand.doc_b)
-       |  WHERE jaccard >= $JaccardT),
+       |${bandingRejCtesFor("cd", "c")},
        |cs4 AS MATERIALIZED (SELECT * FROM cd WHERE doc_id NOT IN (SELECT doc_id FROM crej)),
        |cs5 AS MATERIALIZED (SELECT * FROM cs4
        |  WHERE ${CurationQueries.saltedHashSql("mix", "doc_id")} % 100 <

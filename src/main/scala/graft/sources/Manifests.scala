@@ -33,6 +33,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  * resolved; a successor publish numbers past it (an incomplete manifest
  * still claims its n). A strict prefix of a valid body can never end with
  * the sentinel line: content lines are newline-free and may not equal it.
+ *
+ * FORMAT NOTE: the sentinel makes this body format v2. A manifest written
+ * by the r14 pre-factoring IvfIndex publisher (bare version string, no
+ * sentinel) is indistinguishable from a torn prefix and reads as
+ * incomplete — deliberate: trusting it would reopen the partial-body
+ * window. Migrating a root published under the old format is one
+ * re-publish of its current version under the new writer.
  */
 object Manifests {
 
@@ -85,21 +92,29 @@ object Manifests {
     * first-publish bootstrap read); a root with ONLY incomplete manifests
     * still fails loudly — something tried to publish and never finished. */
   def resolveOption(s: SparkSession, root: String): Option[Seq[String]] = {
-    import org.apache.hadoop.fs.FileContext
     val all = manifests(s, root)
     if (all.isEmpty) None
-    else all.sortBy(-_._1).iterator.map { case (_, p) =>
+    else completeLines(s, root) match {
+      case some @ Some(_) => some
+      case None => throw new IllegalStateException(
+        s"Manifests.resolve: only incomplete (in-flight, torn, or crashed) $Prefix* " +
+          s"objects under $root — no complete publish to resolve")
+    }
+  }
+
+  /** The newest complete manifest's payload lines, None when there is no
+    * complete manifest AT ALL (whether the root is empty or holds only
+    * torn/in-flight claims) — the tolerant read [[appendSegment]]'s
+    * crash-recovery needs; the public readers keep the loud distinction. */
+  private def completeLines(s: SparkSession, root: String): Option[Seq[String]] = {
+    import org.apache.hadoop.fs.FileContext
+    manifests(s, root).sortBy(-_._1).iterator.map { case (_, p) =>
       val fc = FileContext.getFileContext(p.toUri, s.sparkContext.hadoopConfiguration)
       val in = fc.open(p)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       body.split("\n", -1).toSeq
-    }.find(ls => ls.length >= 2 && ls.last == End) match {
-      case Some(ls) => Some(ls.dropRight(1))
-      case None => throw new IllegalStateException(
-        s"Manifests.resolve: only incomplete (in-flight, torn, or crashed) $Prefix* " +
-          s"objects under $root — no complete publish to resolve")
-    }
+    }.find(ls => ls.length >= 2 && ls.last == End).map(_.dropRight(1))
   }
 
   /** All (n, path) manifest objects under `root`, one LIST. */
@@ -133,7 +148,14 @@ object Manifests {
     val s = df.sparkSession
     val seg = s"seg-${System.nanoTime()}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$seg")
-    publish(s, root, resolveOption(s, root).getOrElse(Seq.empty) :+ seg)
+    // prior = the newest complete segment set, or EMPTY when none exists —
+    // including the only-incomplete-manifests case resolveOption fails
+    // loudly on: for the APPEND path that case means the very first
+    // publish crashed mid-write, no complete set ever existed, and empty
+    // is the truth; throwing here would wedge the root forever (the retry
+    // could never reach publish(), which numbers past the torn claim).
+    // Readers keep the loud error — they asked for data that isn't there.
+    publish(s, root, completeLines(s, root).getOrElse(Seq.empty) :+ seg)
   }
 
   /** The current manifest's segment union — resolved ONCE, driver-side, so

@@ -854,11 +854,30 @@ object Streams {
 
   /** The current (postings, tokenStore) snapshot under a versioned root —
     * resolve order postings-then-tokens (see [[publishSubstringArtifacts]]).
-    * Pass straight to [[substringHitStream]]. */
+    * Pass straight to [[substringHitStream]].
+    *
+    * Two read-side normalizations make the append-maintained layout safe:
+    *  - the [[graft.queries.DedupQueries.MaxGramDf]] cap is RE-APPLIED over
+    *    the segment UNION — each publish capped only its own segment's df,
+    *    so a boilerplate gram arriving under the cap in every segment would
+    *    otherwise accumulate an uncapped corpus-wide posting list, exactly
+    *    the h-join fan-out the cap exists to bound (per-segment caps that
+    *    already dropped a segment-hot gram stay dropped — the recap is
+    *    conservative, never resurrecting);
+    *  - both frames are DEDUPLICATED — publishSubstringArtifacts is two
+    *    non-atomic appends, so a crash-between + retry publishes identical
+    *    rows twice, and duplicate token rows would multiply every hit (the
+    *    admission stream's re-group rationale).
+    * Both are one pass over the artifact at stream build, resolved once. */
   def substringArtifactsVersioned(s: org.apache.spark.sql.SparkSession,
                                   root: String): (DataFrame, DataFrame) = {
-    val posts = graft.sources.Manifests.readSegments(s, s"$root/postings")
+    val D = graft.queries.DedupQueries
+    // capPostings keys on h only — the (h, cid, c_pos) schema passes through
+    val posts = D.capPostings(
+      graft.sources.Manifests.readSegments(s, s"$root/postings").distinct(),
+      D.MaxGramDf)
     val toks = graft.sources.Manifests.readSegments(s, s"$root/tokens")
+      .dropDuplicates("cid")
     (posts, toks)
   }
 
@@ -896,9 +915,18 @@ object Streams {
     *
     * 100 TB notes: state ZERO; per-batch work is O(arrival anchors) probe
     * rows (~tokens/stride) joined against the posting artifact, plus the
-    * token-store lookup per colliding pair. The probe joins are
-    * stream-static equi-joins on h/cid — bucket the persisted artifact by
-    * those keys to co-locate at index sizes past broadcast range. */
+    * token-store lookup per colliding pair. The probe rows are NOT narrow:
+    * each exploded anchor carries the arrival's full token array and
+    * anchor-position array (the extension and the first-in-span rule need
+    * them on hit rows, and a stateless one-pass stream cannot join them
+    * back later). The intended regime is therefore a BROADCAST posting
+    * artifact — the h-join then runs map-side and the arrays never enter a
+    * shuffle, only per-row memory bandwidth. At artifact sizes past
+    * broadcast range the joins degrade to per-batch shuffles that DO ship
+    * the arrays (~tokens²/stride bytes for a pathological mega-doc) —
+    * still stateless, but at that scale route arrivals to the nightly
+    * batch d16, whose island collapse attaches arrays per-candidate, not
+    * per-anchor. */
   def substringHitStream(docs: DataFrame, postings: DataFrame,
                          tokenStore: DataFrame): DataFrame = {
     val D = graft.queries.DedupQueries

@@ -57,21 +57,23 @@ class MultimodalSpec extends SparkSpec {
       for (Array(a, b) <- sorted.sliding(2).map(_.toArray) if rows.length > 1)
         assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3), s"query $qid order")
     }
-    // the corpus plants exact-dup texts; an exact-dup pair has identical
-    // payload bytes, hence identical histograms — same bucket ALWAYS (the
-    // LSH recall floor), cosine exactly 1.0 — and the same kind iff ids are
-    // congruent mod 3. Find one such pair with a query-side id and assert
-    // it surfaces at rank 1.
-    val d = Tables.documents(spark, sf())
-    val dup = d.as("a").join(d.as("b"),
-        col("a.text") === col("b.text") && col("a.doc_id") =!= col("b.doc_id") &&
-          col("a.doc_id") % 3 === col("b.doc_id") % 3 && col("a.doc_id") < 10)
-      .select(col("a.doc_id"), col("b.doc_id")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    for ((q, n) <- dup) {
-      val hit = got.filter(r => r._1 == q && r._3 == n)
-      assert(hit.nonEmpty && hit.head._4 === 1.0, s"exact dup $q -> $n must surface")
-    }
+    // exact-dup recall floor, on a PLANTED corpus (sf0.001 carries no
+    // exact dups — an earlier corpus-derived version of this assertion was
+    // vacuously true): identical payloads have identical histograms, hence
+    // the same bucket ALWAYS and cosine ~1.0 (within an ulp of sqrt), so
+    // the dup must surface at rank 1. ids 1 and 4 are congruent mod 3
+    // (same kind); the fillers share the pair's kind but not its content.
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "alpha beta gamma delta"), (4L, "alpha beta gamma delta"),
+      (7L, "epsilon zeta eta theta iota"), (10L, "unrelated content here"),
+      (13L, "other filler words entirely"), (2L, "different kind text"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    val pg = graft.queries.MultimodalQueries.mediaAnnOf(planted)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val hit = pg.filter(r => r._1 == 1L && r._3 == 4L)
+    assert(hit.nonEmpty && hit.head._2 === 1 && math.abs(hit.head._4 - 1.0) < 1e-9,
+      s"exact dup must surface at rank 1 cos ~ 1.0: ${pg.toSeq}")
   }
 
   test("metadata summary never reads payload (column pruning)") {

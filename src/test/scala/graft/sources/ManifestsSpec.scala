@@ -80,6 +80,24 @@ class ManifestsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("appendSegment recovers a root whose FIRST publish crashed mid-write") {
+    // the wedge case: the very first publish died between create and body
+    // write, leaving only a torn MANIFEST-0. Readers must stay loud, but
+    // the APPEND path must number past the dead claim (no complete set
+    // ever existed — empty prior is the truth), or the root is bricked
+    // until manual cleanup.
+    import spark.implicits._
+    val root = freshRoot("segments-recover")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(root, f"MANIFEST-${0L}%020d"), "seg-dead\n#EN")
+    assert(intercept[IllegalStateException] {
+      Manifests.readSegments(spark, root)
+    }.getMessage.contains("no complete publish"))
+    assert(Manifests.appendSegment(Seq((1L, "a")).toDF("id", "v"), root) === 1L)
+    assert(Manifests.readSegments(spark, root)
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
   test("versioned band index: closed ingest loop through the published segments") {
     import spark.implicits._
     import graft.queries.DedupQueries

@@ -459,6 +459,22 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.writeString(
       java.nio.file.Path.of(root, "postings", f"MANIFEST-${7L}%020d"), "seg-torn")
     assert(runOnce("sub_v2") === Set((20L, 1L), (21L, 2L)))
+    // a crash-between-appends + retry publishes the SAME rows twice; the
+    // loader's read-side dedup must keep hits one-per-span (duplicate
+    // token rows would otherwise multiply every hit row)
+    Streams.publishSubstringArtifacts(Seq((2L, w("bb", 40))).toDF("doc_id", "text"), root)
+    val hits = {
+      val (posts, toks) = Streams.substringArtifactsVersioned(spark, root)
+      val input = MemoryStream[(Long, String)]
+      input.addData((30L, w("bb", 40)))
+      val q = Streams.substringHitStream(
+          input.toDF().toDF("doc_id", "text"), posts, toks)
+        .writeStream.format("memory").queryName("sub_v3")
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table("sub_v3").collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(hits.toSeq === Seq((30L, 2L)), s"duplicate publish must not multiply hits: ${hits.toSeq}")
   }
 
   test("streaming vector ingest equals the batch IVF cell assignment exactly") {
