@@ -368,7 +368,11 @@ object PipelineQueries {
     * one O(spans) groupBy + a map pass, d3/c3/c6 are the p1 stages on the
     * same-cardinality rewritten set. Nothing re-reads parquet (PlanSpec
     * pins it) and the only new wide ops are the span build's two keyed
-    * shuffles. */
+    * shuffles. When even the survivor set's all-position postings are too
+    * much shuffle, the span stage's scale dial is the d16 anchor twin
+    * ([[DedupQueries.substringDedupSampledOf]]) — ~stride× less posting
+    * volume for the closed-form recall trade; the cut consumes its spans
+    * unchanged (same schema, exact maximal intervals). */
   private[queries] def pipelineCutOf(st: CorpusStages): DataFrame = {
     val packed = CurationQueries.shardPackOf(
         st.s5c.select(col("doc_id"), length(col("text")).as("n_chars")),
