@@ -103,24 +103,55 @@ object Streams {
   private def epochUs(e: Event): Long =
     math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000
 
+  /** Event-time watermark delay for the sessionizer — the disorder bound a
+    * real feed is allowed, and with it the state-eviction horizon: an open
+    * session whose gap deadline falls behind the watermark is CLOSED BY
+    * TIMEOUT (emitted + state removed). */
+  private val SessionWatermark = "2 hours"
+
   /** Gap-based sessionization (30-min inactivity) via flatMapGroupsWithState —
     * streaming twin of EventQueries.e2_sessions. State per user is O(1): the
     * open session only; closed sessions are emitted downstream.
     *
-    * NOTE on semantics: with event-time timeout and in-order-per-batch
-    * processing this matches the batch lag/cumsum formulation as long as a
-    * user's events arrive in timestamp order across triggers (true for the
-    * replayed single-file source; real feeds rely on the watermark to bound
-    * disorder).
+    * STATE EVICTION (r15 streaming review — previously NoTimeout, which
+    * contradicted the header's bounded-state claim: a user seen once kept a
+    * state row forever and their final session never emitted): the stream
+    * sets an EVENT-TIME TIMEOUT at the open session's gap deadline
+    * (lastUs + GapUs). When the watermark — max event time minus
+    * [[SessionWatermark]] — passes it, the session can no longer be
+    * extended by any in-watermark event, so it is emitted as closed and
+    * the user's state row is REMOVED. State is then bounded by the
+    * recently-active-user population, not by every user ever seen.
+    *
+    * session_id ordinal caveat that follows: the per-user ordinal counts
+    * sessions within one state lifetime — a user who returns AFTER being
+    * evicted restarts at 1 (remembering the count forever is exactly the
+    * unbounded state this fix removes). (user_id, session_start) is the
+    * globally stable session key; batch-ordinal parity holds on any replay
+    * where no evicted user reappears (single-batch replays, active users).
+    *
+    * NOTE on semantics: with in-order-per-batch processing this matches the
+    * batch lag/cumsum formulation as long as a user's events arrive in
+    * timestamp order across triggers (true for the replayed single-file
+    * source; real feeds rely on the watermark to bound disorder).
     */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      .withWatermark("ts", SessionWatermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // gap deadline behind the watermark: no in-watermark event can
+            // extend this session — close it and evict the user's row
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, st.sessionId, st.nEvents,
+              tsFromUs(st.startUs), tsFromUs(st.lastUs)))
+          } else {
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           var st = state.getOption.orNull
           // Size note: this buffers + sorts ONE user's events from ONE
@@ -144,8 +175,17 @@ object Streams {
               st = st.copy(nEvents = st.nEvents + 1, lastUs = us)
             }
           }
-          state.update(st)
+          if (st != null) {
+            state.update(st)
+            // arm the eviction clock at the open session's gap deadline;
+            // clamped above the current watermark because Spark refuses a
+            // timeout already in the past (reachable via events later than
+            // the batch's watermark snapshot but with an old session tail)
+            state.setTimeoutTimestamp(math.max(
+              st.lastUs / 1000 + GapUs / 1000, state.getCurrentWatermarkMs + 1))
+          }
           out.iterator
+          }
       }
   }
 
@@ -278,12 +318,19 @@ object Streams {
     spark.table(queryName)
   }
 
-  /** Streaming exact dedup: watermarked dropDuplicates — state holds one key
-    * per event inside the watermark horizon and is evicted past it (the
-    * streaming twin of the batch d1 exact-dedup; at 100 TB/day the watermark
-    * bound is what keeps state finite). */
+  /** Streaming exact dedup: state holds one key per event inside the
+    * watermark horizon and is evicted past it (the streaming twin of the
+    * batch d1 exact-dedup; at 100 TB/day the watermark bound is what keeps
+    * state finite). This MUST be `dropDuplicatesWithinWatermark`: plain
+    * `dropDuplicates(keys)` with the event-time column absent from the key
+    * subset never evicts — Spark only attaches the state-removal predicate
+    * when the watermarked column is part of the dedup keys — so the store
+    * would grow one entry per distinct key FOREVER while the scaladoc
+    * claimed otherwise (caught by the r15 streaming review). The trade is
+    * the documented one: a duplicate arriving more than the watermark
+    * delay after its first copy re-emits. */
   def dedupStream(events: DataFrame, keys: Seq[String]): DataFrame =
-    events.withWatermark("ts", "2 hours").dropDuplicates(keys)
+    events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(keys)
 
   /** Run streaming dedup over the events file UNIONed with itself (so every
     * row is duplicated) — output must equal the distinct input. */
@@ -345,8 +392,20 @@ object Streams {
     * a rerun-everything batch job; StreamingSpec proves no-loss,
     * no-duplication, and idempotent re-run). */
   def runCheckpointedIngestOnce(spark: SparkSession, inDir: String,
-                                checkpointDir: String, outDir: String): Unit = {
-    val schema = spark.read.parquet(inDir).schema
+                                checkpointDir: String, outDir: String,
+                                schemaFallback: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    // stream-before-data (the eventStream pattern): an ingest deployed
+    // ahead of its feed must not die on the empty/absent input dir — take
+    // the caller's fallback schema and checkpoint an empty first pass
+    val schema =
+      try spark.read.parquet(inDir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          schemaFallback.getOrElse(throw new IllegalStateException(
+            s"runCheckpointedIngestOnce: $inDir has no readable parquet yet and no " +
+              "schemaFallback was supplied — pass the feed's schema to start the " +
+              "ingest before its first file lands", e))
+      }
     val q = spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .format("parquet")
@@ -358,10 +417,15 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** The documents feed schema — ONE definition (a second hand-written copy
+    * in the domain-cap harness drifted-by-construction; r15 review). */
+  private val DocumentsSchema =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
   /** Streaming document source (same file-source pattern as [[eventStream]]). */
   def documentStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .schema(DocumentsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
@@ -386,6 +450,10 @@ object Streams {
     * side — the same op order as the codegen DotProduct fold — so streamed
     * cosines are bit-identical to the batch path's. */
   def assignVectorsStream(vectors: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty,
+      "assignVectorsStream: empty centroid set — train (or load) the quantizer " +
+        "before starting the ingest; an empty literal array would fail analysis " +
+        "with an unrelated-looking struct-field error")
     val dot = graft.functions.VectorFunctions.dot _
     val v = col("embedding").cast("array<double>")
     val nrm = sqrt(dot(v, v))
@@ -491,7 +559,7 @@ object Streams {
                        maxFilesPerTrigger: Int = -1,
                        glob: String = "documents.parquet"): DataFrame = {
     val src = spark.readStream
-      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .schema(DocumentsSchema)
       .option("pathGlobFilter", glob)
     val srcOpt = if (maxFilesPerTrigger > 0)
       src.option("maxFilesPerTrigger", maxFilesPerTrigger) else src

@@ -82,18 +82,34 @@ class StreamingSpec extends SparkSpec {
     assert(sorted(streamed.collect()) === sorted(batch.collect()))
   }
 
-  test("streaming sessionization equals batch e2_sessions minus open sessions") {
+  test("streaming sessionization == batch closed-by-event sessions + watermark-timed-out finals") {
     val streamed = Streams.runSessionizeOnce(spark, sf(), "sessions_spec")
-    // the stream only emits CLOSED sessions; each user's last (max session_id)
-    // batch session is still open at end-of-input
+    // a session emits when (a) a later event of the user opens the next one
+    // (closed-by-event — every non-max session_id of the batch), or (b) —
+    // r15 state eviction — the watermark (max event time minus the 2 h
+    // delay) passes its 30-min gap deadline: the user's FINAL batch session
+    // also emits iff its end is older than max_ts - 2 h - 30 min (strict,
+    // the FlatMapGroupsWithStateExec `timeout < watermark` rule, ms math).
+    // Final sessions younger than that remain open in state.
     val batch = EventQueries.defs("e2_sessions")(spark, sf())
+    val maxTsMs = graft.sources.Tables.events(spark, sf())
+      .agg(max(col("ts"))).head.getTimestamp(0).getTime
+    val watermarkMs = maxTsMs - 2L * 3600 * 1000
     val w = Window.partitionBy("user_id")
-    val closedBatch = batch
-      .withColumn("max_sid", max("session_id").over(w))
-      .where(col("session_id") =!= col("max_sid"))
+    val flagged = batch.withColumn("max_sid", max("session_id").over(w))
+    val timeoutFires =
+      (unix_millis(col("session_end")) + 30L * 60 * 1000) < watermarkMs
+    val expected = flagged
+      .where(col("session_id") =!= col("max_sid") || timeoutFires)
       .drop("max_sid")
     assert(streamed.count() > 0)
-    assert(sorted(streamed.collect()) === sorted(closedBatch.collect()))
+    // all three populations must actually occur on the corpus: closed by
+    // event, closed by timeout (the r15 eviction path), still open
+    assert(flagged.where(col("session_id") === col("max_sid") && timeoutFires).count() > 0,
+      "the timeout-eviction path must fire on the corpus")
+    assert(batch.count() > expected.count(),
+      "some final sessions must remain open (inside the horizon)")
+    assert(sorted(streamed.collect()) === sorted(expected.collect()))
   }
 
   test("streaming funnel equals batch e10_funnel exactly") {
