@@ -75,8 +75,13 @@ object Sinks {
     // bits is capped at 12: the bucketing fold embeds the 2^bits-1 cut array
     // as a literal evaluated per row per column, so 4095 cuts is already the
     // practical ceiling (beyond it the folded literal dominates the write);
-    // past 2 columns the interleave itself holds only 64/n bits per column.
-    val maxBits = math.min(12, 64 / cols.size)
+    // past 2 columns the interleave holds only 63/n bits per column — 63,
+    // not 64, because a 64-bit code can set the SIGN bit, and both the
+    // arithmetic shiftright deriving the tile id and the range/sort on the
+    // code are signed: half the rows would order 2^63.. before 0.., making
+    // the sign-straddling file a union of opposite corners of the space
+    // (pruning silently erased — the r15 review's 8x8 finding).
+    val maxBits = math.min(12, 63 / cols.size)
     require(bits >= 1 && bits <= maxBits,
       s"bits must be in [1, $maxBits] for ${cols.size} columns, got $bits")
     val nBuckets = 1 << bits
@@ -105,13 +110,17 @@ object Sinks {
     // while every file's min/max box stays a union of complete tiles.
     val codeBits = cols.size * bits
     val tileBits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(files - 1, 1).toLong)
-    // codeBits can legitimately reach 63 (7x9) or 64 (8x8), where `1L <<
-    // codeBits` wraps; files is an Int, so any codeBits >= 31 addresses more
-    // tiles than `files` can express — only check the small-codeBits case.
+    // codeBits tops out at 63 (sign bit never set — see maxBits above);
+    // files is an Int, so any codeBits >= 31 addresses more tiles than
+    // `files` can express — only check the small-codeBits case.
     require(codeBits >= 31 || files <= (1L << codeBits),
       s"files=$files exceeds the ${1L << codeBits} addressable tiles at " +
         s"${cols.size} columns x $bits bits")
     val shift = math.max(codeBits - tileBits.toInt, 0)
+    require(!df.columns.contains("__z") && !df.columns.contains("__tile"),
+      "writeZOrdered uses __z/__tile as scratch columns; the input frame " +
+        "already has one (it would be silently dropped from the output) — " +
+        "rename it first")
     df.withColumn("__z", z)
       .withColumn("__tile", shiftright(col("__z"), shift))
       .repartitionByRange(files, col("__tile"))
@@ -157,8 +166,20 @@ object Sinks {
       .parquet(path)
 
   private def fsFor(spark: SparkSession, path: String) =
-    org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // Path.getFileSystem, not FileSystem.get(new URI(..)): a legal Hadoop
+    // path with URI-illegal characters (spaces) crashes the URI constructor
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The aside name for a prefix mid-swap: HIDDEN (dot-prefixed, in the
+    * same parent) so a partitioned reader's discovery over the lake root
+    * never sees it as a bogus partition value — previously
+    * `<leaf>.compact-old` sat beside real `k=v` directories and a scan in
+    * the swap window inferred a string partition "v.compact-old" (silently
+    * wrong types/rows) instead of the documented clean failure. */
+  private def asideFor(path: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path.getParent,
+      "." + path.getName + ".compact-old")
 
   /** A crashed prior compaction can leave the data only at
     * `<path>.compact-old` (crash between the two swap renames). Detect the
@@ -167,7 +188,7 @@ object Sinks {
   private def restoreOrphanedAside(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
-    val aside = new Path(path + ".compact-old")
+    val aside = asideFor(fs.makeQualified(p))
     if (!fs.exists(p) && fs.exists(aside)) {
       System.err.println(s"[graft.sinks] $path missing but $aside exists " +
         "(prior compaction crashed mid-swap); restoring the original data")
@@ -213,17 +234,31 @@ object Sinks {
         "prefix — use compactPartitionedParquet for partitioned layouts)")
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    writeParquet(spark.read.parquet(path).repartition(nOut), tmpPath)
+    // coalesce, not repartition, when SHRINKING (the normal compaction
+    // direction): it merges whole input files with no shuffle, so any
+    // clustering the prefix carries (a writeZOrdered layout, a sorted
+    // ingest) survives as unions of a few complete input boxes —
+    // repartition's round-robin would spread every file across the full
+    // range of every column and silently erase min/max pruning
+    val src = spark.read.parquet(path)
+    writeParquet(if (nOut < before.size) src.coalesce(nOut) else src.repartition(nOut), tmpPath)
     val afterN = parquetFiles(tmpPath).size
     // crash-safe swap: the data exists at BOTH paths until the compacted
     // files are in place; only then does the old prefix go. Every rename is
     // checked — a false result can never strand the canonical path empty.
-    val aside = new Path(path + ".compact-old")
+    val aside = asideFor(fs.makeQualified(new Path(path)))
     fs.delete(aside, true) // clear debris from a prior crashed run
     require(fs.rename(new Path(path), aside), s"could not move $path aside")
     if (!fs.rename(new Path(tmpPath), new Path(path))) {
-      fs.rename(aside, new Path(path)) // roll back; source untouched
-      sys.error(s"could not move $tmpPath into place (rolled back)")
+      // roll back — and CHECK it: an unchecked false here would report
+      // "rolled back" while the canonical path sits empty and the data
+      // lives only at the aside (recoverable, but the operator must know)
+      if (fs.rename(aside, new Path(path)))
+        sys.error(s"could not move $tmpPath into place (rolled back; $path intact)")
+      else
+        sys.error(s"could not move $tmpPath into place AND the rollback rename " +
+          s"failed: $path is currently MISSING and the original data is intact at " +
+          s"$aside — restore it manually or rerun (restoreOrphanedAside self-heals)")
     }
     fs.delete(aside, true)
     (before.size, afterN)
@@ -259,18 +294,56 @@ object Sinks {
                                 finalizeStreamingSink: Boolean = false): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val fs = fsFor(spark, path)
+    // validate EVERYTHING destructive-order-first: the sink-log deletion
+    // below is irreversible, so the same-filesystem precondition (otherwise
+    // first checked deep inside the per-leaf swap) and the
+    // prefix-actually-compactable checks must pass BEFORE it — a bad
+    // tmpPath must fail with the log (and the exactly-once semantics it
+    // carries) untouched
+    require(fs.getUri == fsFor(spark, tmpPath).getUri,
+      s"tmpPath must live on the same FileSystem as path for the atomic-rename " +
+        s"swap: ${fsFor(spark, tmpPath).getUri} vs ${fs.getUri}")
     val root = fs.makeQualified(new Path(path))
     require(fs.exists(root), s"$path does not exist")
     val sinkLog = new Path(root, "_spark_metadata")
-    if (fs.exists(sinkLog)) {
+    val hadSinkLog = fs.exists(sinkLog)
+    if (hadSinkLog) {
       require(finalizeStreamingSink,
         s"$path carries a streaming-sink _spark_metadata log; compacting would " +
           "destroy the sink's exactly-once commit log. If the sink is retired, " +
           "pass finalizeStreamingSink = true to finalize the prefix to " +
           "plain-listing semantics; never compact a live sink")
+      // Reconcile BEFORE dropping the log: a crashed final micro-batch can
+      // leave part-files on disk that the log never committed — readers
+      // honoring the log do not see them, and deleting the log wholesale
+      // would silently legitimize them as data. Read the prefix THROUGH the
+      // log (Spark uses _spark_metadata when reading a streaming sink's
+      // root) to get the committed file set, and delete every on-disk
+      // part-file outside it.
+      import org.apache.spark.sql.functions.input_file_name
+      val committed = spark.read.parquet(root.toString)
+        .select(input_file_name()).distinct()
+        .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
+      val onDisk = {
+        def walk(d: Path): Seq[Path] = {
+          val st = fs.listStatus(d).toSeq
+          st.filter(x => x.isFile && x.getPath.getName.endsWith(".parquet")).map(_.getPath) ++
+            st.filter(x => x.isDirectory &&
+                !x.getPath.getName.startsWith(".") && !x.getPath.getName.startsWith("_"))
+              .flatMap(x => walk(x.getPath))
+        }
+        walk(root)
+      }
+      val orphans = onDisk.filterNot(f => committed.contains(f.toUri.getPath))
+      orphans.foreach { f =>
+        System.err.println(s"[graft.sinks] $path: deleting UNCOMMITTED part-file " +
+          s"$f (on disk but absent from the sink's commit log — a crashed batch's " +
+          "leftovers; keeping it would silently add uncommitted rows)")
+        fs.delete(f, false)
+      }
       System.err.println(s"[graft.sinks] $path: finalizeStreamingSink=true — " +
-        "deleting the streaming-sink _spark_metadata log (prefix reverts to " +
-        "plain-listing semantics)")
+        s"deleting the streaming-sink _spark_metadata log (${orphans.size} orphan " +
+        "file(s) removed; prefix reverts to plain-listing semantics)")
       fs.delete(sinkLog, true)
     }
     def leaves(p: Path): Seq[Path] = {
@@ -279,15 +352,21 @@ object Sinks {
       // silently skip that partition's data. Restore every such orphan before
       // classifying this level's entries.
       fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.endsWith(".compact-old"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".") &&
+          s.getPath.getName.endsWith(".compact-old"))
         .foreach { s =>
-          val base = s.getPath.toString.stripSuffix(".compact-old")
-          restoreOrphanedAside(fs, base)
+          val base = new Path(p,
+            s.getPath.getName.stripPrefix(".").stripSuffix(".compact-old"))
+          restoreOrphanedAside(fs, base.toString)
         }
       val st = fs.listStatus(p).toSeq
       val hasParquet = st.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      // Spark's hidden-path convention is BOTH '.'- and '_'-prefixes: a
+      // crashed non-compaction write's _temporary debris must be neither
+      // compacted (uncommitted data) nor allowed to trip the mixed-layout
+      // guard (it sits beside real partition dirs and every reader ignores it)
       val subdirs = st.filter(s => s.isDirectory &&
-        !s.getPath.getName.startsWith(".") && !s.getPath.getName.endsWith(".compact-old"))
+        !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
       // A directory holding both parquet files and partition subdirectories is
       // not a valid hive layout; compacting the ancestor would rename the whole
       // subtree aside and destroy descendant partitions. Refuse loudly.

@@ -69,13 +69,15 @@ class SinksSpec extends SparkSpec {
     df.repartition(4).write.parquet(s"$tmp/nat_c")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(s"$tmp/nat_c"), spark.sparkContext.hadoopConfiguration)
-    // simulate a crash between the two swap renames: data only at the aside
-    assert(fs.rename(new Path(s"$tmp/nat_c"), new Path(s"$tmp/nat_c.compact-old")))
+    // simulate a crash between the two swap renames: data only at the
+    // HIDDEN aside (dot-prefixed so lake-root partition discovery never
+    // sees it as a bogus partition — the r15 review naming)
+    assert(fs.rename(new Path(s"$tmp/nat_c"), new Path(s"$tmp/.nat_c.compact-old")))
     val (nBefore, _) = Sinks.compactParquet(
       spark, s"$tmp/nat_c", s"$tmp/nat_c.tmp", targetBytes = 64L * 1024 * 1024)
     assert(nBefore === 4) // restored aside was compacted, not rejected
     assert(spark.read.parquet(s"$tmp/nat_c").count() === df.count())
-    assert(!fs.exists(new Path(s"$tmp/nat_c.compact-old")))
+    assert(!fs.exists(new Path(s"$tmp/.nat_c.compact-old")))
   }
 
   test("partitioned compaction self-heals a leaf crashed between the swap renames") {
@@ -90,14 +92,14 @@ class SinksSpec extends SparkSpec {
     val leafName = new java.io.File(s"$tmp/orders_crash").listFiles()
       .filter(_.isDirectory).map(_.getName).find(_.startsWith("o_year=")).get
     val leaf = new Path(s"$tmp/orders_crash/$leafName")
-    assert(fs.rename(leaf, new Path(s"$tmp/orders_crash/$leafName.compact-old")))
+    assert(fs.rename(leaf, new Path(s"$tmp/orders_crash/.$leafName.compact-old")))
     val (nBefore, nAfter) = Sinks.compactPartitionedParquet(
       spark, s"$tmp/orders_crash", s"$tmp/orders_crash.compact",
       targetBytes = 64L * 1024 * 1024)
     assert(nAfter < nBefore, s"$nAfter !< $nBefore")
     // the crashed leaf was restored AND compacted: no partition lost
     assert(fs.exists(leaf))
-    assert(!fs.exists(new Path(s"$tmp/orders_crash/$leafName.compact-old")))
+    assert(!fs.exists(new Path(s"$tmp/orders_crash/.$leafName.compact-old")))
     val back = spark.read.parquet(s"$tmp/orders_crash")
     assert(back.count() === orders.count())
     assert(back.agg(sum("o_orderkey")).head.getLong(0) ===
@@ -105,6 +107,29 @@ class SinksSpec extends SparkSpec {
     val y = leafName.stripPrefix("o_year=").toInt
     assert(back.where(col("o_year") === y).count() ===
       orders.where(col("o_year") === y).count())
+  }
+
+  test("partitioned compaction ignores '_'-prefixed debris (crashed-write _temporary)") {
+    import org.apache.hadoop.fs.Path
+    val orders = Tables.orders(spark, sf())
+      .withColumn("o_year", year(col("o_orderdate")))
+    orders.repartition(3).write.partitionBy("o_year").parquet(s"$tmp/orders_dbg")
+    // plant crashed-write debris: parquet under _temporary, which every
+    // reader ignores (Spark's hidden-path convention covers '_' AND '.').
+    // Pre-fix the walk descended into it and either compacted uncommitted
+    // data or tripped the mixed-layout guard on the root.
+    orders.limit(5).coalesce(1).write
+      .parquet(s"$tmp/orders_dbg/_temporary/0/attempt_x")
+    val (nb, na) = Sinks.compactPartitionedParquet(
+      spark, s"$tmp/orders_dbg", s"$tmp/orders_dbg.compact",
+      targetBytes = 64L * 1024 * 1024)
+    assert(na <= nb)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$tmp/orders_dbg/_temporary/0/attempt_x")),
+      "debris is ignored, not deleted or compacted")
+    assert(spark.read.parquet(s"$tmp/orders_dbg").count() === orders.count(),
+      "debris rows must not leak into the compacted data")
   }
 
   test("partitioned compaction refuses a mixed files+subdirs layout loudly") {

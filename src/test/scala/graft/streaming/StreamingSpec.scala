@@ -622,9 +622,31 @@ class StreamingSpec extends SparkSpec {
     }
     assert(refused.getMessage.contains("_spark_metadata"), refused.getMessage)
     assert(new java.io.File(s"$lake/_spark_metadata").exists())
+    // a bad tmpPath (different filesystem) must ALSO fail with the commit
+    // log untouched — the destructive finalize comes after ALL validation
+    intercept[IllegalArgumentException] {
+      graft.sources.Sinks.compactPartitionedParquet(
+        spark, lake, "hdfs://elsewhere/x", targetBytes = 64L * 1024 * 1024,
+        finalizeStreamingSink = true)
+    }
+    assert(new java.io.File(s"$lake/_spark_metadata").exists(),
+      "the sink log must survive a failed-validation finalize attempt")
+    // plant an UNCOMMITTED part-file (a crashed batch's leftover — on disk
+    // but absent from the commit log): finalization must delete it, not
+    // silently legitimize its rows via plain listing
+    val leafDir = new java.io.File(lake).listFiles().filter(_.isDirectory)
+      .map(_.getName).find(_.startsWith("event_date=")).get
+    val orphanSrc = batch.limit(7).drop("event_date") // the leaf-file schema
+    orphanSrc.coalesce(1).write.parquet(s"$tmp/orphan_stage")
+    val orphanPart = new java.io.File(s"$tmp/orphan_stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val planted = java.nio.file.Files.copy(orphanPart.toPath,
+      java.nio.file.Path.of(lake, leafDir, "part-uncommitted-orphan.parquet"))
     val (nBefore, nAfter) = graft.sources.Sinks.compactPartitionedParquet(
       spark, lake, s"$tmp/events_lake.compact", targetBytes = 64L * 1024 * 1024,
       finalizeStreamingSink = true)
+    assert(!java.nio.file.Files.exists(planted),
+      "the uncommitted orphan must be reconciled away before the log drops")
     assert(nAfter < nBefore, s"$nAfter !< $nBefore")
     // the sink's transaction log was finalized away — plain listing reads work
     assert(!new java.io.File(s"$lake/_spark_metadata").exists())
