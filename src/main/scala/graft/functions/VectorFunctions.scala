@@ -57,6 +57,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // null slot propagates (the L1Distance idiom, ADVICE r03): getDouble
+      // on a null slot silently reads 0.0, while the replaced HOF fold and
+      // the DuckDB oracle both return NULL — a silent cross-engine
+      // divergence on exactly the malformed rows a compare should surface
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -78,10 +83,14 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |} else {
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |    }
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
        """.stripMargin
     })
@@ -153,15 +162,23 @@ case class L1Distance(left: Expression, right: Expression) extends BinaryExpress
       }
       acc
     } else {
-      def get(arr: ArrayData, e: Expression, j: Int): Double = elemType(e) match {
-        case org.apache.spark.sql.types.LongType => arr.getLong(j).toDouble
-        case FloatType => arr.getFloat(j).toDouble
-        case DoubleType => arr.getDouble(j)
+      // hoist the type discriminants out of the loop (the DotProduct lf/rf
+      // pattern): elemType() re-derives dataType per element otherwise
+      def disc(e: Expression): Int = elemType(e) match {
+        case org.apache.spark.sql.types.LongType => 0
+        case FloatType => 1
+        case DoubleType => 2
+      }
+      val lt = disc(left); val rt = disc(right)
+      def get(arr: ArrayData, t: Int, j: Int): Double = t match {
+        case 0 => arr.getLong(j).toDouble
+        case 1 => arr.getFloat(j).toDouble
+        case _ => arr.getDouble(j)
       }
       var acc = 0.0
       while (i < n) {
         if (x.isNullAt(i) || y.isNullAt(i)) return null
-        acc += math.abs(get(x, left, i) - get(y, right, i))
+        acc += math.abs(get(x, lt, i) - get(y, rt, i))
         i += 1
       }
       acc
@@ -217,8 +234,15 @@ case class PolyHash(child: Expression, mod: Long) extends Expression {
   override def foldable: Boolean = child.foldable
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == org.apache.spark.sql.types.StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+    if (child.dataType != org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+    else if (mod <= 0 || mod > (1L << 57))
+      // analysis-time, not a per-row ArithmeticException (mod 0) or silent
+      // negative hashes (mod < 0) at execution; the 2^57 ceiling keeps the
+      // fold step h*31 + codepoint (< mod*31 + 2^21) inside a long
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires 0 < mod <= 2^57, got $mod")
+    else TypeCheckResult.TypeCheckSuccess
 
   /** Shared by eval and the generated code (static call keeps codegen tiny). */
   override def eval(input: InternalRow): Any = {
@@ -279,8 +303,12 @@ case class ShingleHashes(child: Expression, k: Int, mod: Long, distinct: Boolean
   override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == org.apache.spark.sql.types.StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+    if (child.dataType != org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+    else if (k < 1 || mod <= 0 || mod > (1L << 57))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires k >= 1 and 0 < mod <= 2^57, got k=$k mod=$mod")
+    else TypeCheckResult.TypeCheckSuccess
 
   private def fn = if (distinct) "compute" else "computeAll"
 
@@ -376,7 +404,10 @@ case class SortedTermSum(child: Expression) extends Expression {
   override def prettyName: String = "graft_sorted_term_sum"
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
-  override def nullable: Boolean = child.nullable
+  // nullable regardless of the child: a null struct SLOT or FIELD inside a
+  // non-null array yields a null result (r15) — child.nullable alone let
+  // the optimizer treat the result as non-null and read the unset 0.0
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(s: org.apache.spark.sql.types.StructType, _)
@@ -394,13 +425,16 @@ case class SortedTermSum(child: Expression) extends Expression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
+    val boxed = ctx.freshName("boxed")
     val code =
       code"""
          |${c.code}
          |boolean ${ev.isNull} = ${c.isNull};
          |double ${ev.value} = 0.0;
          |if (!${ev.isNull}) {
-         |  ${ev.value} = graft.functions.SortedTermSum.compute(${c.value});
+         |  java.lang.Double $boxed = graft.functions.SortedTermSum.compute(${c.value});
+         |  if ($boxed == null) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $boxed.doubleValue(); }
          |}
        """
     ev.copy(code = code)
@@ -411,14 +445,20 @@ case class SortedTermSum(child: Expression) extends Expression {
 }
 
 object SortedTermSum {
-  def compute(arr: ArrayData): Double = {
+  /** Boxed so a null struct slot or null field can PROPAGATE (the replaced
+    * array_sort + aggregate chain returns NULL there; getLong/getDouble on
+    * a null slot would silently read 0 — and getStruct returns null, which
+    * previously NPE'd the task for direct graft_sorted_term_sum SQL). */
+  def compute(arr: ArrayData): java.lang.Double = {
     val n = arr.numElements()
     if (n == 0) return 0.0
     val keys = new Array[Long](n)
     val terms = new Array[Double](n)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val st = arr.getStruct(i, 2)
+      if (st.isNullAt(0) || st.isNullAt(1)) return null
       keys(i) = st.getLong(0)
       terms(i) = st.getDouble(1)
       i += 1
@@ -520,6 +560,12 @@ object LshBucket {
   def bucket(v: ArrayData, isFloat: Boolean, numPlanes: Int, dim: Int): Int = {
     val ps = planes(numPlanes, dim)
     val n = math.min(v.numElements(), dim)
+    // a null element makes EVERY plane's dot NULL in the SQL twin, whose
+    // CASE WHEN dot >= 0 then leaves every bit unset — mirror that (bucket
+    // 0) instead of silently reading the slot as 0.0 and possibly setting
+    // bits the oracle does not (r15 review)
+    var nn = 0
+    while (nn < n) { if (v.isNullAt(nn)) return 0; nn += 1 }
     var b = 0
     var j = 0
     while (j < numPlanes) {
@@ -564,7 +610,14 @@ case class MinHashSignature(child: Expression, numHashes: Int, mod: Long) extend
   override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      if (numHashes < 1 || mod <= 0 || mod > (1L << 31))
+        // a_j, b_j < mod and the input is normalized into [0, mod), so
+        // a_j*h + b_j < mod^2 + mod — inside a long only when mod <= 2^31
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires numHashes >= 1 and 0 < mod <= 2^31, got " +
+            s"numHashes=$numHashes mod=$mod")
+      else TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<bigint>, got ${t.catalogString}")
   }
@@ -622,7 +675,12 @@ object MinHashSignature {
       // on a null slot reads 0, a silent cross-engine divergence).
       if (!sh.isNullAt(i)) {
         seen += 1
-        val h = sh.getLong(i)
+        // normalize into [0, mod): a no-op for the library path (shingle
+        // hashes are already < mod), and for arbitrary SQL inputs it makes
+        // a_j*h + b_j provably overflow-free (the class comment's
+        // precondition, previously assumed but unenforced — r15 review)
+        val h0 = sh.getLong(i) % mod
+        val h = if (h0 < 0) h0 + mod else h0
         var j = 0
         while (j < numHashes) {
           val v = (a(j) * h + b(j)) % mod

@@ -149,6 +149,63 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(rows(2).getSeq[Any](1) === Seq(null, null, null, null))
   }
 
+  test("null ELEMENTS: dot propagates null; lshBucket mirrors the SQL twin's bucket 0 (r15)") {
+    // a null slot read via getDouble is silently 0.0 — the r15 review
+    // class. DotProduct must return NULL like the HOF fold and the DuckDB
+    // oracle; LshBucket must return 0 like its own SQL twin, where the
+    // NULL dot leaves every CASE WHEN bit unset.
+    val df = spark.sql(
+      "SELECT array(CAST(1.0 AS DOUBLE), NULL, CAST(3.0 AS DOUBLE)) AS a, " +
+        "array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE)) AS b")
+    val r = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d1"),
+      VectorFunctions.dot(col("b"), col("a")).as("d2"),
+      VectorFunctions.lshBucket(col("a"), 8, 3).as("ba"),
+      VectorFunctions.lshBucket(col("b"), 8, 3).as("bb")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getInt(2) === 0, "null element => every plane's dot NULL => bucket 0")
+    assert(r.getInt(3) !== 0, "the clean vector must bucket normally")
+  }
+
+  test("SortedTermSum: null struct slot/field returns null, never an NPE (r15)") {
+    GraftFunctions.registerAll(spark)
+    val viaNullSlot = spark.sql(
+      "SELECT graft_sorted_term_sum(array(named_struct('g', 1L, 't', 1.5D), NULL)) AS s")
+    assert(viaNullSlot.collect().head.isNullAt(0))
+    val viaNullField = spark.sql(
+      "SELECT graft_sorted_term_sum(array(named_struct('g', 1L, 't', CAST(NULL AS DOUBLE)))) AS s")
+    assert(viaNullField.collect().head.isNullAt(0))
+    val clean = spark.sql(
+      "SELECT graft_sorted_term_sum(array(named_struct('g', 2L, 't', 1.5D), " +
+        "named_struct('g', 1L, 't', 2.5D))) AS s")
+    assert(clean.collect().head.getDouble(0) === 4.0)
+  }
+
+  test("MinHashSignature: out-of-range SQL inputs are normalized, in-range unchanged (r15)") {
+    GraftFunctions.registerAll(spark)
+    val m = TextFunctions.HashP
+    // h and h + k*mod (including a negative representative) must hash alike:
+    // the normalization makes the documented overflow precondition total
+    val r = spark.sql(
+      s"SELECT graft_minhash_sig(array(42L), 4, $m) AS base, " +
+        s"graft_minhash_sig(array(42L + $m * 9L), 4, $m) AS shifted, " +
+        s"graft_minhash_sig(array(42L - $m * 3L), 4, $m) AS negative").collect().head
+    assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    assert(r.getSeq[Long](0) === r.getSeq[Long](2))
+  }
+
+  test("hash mod dials are validated at ANALYSIS time, not per-row (r15)") {
+    GraftFunctions.registerAll(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_polyhash('abc', 0)").collect()
+    }
+    assert(e1.getMessage.contains("mod"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(array(1L), 4, -7)").collect()
+    }
+    assert(e2.getMessage.contains("mod"), e2.getMessage)
+  }
+
   test("null propagation") {
     val df = Seq((Option.empty[String], Option.empty[Seq[Float]])).toDF("s", "v")
     val r = df.select(
