@@ -29,7 +29,7 @@ object Sketches {
     * cost. rsd = target relative standard deviation (Spark's default 5%;
     * 0.02 keeps the ~20k-component co-purchase graph inside ±3% whp). */
   def approxComponentCount(assignments: DataFrame, rsd: Double = 0.02): Long =
-    assignments.agg(approx_count_distinct(col("component"), rsd).as("n"))
+    assignments.agg(approxDistinctAgg(col("component"), rsd).as("n"))
       .head().getLong(0)
 
   /** Per-group approximate distinct count as a composable aggregation. */
@@ -41,14 +41,16 @@ object Sketches {
     * the inverse rank-error knob: 10000 ≈ 0.01% rank error. */
   def approxQuantiles(df: DataFrame, colName: String, qs: Seq[Double],
                       accuracy: Int = 10000): Seq[Double] = {
+    if (qs.isEmpty) return Seq.empty // array() would be a NullType literal
     val row = df.agg(percentile_approx(col(colName),
         array(qs.map(lit): _*), lit(accuracy)).as("q"))
       .head()
-    // zero input rows → percentile_approx yields NULL, not an empty array
+    // zero input rows OR an all-null column → percentile_approx yields
+    // NULL, not an empty array; both map to Seq.empty here (callers zipping
+    // qs against the result must treat empty as "no data", not "no error")
     if (row.isNullAt(0)) Seq.empty
     else row.getSeq[Any](0).map {
-      case d: java.math.BigDecimal => d.doubleValue()
-      case d: java.lang.Number => d.doubleValue()
+      case d: java.lang.Number => d.doubleValue() // incl. java BigDecimal
       case other => sys.error(
         s"approxQuantiles: unsupported element ${other.getClass.getName}")
     }

@@ -22,7 +22,26 @@ object SkewJoin {
 
   /** Equi-join `left.key == right.key` with `salt`-way key spreading.
     * Column name sets of the two sides must be disjoint apart from the key
-    * (standard join hygiene).
+    * (standard join hygiene), and neither side may already carry a
+    * `__salt` column (it would be silently clobbered — rejected loudly).
+    *
+    * The salt is DETERMINISTIC per row content — `xxhash64` over the full
+    * left row (or `saltOn`, see below) mod `salt` — never `rand()`: a
+    * random salt makes the left map stage INDETERMINATE, and under a
+    * shuffle-fetch-failure recompute re-executed rows can draw different
+    * salts than the ones reducers already fetched — the SPARK-23207 class
+    * of silent row loss/duplication, on exactly the big shuffles this
+    * operator exists for. The content hash is retry-stable; its one
+    * degeneration is FULLY-identical duplicate left rows, which share a
+    * salt and stay on one reducer — pass `saltOn` (a stable unique id
+    * column, which real rows have) to spread those, or collapse exact
+    * duplicates first (usually wanted anyway).
+    *
+    * 100 TB sizing note: the right side is replicated `salt`× for EVERY
+    * key, not only hot ones — shuffle volume on that side scales with the
+    * salt. Keep the right side the small/dimension side, or apply the
+    * two-path refinement (salt only keys above a frequency threshold,
+    * plain-join the tail, union) when both sides are large.
     *
     * Supported join types: `inner` and left-outer (`left` / `left_outer`) —
     * both are exact under the explode-right shape, because every left row
@@ -33,13 +52,18 @@ object SkewJoin {
     * unmatched right row would surface once PER REPLICA — those shapes need
     * the mirrored salting (salt right, explode left) instead. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
-                 joinType: String = "inner"): DataFrame = {
+                 joinType: String = "inner",
+                 saltOn: Option[Column] = None): DataFrame = {
     require(salt > 0, "salt must be positive")
-    val jt = joinType.toLowerCase
+    val jt = joinType.toLowerCase(java.util.Locale.ROOT)
     require(jt == "inner" || LeftTypes(jt),
       s"saltedJoin supports inner and left joins, got '$joinType'")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin uses __salt as a scratch column; an input already has one " +
+        "(it would be silently clobbered) — rename it first")
+    val saltSrc = saltOn.getOrElse(xxhash64(left.columns.map(left(_)): _*))
     val l = left
-      .withColumn("__salt", (rand(seed = 42) * salt).cast("int"))
+      .withColumn("__salt", pmod(saltSrc, lit(salt.toLong)).cast("int"))
     val r = right
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, l(key) === r(key) && l("__salt") === r("__salt"), jt)

@@ -18,16 +18,28 @@ class SkewJoinSpec extends SparkSpec {
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
   }
 
-  test("salting spreads a hot key across salt values") {
+  test("salting spreads a hot key across salt values (content-hash salt, r15)") {
     import spark.implicits._
-    val hot = Seq.fill(1000)(("hot", 1)).toDF("k", "v")
+    // hot rows carry DISTINCT payloads (the realistic shape — real rows
+    // have ids); the deterministic content-hash salt spreads them. Fully
+    // identical duplicate rows share a salt by design — the documented
+    // degeneration, handled via saltOn (below) or upfront dedup.
+    val hot = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
     val dim = Seq(("hot", 99)).toDF("k", "w")
     val joined = SkewJoin.saltedJoin(hot, dim, "k", salt = 8)
     assert(joined.count() === 1000)
-    // distribution check on the salted left side (same seed logic)
-    val salts = hot.withColumn("__salt", (rand(seed = 42) * 8).cast("int"))
-      .groupBy("__salt").count().collect()
+    // distribution check with the SAME salt expression the join uses
+    val salts = hot.withColumn("s",
+        pmod(xxhash64(col("k"), col("v")), lit(8L)).cast("int"))
+      .groupBy("s").count().collect()
     assert(salts.length >= 6) // hot key spread over most of the 8 salts
+    // identical duplicate rows: spread restored by a caller-supplied
+    // stable-id salt column
+    val dup = Seq.fill(1000)(("hot", 1)).toDF("k", "v")
+      .withColumn("id", monotonically_increasing_id())
+    val viaId = SkewJoin.saltedJoin(dup, dim, "k", salt = 8,
+      saltOn = Some(col("id")))
+    assert(viaId.count() === 1000)
   }
 
   test("left join: unmatched left rows survive exactly once, matched as inner") {
@@ -67,8 +79,10 @@ class SkewJoinSpec extends SparkSpec {
     val unsalted = left.repartition(parts, col("k"))
       .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
       .distinct().count()
-    val salted = left.withColumn("__salt", (rand(seed = 42) * 8).cast("int"))
-      .repartition(parts, col("k"), col("__salt"))
+    // distinct payloads so the content-hash salt has entropy (real rows do)
+    val leftD = (1 to 4000).map(i => ("hot", i)).toDF("k", "v")
+    val salted = leftD.withColumn("s", pmod(xxhash64(col("k"), col("v")), lit(8L)).cast("int"))
+      .repartition(parts, col("k"), col("s"))
       .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
       .distinct().count()
     assert(unsalted === 1L, s"plain hash: hot key lands on $unsalted partitions")
