@@ -239,51 +239,121 @@ object Streams {
       .select(col("p_user").as("user_id"), col("p_event"), col("c_event"), col("p_ts"), col("c_ts"))
   }
 
-  final case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
-  final case class FunnelOut(user_id: Long, stage_reached: Int)
+  final case class FunnelState(t1: Option[Long], t2: Option[Long])
+  final case class FunnelOut(user_id: Long, stage_reached: Int, is_final: Boolean)
+
+  /** Conversion horizon of the streaming funnel: a journey that has not
+    * advanced a stage in this long is ABANDONED — its final stage is emitted
+    * and the user's state row evicted. The dial every funnel product defines
+    * ("attribution window"); 7 days here. */
+  private[streaming] val FunnelHorizonUs: Long = 7L * 24 * 3600 * 1000000L
+
+  /** Event-time watermark delay for the funnel — the disorder bound, and
+    * with it the eviction clock's reference (a deadline behind the watermark
+    * can no longer be beaten by any in-watermark event). */
+  private val FunnelWatermark = "2 hours"
 
   /** Streaming twin of e10_funnel (strict view → click → purchase) via
-    * mapGroupsWithState: per-user state is EXACTLY three optional first-time
-    * stamps — O(1) regardless of a user's event volume, never a history
-    * buffer. One in-timestamp-order pass equals the batch min-chain: the
-    * first view is min(view ts); the first click strictly after a set t1 is
-    * min(click ts > t1); likewise purchase. Update-mode emission: each
-    * trigger re-emits a touched user's CURRENT stage (an upsert sink keeps
-    * the latest row per user). Same ordering caveat as [[sessionize]]:
-    * per-trigger events are sorted here, cross-trigger order relies on the
-    * source replay / watermark-bounded disorder. */
+    * flatMapGroupsWithState: per-user state is EXACTLY two optional
+    * first-time stamps of the OPEN journey — O(1) regardless of a user's
+    * event volume, never a history buffer. One in-timestamp-order pass
+    * equals the batch min-chain: the first view is min(view ts); the first
+    * click strictly after a set t1 is min(click ts > t1); likewise the
+    * converting purchase. Update-mode emission: each trigger re-emits a
+    * touched user's CURRENT stage (an upsert sink keeps the latest row per
+    * user); `is_final` marks the journey-closing emissions (conversion or
+    * abandonment) so a downstream can separate settled journeys from
+    * running ones.
+    *
+    * STATE EVICTION (VERDICT r15 #1 — previously NoTimeout, the third
+    * instance of the unbounded-state class the r15 review fixed in
+    * [[dedupStream]] and [[sessionize]]: one state row per user EVER seen,
+    * converted users included, never freed):
+    *  - CONVERSION evicts immediately — a purchase strictly after a set
+    *    click closes the journey, emits (stage 3, is_final=true) and drops
+    *    the stamps; nothing about a settled journey needs remembering.
+    *  - ABANDONMENT evicts by EVENT-TIME TIMEOUT, the [[sessionize]]
+    *    template: the clock is armed at last-stage-advance +
+    *    [[FunnelHorizonUs]]; when the watermark (max event time minus
+    *    [[FunnelWatermark]]) passes it, the journey can no longer advance
+    *    within the disorder bound, so its final stage is emitted with
+    *    is_final=true and the row removed.
+    *  - A user entering events but never a view holds NO state at all
+    *    (nothing to time out; the batch contract starts a funnel at a view).
+    * State is then bounded by the users with a journey OPEN inside the
+    * horizon, not by every user ever seen.
+    *
+    * Re-entry caveat that follows (the [[sessionize]] ordinal caveat's
+    * funnel shape): a view AFTER a settled journey starts a NEW journey at
+    * stage 1 — remembering settled journeys forever is exactly the
+    * unbounded state this fix removes. An upsert sink keyed on
+    * max(stage_reached) is unaffected (stages of any journey are ≤ 3 and a
+    * conversion already emitted its 3); exact batch-e10 equality holds on
+    * replays where no abandoned journey's user advances again after
+    * eviction (single-batch replays trivially; live feeds inside the
+    * horizon). A post-timeout straggler advancing an evicted journey is
+    * counted against a fresh journey instead — the documented eviction
+    * trade, dedupStream's re-emit window in funnel form.
+    *
+    * Same ordering caveat as [[sessionize]]: per-trigger events are sorted
+    * here, cross-trigger order relies on the source replay /
+    * watermark-bounded disorder. */
   def funnelStream(events: Dataset[Event]): Dataset[FunnelOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      .withWatermark("ts", FunnelWatermark)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(None, None, None))
-          // Same microsecond-granularity ordering as [[sessionize]]: the
-          // strictness comparisons below are in micros, so the sort must be.
-          for (e <- it.toSeq.sortBy(ev => (epochUs(ev), ev.event_id))) {
-            val us = epochUs(e)
-            e.event_type match {
-              case "view" if st.t1.isEmpty =>
-                st = st.copy(t1 = Some(us))
-              case "click" if st.t1.nonEmpty && st.t2.isEmpty && us > st.t1.get =>
-                st = st.copy(t2 = Some(us))
-              case "purchase" if st.t2.nonEmpty && st.t3.isEmpty && us > st.t2.get =>
-                st = st.copy(t3 = Some(us))
-              case _ => ()
+          def stage(st: FunnelState): Int =
+            if (st.t2.nonEmpty) 2 else if (st.t1.nonEmpty) 1 else 0
+          if (state.hasTimedOut) {
+            // horizon behind the watermark: the open journey is abandoned —
+            // emit its final stage and evict the user's row
+            val st = state.get
+            state.remove()
+            Iterator.single(FunnelOut(userId, stage(st), is_final = true))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+            var st = state.getOption.getOrElse(FunnelState(None, None))
+            // Same microsecond-granularity ordering as [[sessionize]]: the
+            // strictness comparisons below are in micros, so the sort must be.
+            for (e <- it.toSeq.sortBy(ev => (epochUs(ev), ev.event_id))) {
+              val us = epochUs(e)
+              e.event_type match {
+                case "view" if st.t1.isEmpty =>
+                  st = FunnelState(Some(us), None)
+                case "click" if st.t1.nonEmpty && st.t2.isEmpty && us > st.t1.get =>
+                  st = st.copy(t2 = Some(us))
+                case "purchase" if st.t2.nonEmpty && us > st.t2.get =>
+                  // converted: settle the journey NOW — emit and forget
+                  out += FunnelOut(userId, 3, is_final = true)
+                  st = FunnelState(None, None)
+                case _ => ()
+              }
             }
+            if (st.t1.nonEmpty) {
+              state.update(st)
+              // arm the abandonment clock at last-stage-advance + horizon;
+              // clamped above the current watermark because Spark refuses a
+              // timeout already in the past (reachable via a batch whose
+              // watermark snapshot outran an old journey's deadline)
+              val lastAdvanceUs = st.t2.getOrElse(st.t1.get)
+              state.setTimeoutTimestamp(math.max(
+                (lastAdvanceUs + FunnelHorizonUs) / 1000,
+                state.getCurrentWatermarkMs + 1))
+              out += FunnelOut(userId, stage(st), is_final = false)
+            } else if (state.exists) state.remove()
+            out.iterator
           }
-          state.update(st)
-          FunnelOut(userId,
-            if (st.t3.nonEmpty) 3 else if (st.t2.nonEmpty) 2
-            else if (st.t1.nonEmpty) 1 else 0)
       }
   }
 
-  /** Run the streaming funnel end-to-end; stage-0 rows (users touched before
-    * any view) are filtered to match the batch contract (funnel entry
-    * requires a view). */
+  /** Run the streaming funnel end-to-end. Returns the per-user upsert view
+    * (see below); the raw emission log — is_final rows included — stays
+    * readable at `spark.table(queryName)` for population-level asserts. */
   def runFunnelOnce(spark: SparkSession, dir: String, queryName: String = "funnel"): DataFrame = {
     import spark.implicits._
     val q = funnelStream(eventStream(spark, dir).as[Event])
@@ -296,9 +366,10 @@ object Streams {
     q.awaitTermination()
     // The memory sink in Update mode APPENDS each trigger's re-emissions
     // rather than upserting, so a user whose stage advanced across
-    // micro-batches leaves stale lower-stage rows behind. Stages only ever
-    // increase, so max(stage_reached) per user IS the upsert a real
-    // key-value sink would hold.
+    // micro-batches leaves stale lower-stage rows behind. A journey's
+    // stages only ever increase and a conversion's 3 dominates any later
+    // re-entry journey's stages, so max(stage_reached) per user IS the
+    // upsert a real key-value sink would hold.
     spark.table(queryName)
       .groupBy(col("user_id"))
       .agg(max(col("stage_reached")).as("stage_reached"))
@@ -523,7 +594,14 @@ object Streams {
     * kept set (Update mode); after the last trigger the per-domain rows
     * with max n_seen equal the batch c10 answer on everything seen — the
     * row-local scoring ([[graft.queries.CurationQueries.domainScored]]) is
-    * shared code, so stream and batch can never rank differently. */
+    * shared code, so stream and batch can never rank differently.
+    *
+    * NoTimeout is DELIBERATE here, not the [[funnelStream]]/[[sessionize]]
+    * bug class: total state is ≤ (cap + 1 counter) × |domain vocabulary| —
+    * bounded by the KEY SPACE, which for registrable domains is millions at
+    * worst (MBs of state), not by the unbounded document stream. A deploy
+    * whose key is genuinely unbounded (per-URL, per-user) must add the
+    * sessionize-template event-time timeout before reusing this shape. */
   def domainCapStream(docs: DataFrame): Dataset[DomainCapOut] = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -119,6 +119,74 @@ class StreamingSpec extends SparkSpec {
     val batch = EventQueries.defs("e10_funnel")(spark, sf())
     assert(streamed.count() > 0)
     assert(sorted(streamed.collect()) === sorted(batch.collect()))
+    // the corpus converts every funnel-entering user (verified against the
+    // oracle), so every journey settled via the CONVERSION-eviction path —
+    // each converted user's final emission is exactly one (3, is_final) row
+    val finals = spark.table("funnel_spec")
+      .where(col("is_final") && col("stage_reached") === 3)
+      .select("user_id").distinct()
+    assert(finals.count() === batch.where(col("stage_reached") === 3).count())
+  }
+
+  test("funnel eviction: converted / timed-out / still-open populations, state freed live") {
+    // The VERDICT r15 #1 contract, mirroring the sessionize template: a
+    // journey settles by CONVERSION (purchase → emit 3 + evict now) or by
+    // TIMEOUT (no stage advance within the horizon once the watermark
+    // passes it → emit final stage + evict); journeys inside the horizon
+    // stay open in state. All three populations planted:
+    //  - user 100 converts (view→click→purchase) → one (3, final) row;
+    //  - user 200 reaches stage 2 then goes silent for > horizon → the
+    //    update-mode (2, open) row AND the timeout's (2, final) row;
+    //  - user 300 views inside the horizon → (1, open) only, state kept;
+    //  - user 400 clicks but never views → NO state, NO rows (a funnel
+    //    starts at a view; nothing to time out).
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel-evict").toString
+    val base = 1704067200L * 1000000L // 2024-01-01 00:00:00 UTC in µs
+    val H = Streams.FunnelHorizonUs
+    val hr = 3600L * 1000000L
+    val tlate = base + H + 3 * hr // watermark lands at base + H + 1h
+    val rows = Seq(
+      (1L, base, 100L, "view"), (2L, base + 60000000L, 100L, "click"),
+      (3L, base + 120000000L, 100L, "purchase"),
+      (4L, base, 200L, "view"), (5L, base + 60000000L, 200L, "click"),
+      (6L, tlate - hr / 2, 300L, "view"),
+      (7L, tlate, 400L, "click"))
+    import spark.implicits._
+    rows.toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"), col("user_id"),
+        col("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$dir/_stage")
+    val part = new java.io.File(s"$dir/_stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+    val q = Streams.funnelStream(Streams.eventStream(spark, dir).as[Streams.Event])
+      .writeStream.format("memory").queryName("funnel_evict_spec")
+      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val raw = spark.table("funnel_evict_spec")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(raw(100L) === Set((3, true)), "conversion settles in-batch: one final row only")
+    assert(raw(200L) === Set((2, false), (2, true)),
+      "abandoned journey: the open emission, then the timeout's final")
+    assert(raw(300L) === Set((1, false)), "in-horizon journey stays open — no final")
+    assert(!raw.contains(400L), "no view → no funnel, no state")
+    // live-eviction evidence: after the timeout batch, state holds EXACTLY
+    // the one still-open journey (user 300) — converted and timed-out rows
+    // are gone from the store, not just re-labeled in the output
+    val lastState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+    assert(lastState.numRowsTotal === 1L,
+      s"state must hold only the open journey, got ${lastState.numRowsTotal}")
+    // and the settled populations agree with batch e10 on the same replay
+    val batch = EventQueries.defs("e10_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(batch === Map(100L -> 3, 200L -> 2, 300L -> 1))
+    val upsert = Streams.runFunnelOnce(spark, dir, "funnel_evict_upsert")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(upsert === batch)
   }
 
   test("streaming rate anomaly equals batch e11 minus each type's open final hour") {
