@@ -72,6 +72,11 @@ object SimilarityQueries {
     // LSH-bucketed ANN: candidates share the query's 8-bit hyperplane-sign
     // bucket; top-k within bucket. Approximate by construction, but
     // deterministic — the oracle replicates the bucketing exactly.
+    // DELIBERATE ranking-Window baseline: s1/s2 keep the didactic
+    // row_number() form so the gate covers both top-k shapes on one
+    // oracle; the production scale path is the s4 bounded-state aggregate
+    // (O(queries × k) shuffle, map-side combine, no sort), which m7 and
+    // the s5 retrieval join already use.
     "s2_knn_lsh" -> ((s, d) => {
       val e = withNorm(embs(s, d)).withColumn("bkt", bucket(col("embedding")))
       val q = e.where(col("vec_id") < 10)

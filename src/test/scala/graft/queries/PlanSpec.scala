@@ -224,6 +224,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), p)
   }
 
+  test("m7 media ANN ranks on the bounded-state aggregate: no window, no sort (r16)") {
+    // VERDICT r15 missing #2: the media top-k was a per-query ranking
+    // Window; it must plan the s4 aggregate shape instead — partial
+    // ObjectHashAggregate states combined map-side, O(queries × k) shuffle
+    val p = finalPlan(graft.queries.MultimodalQueries.defs("m7_media_ann")(spark, sf()))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_top_k"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+  }
+
   test("d2/t6 hot-key df caps are present in the candidate-index plans") {
     import graft.sources.Tables
     val d2 = DedupQueries.jaccardPairsOf(

@@ -591,6 +591,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming media ingest equals the batch m7 feature/bucket frame exactly") {
+    // stateless per-row codec + bucket assignment over arriving media —
+    // shared code with batch m7's candidate side, so the streamed frame
+    // (features, norms, LSH buckets) is bit-identical on the same files
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val batch = graft.queries.MultimodalQueries.mediaFeatureBuckets(docs)
+    val streamed = Streams.runMediaIngestOnce(spark, sf(), "media_ingest_spec")
+    assert(streamed.count() > 0)
+    assert(sorted(streamed.collect()) === sorted(batch.collect()))
+    // every media kind flowed through (the modality-blocked search probe
+    // would silently degrade if a kind's features stopped arriving)
+    assert(streamed.select("kind").distinct().count() === 3)
+  }
+
   test("sub-millisecond ordering: same-ms out-of-order events still match the batch twins") {
     // Two events ONE MILLISECOND apart is the granularity getTime() can see;
     // inside a millisecond only epoch-micros ordering works. Plant pairs in
