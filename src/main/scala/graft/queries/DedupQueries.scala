@@ -224,6 +224,29 @@ object DedupQueries {
                                              (stage: DataFrame => DataFrame): DataFrame =
     spansFromCapped(capPostings(stage(allGramPostings(documents, SpanLen)), MaxGramDf))
 
+  /** Raw all-position gram postings of a derived doc set — the shared
+    * staging input when a composed flow needs BOTH the exact span build and
+    * the anchor dial over one materialized gram scan (p4/p4-anchored). */
+  private[queries] def rawGramPostings(documents: DataFrame): DataFrame =
+    allGramPostings(documents, SpanLen)
+
+  /** Exact maximal spans from an already-staged raw posting frame —
+    * [[substringDedupStagedBy]] with the staging done by the caller. */
+  private[queries] def spansFromRaw(raw: DataFrame): DataFrame =
+    spansFromCapped(capPostings(raw, MaxGramDf))
+
+  /** The d16 anchor-dial spans from an already-staged raw posting frame:
+    * anchor filter (a property of the gram hash, so applied AFTER staging —
+    * one gram scan serves both variants), the df cap (binds identically to
+    * the exact variant's, see [[cappedAnchorPostings]]), island-collapsed
+    * candidates, exact bidirectional extension. Same output schema and
+    * exact-maximal-interval contract as [[spansFromRaw]]; recall is the
+    * documented [[AnchorStride]] dial. */
+  private[queries] def anchorSpansFromRaw(documents: DataFrame, raw: DataFrame,
+                                          stride: Int = AnchorStride): DataFrame =
+    substringDedupFrom(documents,
+      capPostings(raw.where(pmod(col("h"), lit(stride)) === 0), MaxGramDf))
+
   private[queries] def spansFromCapped(capped: DataFrame): DataFrame = {
     val K = SpanLen
     val m = capped.as("a").join(capped.as("b"),
@@ -1350,50 +1373,69 @@ object DedupQueries {
     // NULL <=> token is false on both engines, so the scan stops at the
     // first mismatch or length end).
     "d16_substring_anchors" ->
-      s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),
-         |g AS (
-         |  SELECT doc_id, u['pos'] AS pos, u['h'] AS h FROM (
-         |    SELECT doc_id, unnest([{'pos': i, 'h': ${polyHashSql(
-               s"array_to_string(ws[i+1 : i+$SpanLen], ' ')")}}
-         |                           for i in range(0, len(ws) - ${SpanLen - 1})]) AS u
-         |    FROM tt WHERE len(ws) >= $SpanLen)),
-         |anch AS (SELECT doc_id, pos, h FROM g WHERE h % $AnchorStride = 0),
-         |ca AS (SELECT doc_id, pos, h FROM (
-         |         SELECT anch.*, COUNT(*) OVER (PARTITION BY h) AS df FROM anch)
-         |       WHERE df <= $MaxGramDf),
-         |hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |                a.pos AS a_pos, b.pos AS b_pos
-         |         FROM ca a JOIN ca b ON a.h = b.h AND a.doc_id < b.doc_id),
-         |diagp AS (SELECT doc_a, doc_b, a_pos - b_pos AS diag,
-         |            list_sort(list(a_pos)) AS ps
-         |          FROM hits GROUP BY doc_a, doc_b, a_pos - b_pos),
-         |isl AS (SELECT doc_a, doc_b, diag,
-         |          unnest(list_filter(ps, (p, i) -> i = 1 OR p - ps[i-1] > $SpanLen)) AS a_pos
-         |        FROM diagp),
-         |cand AS (SELECT doc_a, doc_b, a_pos, a_pos - diag AS b_pos FROM isl),
-         |-- MATERIALIZED: at sf1 DuckDB 1.x segfaults when the island
-         |-- unnest(list_filter) chain and the downstream LCP lambdas fuse
-         |-- into one pipeline (the r14 CASE-over-lambda crash family —
-         |-- bisected the same way: j alone materialized is sufficient)
-         |j AS MATERIALIZED (SELECT cand.*, ta.ws AS wa, tb.ws AS wb
-         |      FROM cand JOIN tt ta ON ta.doc_id = cand.doc_a
-         |                JOIN tt tb ON tb.doc_id = cand.doc_b),
-         |e0 AS (SELECT doc_a, doc_b, a_pos, b_pos, len(wa) AS la, len(wb) AS lb,
-         |        ${lcpPosSql("list_reverse(wa[1:a_pos])", "list_reverse(wb[1:b_pos])")} AS pl,
-         |        ${lcpPosSql(s"wa[a_pos+${SpanLen + 1}:len(wa)]",
-                             s"wb[b_pos+${SpanLen + 1}:len(wb)]")} AS pr
-         |       FROM j),
-         |e AS (SELECT doc_a, doc_b, a_pos, b_pos,
-         |        CASE WHEN pl = 0 THEN least(a_pos, b_pos) ELSE pl - 1 END AS ext_l,
-         |        CASE WHEN pr = 0 THEN least(la - a_pos - $SpanLen, lb - b_pos - $SpanLen)
-         |             ELSE pr - 1 END AS ext_r
-         |      FROM e0)
-         |SELECT DISTINCT doc_a, doc_b,
-         |  CAST(a_pos - ext_l AS BIGINT) AS a_pos,
-         |  CAST(b_pos - ext_l AS BIGINT) AS b_pos,
-         |  CAST(ext_l + ext_r + $SpanLen AS BIGINT) AS span_len
-         |FROM e""".stripMargin
+      s"""WITH ${anchorSpanCtesFor("documents", "")}
+         |SELECT doc_a, doc_b, a_pos, b_pos, span_len FROM sp""".stripMargin
   )
+
+  /** The d16 anchor-twin span chain re-anchorable to ANY (doc_id, text)
+    * CTE/table `src`, CTE names prefixed with `p` (the [[spanCtesFor]]
+    * convention — p4's anchored variant anchors it to the pipeline's
+    * quality-survivor set; same `${p}sp` output name, so [[cutCtesFor]]
+    * composes with either span chain unchanged). Postings restricted to
+    * grams with h % stride = 0 (anchor-ness is a property of the gram, so
+    * the df cap binds identically), anchor-hash candidate join, the r15
+    * ISLAND COLLAPSE (per-diagonal sorted positions filtered to island
+    * starts — the engine's rule verbatim, so even the ~1e-4-rare
+    * gram-hash-collision merges behave identically in both engines: the
+    * d2 convention), then the same bidirectional longest-common-prefix
+    * extension the engine computes with zip_with/array_position, here as
+    * list_zip/list_position (both pad the shorter list with NULLs;
+    * NULL <=> token is false on both engines, so the scan stops at the
+    * first mismatch or length end). */
+  private[queries] def anchorSpanCtesFor(src: String, p: String): String =
+    s"""${p}att AS (SELECT doc_id, $toks AS ws FROM $src),
+       |${p}ag AS (
+       |  SELECT doc_id, u['pos'] AS pos, u['h'] AS h FROM (
+       |    SELECT doc_id, unnest([{'pos': i, 'h': ${polyHashSql(
+             s"array_to_string(ws[i+1 : i+$SpanLen], ' ')")}}
+       |                           for i in range(0, len(ws) - ${SpanLen - 1})]) AS u
+       |    FROM ${p}att WHERE len(ws) >= $SpanLen)),
+       |${p}anch AS (SELECT doc_id, pos, h FROM ${p}ag WHERE h % $AnchorStride = 0),
+       |${p}ca AS (SELECT doc_id, pos, h FROM (
+       |         SELECT ${p}anch.*, COUNT(*) OVER (PARTITION BY h) AS df FROM ${p}anch)
+       |       WHERE df <= $MaxGramDf),
+       |${p}hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.pos AS a_pos, b.pos AS b_pos
+       |         FROM ${p}ca a JOIN ${p}ca b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |${p}diagp AS (SELECT doc_a, doc_b, a_pos - b_pos AS diag,
+       |            list_sort(list(a_pos)) AS ps
+       |          FROM ${p}hits GROUP BY doc_a, doc_b, a_pos - b_pos),
+       |${p}isl AS (SELECT doc_a, doc_b, diag,
+       |          unnest(list_filter(ps, (pp, i) -> i = 1 OR pp - ps[i-1] > $SpanLen)) AS a_pos
+       |        FROM ${p}diagp),
+       |${p}cand AS (SELECT doc_a, doc_b, a_pos, a_pos - diag AS b_pos FROM ${p}isl),
+       |-- MATERIALIZED: at sf1 DuckDB 1.x segfaults when the island
+       |-- unnest(list_filter) chain and the downstream LCP lambdas fuse
+       |-- into one pipeline (the r14 CASE-over-lambda crash family —
+       |-- bisected the same way: j alone materialized is sufficient)
+       |${p}aj AS MATERIALIZED (SELECT ${p}cand.*, ta.ws AS wa, tb.ws AS wb
+       |      FROM ${p}cand JOIN ${p}att ta ON ta.doc_id = ${p}cand.doc_a
+       |                JOIN ${p}att tb ON tb.doc_id = ${p}cand.doc_b),
+       |${p}ae0 AS (SELECT doc_a, doc_b, a_pos, b_pos, len(wa) AS la, len(wb) AS lb,
+       |        ${lcpPosSql("list_reverse(wa[1:a_pos])", "list_reverse(wb[1:b_pos])")} AS pl,
+       |        ${lcpPosSql(s"wa[a_pos+${SpanLen + 1}:len(wa)]",
+                           s"wb[b_pos+${SpanLen + 1}:len(wb)]")} AS pr
+       |       FROM ${p}aj),
+       |${p}ae AS (SELECT doc_a, doc_b, a_pos, b_pos,
+       |        CASE WHEN pl = 0 THEN least(a_pos, b_pos) ELSE pl - 1 END AS ext_l,
+       |        CASE WHEN pr = 0 THEN least(la - a_pos - $SpanLen, lb - b_pos - $SpanLen)
+       |             ELSE pr - 1 END AS ext_r
+       |      FROM ${p}ae0),
+       |${p}sp AS (SELECT DISTINCT doc_a, doc_b,
+       |  CAST(a_pos - ext_l AS BIGINT) AS a_pos,
+       |  CAST(b_pos - ext_l AS BIGINT) AS b_pos,
+       |  CAST(ext_l + ext_r + $SpanLen AS BIGINT) AS span_len
+       |FROM ${p}ae)""".stripMargin
 
   /** DuckDB twin of the engine's LCP mismatch probe: 1-based position of
     * the first elementwise difference between two NULL-padded lists, 0 when

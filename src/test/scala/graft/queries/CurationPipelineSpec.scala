@@ -163,6 +163,48 @@ class CurationPipelineSpec extends SparkSpec {
       s"the cut must move a shard boundary: $cutPack vs $uncutPack")
   }
 
+  test("p4 anchor dial agrees with exact-span p4 on the planted fixture and sf0.001") {
+    import spark.implicits._
+    // RECALL-DIAL CAVEAT (the contract this spec pins the safe side of):
+    // the anchored variant misses a shared span only when NONE of its grams
+    // hashes to an anchor — P ≈ (1 - 1/stride)^(L-K+1), ~1e-250 for the
+    // fixture's 2000-token span and < 1e-2 already at L = 2K. On corpora
+    // where the misses land (short boilerplate near the K floor), n_cut /
+    // admission / shards may differ exactly there; on the planted fixture
+    // and the whole sf0.001 corpus the two variants must be row-identical
+    // (d16 == d14 span equality at sf0.001 is already spec-pinned, and the
+    // pipeline stages downstream of the spans are shared code).
+    val pool = spark.range(1, 4000).select(col("id").as("doc_id"))
+      .withColumn("source", lit("src1"))
+      .withColumn("smp", CurationQueries.samplePred)
+      .withColumn("mix", CurationQueries.mixPred)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3)))
+    val benchId = pool.collectFirst { case (id, false, _) if id % 20 == 0 => id }.get
+    val mixPass = pool.collect { case (id, true, true) if id % 20 != 0 => id }.sorted
+    val Array(idSrc, idCut, k1, k2, k3, k4) = mixPass.take(6)
+    def w(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val A = w("aa", 2000)
+    val fixture = Seq(
+      benchId -> w("bz", 8),
+      idSrc -> A,
+      idCut -> (w("bb", 100) + " " + A + " " + w("cc", 100)),
+      k1 -> w("ka", 1000), k2 -> w("kb", 1000),
+      k3 -> w("kc", 1000), k4 -> w("kd", 1000)
+    ).map { case (id, t) => (id, "en", "src1", t.length.toLong, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.map(String.valueOf).toList).sortBy(_.mkString("|")).toSeq
+    val exactF = PipelineQueries.pipelineCutOf(fixture)
+    val anchF = PipelineQueries.pipelineCutAnchoredOf(fixture)
+    assert(rows(anchF) === rows(exactF))
+    // the fixture actually exercised the cut through the anchored path
+    assert(anchF.where(col("n_cut") === 2000L).count() === 1)
+    // whole-corpus agreement at sf0.001
+    val docs = graft.sources.Tables.documents(spark, sf())
+    assert(rows(PipelineQueries.pipelineCutAnchoredOf(docs))
+      === rows(PipelineQueries.pipelineCutOf(docs)))
+  }
+
   test("p2 planted fixture: every admission outcome exercised, frozen-LOO bar exact") {
     import spark.implicits._
     // plant ids by evaluating the real salted predicates (as the p1 fixture
