@@ -96,9 +96,40 @@ object Manifests {
     if (all.isEmpty) None
     else completeLines(s, root) match {
       case some @ Some(_) => some
-      case None => throw new IllegalStateException(
-        s"Manifests.resolve: only incomplete (in-flight, torn, or crashed) $Prefix* " +
-          s"objects under $root — no complete publish to resolve")
+      case None =>
+        // Distinguish the two worlds behind "no sentinel" (ADVICE r15: the
+        // generic torn/in-flight message sent operators hunting a publisher
+        // crash when the likely fix is the documented one-line migration):
+        // EVERY body non-empty and sentinel-less is the v1 pre-sentinel
+        // signature — torn prefixes and in-flight publishes come with empty
+        // bodies among them, and a v1 writer always wrote whole bodies. A
+        // single torn v2 prefix reads identically, so the message names
+        // both and the remedy for each (the remedy is a re-publish either
+        // way; only the root cause differs).
+        val allV1Shaped = bodies(s, root).forall { b =>
+          b.nonEmpty && b.split("\n", -1).last != End
+        }
+        if (allV1Shaped) throw new IllegalStateException(
+          s"Manifests.resolve: no complete publish to resolve under $root — every " +
+            s"$Prefix* body is non-empty but lacks the '$End' sentinel. This is the " +
+            "v1 (pre-sentinel) format signature: if this root predates the sentinel " +
+            "writer, migrate by re-publishing the current version under the v2 " +
+            "writer (one Manifests.publish of the same payload). A torn v2 prefix " +
+            "reads identically; re-publishing recovers that case too")
+        else throw new IllegalStateException(
+          s"Manifests.resolve: only incomplete (in-flight, torn, or crashed) $Prefix* " +
+            s"objects under $root — no complete publish to resolve")
+    }
+  }
+
+  /** Raw body text of every manifest under `root` (newest need not be
+    * first) — the v1-vs-torn diagnostic read. */
+  private def bodies(s: SparkSession, root: String): Seq[String] = {
+    import org.apache.hadoop.fs.FileContext
+    manifests(s, root).map { case (_, p) =>
+      val fc = FileContext.getFileContext(p.toUri, s.sparkContext.hadoopConfiguration)
+      val in = fc.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
   }
 
@@ -146,7 +177,13 @@ object Manifests {
     * are safe on every scheme. Returns the manifest number published. */
   def appendSegment(df: DataFrame, root: String): Long = {
     val s = df.sparkSession
-    val seg = s"seg-${System.nanoTime()}"
+    // Name = next manifest number (readable ordering) + random UUID
+    // (uniqueness). ADVICE r15: the first version used System.nanoTime(),
+    // whose origin is arbitrary per JVM (often boot time) — two driver
+    // restarts could draw the SAME name and the ErrorIfExists write then
+    // fails the whole append loudly; the UUID cannot collide.
+    val next = manifests(s, root).map(_._1).maxOption.map(_ + 1).getOrElse(0L)
+    val seg = s"seg-$next-${java.util.UUID.randomUUID()}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$seg")
     // prior = the newest complete segment set, or EMPTY when none exists —
     // including the only-incomplete-manifests case resolveOption fails
@@ -165,4 +202,38 @@ object Manifests {
   def readSegments(s: SparkSession, root: String): DataFrame =
     resolve(s, root).map(seg => s.read.parquet(s"$root/$seg"))
       .reduce(_.unionByName(_))
+
+  /** Garbage-collect LEAKED segments: a crash between the segment write and
+    * its manifest publish strands an unreferenced `seg-*` dir forever
+    * (ADVICE r15). Deletes every seg-* dir absent from the newest COMPLETE
+    * manifest AND older (mtime) than that manifest — a segment younger than
+    * the manifest could be an append in flight, so it is never touched.
+    * Run from the SINGLE APPENDER between appends (the [[appendSegment]]
+    * discipline already serializes writers; concurrent readers are safe —
+    * they only open manifest-listed dirs). Returns the deleted names. */
+  def vacuumSegments(s: SparkSession, root: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val newest = manifests(s, root).sortBy(-_._1).headOption
+      .filter(_ => completeLines(s, root).nonEmpty)
+    newest match {
+      case None => Seq.empty // nothing published — every segment may be in flight
+      case Some((_, mp)) =>
+        val live = completeLines(s, root).get.toSet
+        val cutoff = fs.getFileStatus(mp).getModificationTime
+        fs.listStatus(rootPath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg-") &&
+            !live.contains(st.getPath.getName) &&
+            st.getModificationTime < cutoff)
+          .map { st =>
+            System.err.println(s"[graft.manifests] $root: deleting leaked segment " +
+              s"${st.getPath.getName} (unreferenced by the newest complete manifest " +
+              "and older than it — a crashed append's remnant)")
+            fs.delete(st.getPath, true)
+            st.getPath.getName
+          }
+    }
+  }
 }

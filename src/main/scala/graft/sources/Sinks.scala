@@ -316,14 +316,19 @@ object Sinks {
       // Reconcile BEFORE dropping the log: a crashed final micro-batch can
       // leave part-files on disk that the log never committed — readers
       // honoring the log do not see them, and deleting the log wholesale
-      // would silently legitimize them as data. Read the prefix THROUGH the
-      // log (Spark uses _spark_metadata when reading a streaming sink's
-      // root) to get the committed file set, and delete every on-disk
-      // part-file outside it.
-      import org.apache.spark.sql.functions.input_file_name
-      val committed = spark.read.parquet(root.toString)
-        .select(input_file_name()).distinct()
-        .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
+      // would silently legitimize them as data. Read the committed file set
+      // from the FileStreamSinkLog DIRECTLY (ADVICE r15: the first version
+      // scanned the whole DATASET and collected input_file_name() — an
+      // O(dataset) read for a metadata question, and a committed zero-row
+      // part-file yields no rows, so it was misclassified and deleted as an
+      // orphan, contradicting the log message). The log read is O(log),
+      // and zero-row committed files are committed.
+      val committed = {
+        import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+        new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, sinkLog.toString)
+          .allFiles()
+          .map(f => new Path(new java.net.URI(f.path)).toUri.getPath).toSet
+      }
       val onDisk = {
         def walk(d: Path): Seq[Path] = {
           val st = fs.listStatus(d).toSeq
@@ -358,6 +363,30 @@ object Sinks {
           val base = new Path(p,
             s.getPath.getName.stripPrefix(".").stripSuffix(".compact-old"))
           restoreOrphanedAside(fs, base.toString)
+        }
+      // LEGACY asides (ADVICE r15): a pre-dot-prefix compaction crash left
+      // an UN-DOTTED `X.compact-old` — it fails the hidden-aside restore
+      // above yet passes the subdir filter below, so an unhandled one would
+      // be compacted as a real partition directory and readers would see a
+      // bogus partition value (e.g. o_year='5.compact-old'). Base missing →
+      // it IS the data: restore it. Base present → ambiguous across the
+      // writer upgrade (post-swap debris vs something else entirely) —
+      // refuse loudly and let the operator adjudicate.
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
+          s.getPath.getName.endsWith(".compact-old"))
+        .foreach { s =>
+          val base = new Path(p, s.getPath.getName.stripSuffix(".compact-old"))
+          if (!fs.exists(base)) {
+            System.err.println(s"[graft.sinks] ${base} missing but legacy aside " +
+              s"${s.getPath} exists (pre-upgrade compaction crashed mid-swap); " +
+              "restoring the original data")
+            require(fs.rename(s.getPath, base),
+              s"could not restore $base from legacy aside ${s.getPath}")
+          } else sys.error(
+            s"legacy aside ${s.getPath} exists alongside $base — refusing to " +
+              "compact: if the pre-upgrade swap completed ($base holds the " +
+              "compacted data), delete the aside; otherwise restore it manually")
         }
       val st = fs.listStatus(p).toSeq
       val hasParquet = st.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))

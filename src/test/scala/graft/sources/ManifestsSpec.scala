@@ -44,16 +44,75 @@ class ManifestsSpec extends SparkSpec {
     assert(java.nio.file.Files.readString(
       java.nio.file.Path.of(root, f"MANIFEST-${2L}%020d")) === "good2\n#EN")
     // a root holding ONLY incomplete manifests fails loudly — someone tried
-    // to publish and never finished; silence would mask a dead publisher
+    // to publish and never finished; silence would mask a dead publisher.
+    // An EMPTY body among them is evidence of a mid-create crash, so the
+    // message is the generic torn/in-flight one
     val torn = freshRoot("manifests-only-torn")
     java.nio.file.Files.writeString(
       java.nio.file.Path.of(torn, f"MANIFEST-${0L}%020d"), "half")
+    java.nio.file.Files.createFile(
+      java.nio.file.Path.of(torn, f"MANIFEST-${1L}%020d"))
     assert(intercept[IllegalStateException] {
       Manifests.resolve(spark, torn)
     }.getMessage.contains("no complete publish"))
     assert(intercept[IllegalStateException] {
       Manifests.resolveOption(spark, torn)
     }.getMessage.contains("no complete publish"))
+  }
+
+  test("v1 pre-sentinel roots raise the migration message, not the torn/crash one") {
+    // ADVICE r15: a root published by the r14 pre-sentinel writer reads as
+    // incomplete (correct refusal — trusting it would reopen the
+    // partial-body window), but the generic torn/in-flight error sent
+    // operators hunting a publisher crash; EVERY body non-empty and
+    // sentinel-less is the v1 signature (torn prefixes come with empty or
+    // few bodies, and the v1 writer always wrote whole bodies), so the
+    // message must point at the one-line re-publish migration instead.
+    val root = freshRoot("manifests-v1")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(root, f"MANIFEST-${0L}%020d"), "v1-version-a")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(root, f"MANIFEST-${1L}%020d"), "v1-version-b")
+    val msg = intercept[IllegalStateException] {
+      Manifests.resolve(spark, root)
+    }.getMessage
+    assert(msg.contains("v1") && msg.contains("re-publishing"), msg)
+    // the documented migration: one re-publish of the current version
+    // under the v2 writer, then the root resolves again
+    Manifests.publish(spark, root, Seq("v1-version-b"))
+    assert(Manifests.resolve(spark, root) === Seq("v1-version-b"))
+  }
+
+  test("appendSegment names survive driver restarts; vacuum reaps only leaked segments") {
+    import spark.implicits._
+    val root = freshRoot("segments-vacuum")
+    Manifests.appendSegment(Seq((1L, "a")).toDF("id", "v"), root)
+    Manifests.appendSegment(Seq((2L, "b")).toDF("id", "v"), root)
+    // plant a LEAKED segment: written, never published (crash before
+    // publish), older than the newest manifest
+    val leaked = java.nio.file.Path.of(root, "seg-leaked-from-crash")
+    Seq((99L, "x")).toDF("id", "v").write.parquet(leaked.toString)
+    val newestManifest = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("MANIFEST-")).map(_.getName).max
+    java.nio.file.Files.setLastModifiedTime(leaked,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Path.of(root, newestManifest).toFile.lastModified() - 60000))
+    // and an IN-FLIGHT one: unreferenced but YOUNGER than the manifest —
+    // vacuum must never touch it (could be an append about to publish)
+    val inflight = java.nio.file.Path.of(root, "seg-inflight")
+    Seq((100L, "y")).toDF("id", "v").write.parquet(inflight.toString)
+    java.nio.file.Files.setLastModifiedTime(inflight,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    val reaped = Manifests.vacuumSegments(spark, root)
+    assert(reaped === Seq("seg-leaked-from-crash"), reaped)
+    assert(!java.nio.file.Files.exists(leaked))
+    assert(java.nio.file.Files.exists(inflight), "younger unreferenced segment spared")
+    // the published set still reads whole
+    assert(Manifests.readSegments(spark, root).count() === 2)
+    // vacuum on an unpublished root is a no-op (everything may be in flight)
+    val empty = freshRoot("segments-vacuum-empty")
+    Seq((1L, "z")).toDF("id", "v").write.parquet(s"$empty/seg-any")
+    assert(Manifests.vacuumSegments(spark, empty) === Seq.empty)
   }
 
   test("payload guard: newline-bearing or sentinel-valued lines are refused") {

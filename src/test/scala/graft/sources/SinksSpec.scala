@@ -109,6 +109,48 @@ class SinksSpec extends SparkSpec {
       orders.where(col("o_year") === y).count())
   }
 
+  test("partitioned compaction restores a LEGACY un-dotted aside; refuses an ambiguous one") {
+    // ADVICE r15 (medium): a pre-dot-prefix compaction crash left an
+    // un-dotted 'X.compact-old' — it fails the hidden-aside restore filter
+    // yet passes the subdir filter, so unhandled it would be compacted as a
+    // real partition directory and readers would then see a bogus partition
+    // value (e.g. o_year='5.compact-old'). Base missing → restore; base
+    // present → refuse loudly (ambiguous across the writer upgrade).
+    import org.apache.hadoop.fs.Path
+    val orders = Tables.orders(spark, sf())
+      .withColumn("o_year", year(col("o_orderdate")))
+    orders.repartition(4).write.partitionBy("o_year").parquet(s"$tmp/orders_legacy")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val leafName = new java.io.File(s"$tmp/orders_legacy").listFiles()
+      .filter(_.isDirectory).map(_.getName).find(_.startsWith("o_year=")).get
+    val leaf = new Path(s"$tmp/orders_legacy/$leafName")
+    // crash shape 1: data ONLY at the legacy aside — must be restored,
+    // compacted as a real leaf, and never read as a partition value
+    assert(fs.rename(leaf, new Path(s"$tmp/orders_legacy/$leafName.compact-old")))
+    val (nBefore, nAfter) = Sinks.compactPartitionedParquet(
+      spark, s"$tmp/orders_legacy", s"$tmp/orders_legacy.compact",
+      targetBytes = 64L * 1024 * 1024)
+    assert(nAfter < nBefore, s"$nAfter !< $nBefore")
+    assert(fs.exists(leaf))
+    assert(!fs.exists(new Path(s"$tmp/orders_legacy/$leafName.compact-old")))
+    val back = spark.read.parquet(s"$tmp/orders_legacy")
+    assert(back.count() === orders.count())
+    assert(!back.select("o_year").distinct().collect()
+      .map(_.get(0).toString).exists(_.contains("compact-old")))
+    // crash shape 2: legacy aside ALONGSIDE its base — ambiguous, refuse
+    val dup = new Path(s"$tmp/orders_legacy/$leafName.compact-old")
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs, leaf, fs, dup, false,
+      spark.sparkContext.hadoopConfiguration))
+    val err = intercept[RuntimeException] {
+      Sinks.compactPartitionedParquet(
+        spark, s"$tmp/orders_legacy", s"$tmp/orders_legacy.compact2",
+        targetBytes = 64L * 1024 * 1024)
+    }
+    assert(err.getMessage.contains("legacy aside"), err.getMessage)
+    assert(fs.exists(leaf) && fs.exists(dup), "refusal must not touch either copy")
+  }
+
   test("partitioned compaction ignores '_'-prefixed debris (crashed-write _temporary)") {
     import org.apache.hadoop.fs.Path
     val orders = Tables.orders(spark, sf())
