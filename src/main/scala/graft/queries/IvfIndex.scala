@@ -284,10 +284,18 @@ object IvfIndex {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    // rank via the bounded-state top-k aggregate (r16, the m7 swap's
+    // rationale): this is the PRODUCTION search path — a real query batch
+    // against hot probed cells would pay a per-query-partition sort under
+    // the row_number() form; the aggregate combines partial k-states
+    // map-side, shuffling O(queries × k). Same (cos desc, id asc) total
+    // order, so results are identical (s3's inline window twin stays the
+    // gated didactic baseline, same oracle family).
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopK.topK(col("cos"), col("neighbor_id"), TopK).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cos"))
   }
 
   /** INCREMENTAL semantic dedup — d10's daily-ingest twin over the
