@@ -14,10 +14,33 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // sampled BEFORE any work so it reflects the box as the run found it
-    val loadAvgStart =
+    def loadAvg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // QUIET-WINDOW GATE (VERDICT r15 #2, second round running: the recorded
+    // per-round JSON snapshotted a degraded host window — loadavg 4-6 —
+    // while clean windows the same day read 2-9× faster on the affected
+    // keys; the committed artifact is the diffable trail and should not
+    // need prose to be read correctly). If the box is busy at invocation,
+    // WAIT for it to drain before timing: poll until the 1-min loadavg
+    // drops under SPARK_GRAFT_MAX_LOADAVG (default 3.0) or
+    // SPARK_GRAFT_LOADAVG_WAIT_SEC (default 300) elapses — then record,
+    // stamping both the invoke-time and start-of-timing loadavg so a run
+    // that had to proceed degraded is self-evidencing.
+    val loadAvgInvoke = loadAvg()
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOADAVG", "3.0").toDouble
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_WAIT_SEC", "300").toInt
+    val waitDeadline = System.nanoTime() + maxWaitSec * 1000000000L
+    while (loadAvg() > maxLoad && System.nanoTime() < waitDeadline) {
+      System.err.println(f"[bench] loadavg ${loadAvg()}%.2f > $maxLoad%.1f — " +
+        "waiting for a quiet window (set SPARK_GRAFT_MAX_LOADAVG to tune)")
+      Thread.sleep(10000)
+    }
+    if (loadAvg() > maxLoad)
+      System.err.println(f"[bench] proceeding DEGRADED: loadavg ${loadAvg()}%.2f " +
+        f"after ${maxWaitSec}s wait — timings below may be host-noise-inflated")
+    // sampled BEFORE any work so it reflects the box as the timing found it
+    val loadAvgStart = loadAvg()
     // Untimed warmup at the smallest scale: first-touch costs (parquet reader
     // init, codegen compiler, shuffle/broadcast machinery, JIT) are one-time
     // per JVM and land on whichever query happens to run first in the map's
@@ -100,7 +123,8 @@ object Bench {
     // deltas are attributable without forensics (r9→r10's 1.07× uniform drift
     // took a manual 46-key diff + heap experiments to pin on the box).
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
-    val env = f""""env":{"heap_gb":$heapGb%.1f,"cpus":"$cpus","loadavg_start":$loadAvgStart}"""
+    val env = f""""env":{"heap_gb":$heapGb%.1f,"cpus":"$cpus",""" +
+      s""""loadavg_invoke":$loadAvgInvoke,"loadavg_start":$loadAvgStart}"""
     val builds = bestBuilds.toSeq.sortBy(_._1)
     val buildTotal = builds.map(_._2).sum
     // headline total keeps its historical meaning (full suite wall cost):

@@ -113,7 +113,11 @@ object StreamRehearsal {
 
     println(s"""{"rehearsal":"streaming","sf_dir":"$sfDir","events":$n,"chunks":$chunks}""")
     run("sessionize", Streams.sessionize(src))
-    run("funnel", Streams.funnelStream(src), OutputMode.Update()) // mapGroupsWithState re-emits per trigger
+    // Update mode: the funnel re-emits a touched user's current stage per
+    // trigger; r16 eviction means state_rows_max now evidences the OPEN
+    // journey population (conversions and horizon-timeouts evict live),
+    // not every user ever seen
+    run("funnel", Streams.funnelStream(src), OutputMode.Update())
     run("rate_anomaly", Streams.rateAnomalyStream(src))
 
     // ---- the admission pipeline: documents replay, corpus static --------
