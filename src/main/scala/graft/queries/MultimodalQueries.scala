@@ -87,20 +87,11 @@ object MultimodalQueries {
     // HOF formulation it replaced is CodegenFallback — interpreted per
     // element; same exact bigint fold, PlanSpec pins the plan).
     "m6_media_neardup" -> ((s, d) => {
-      val media = graft.multimodal.Multimodal.mediaFromDocuments(docs(s, d))
-      val h = graft.multimodal.Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("kind"), col("histogram16"),
-          expr("n_bytes div 64").as("bkt"))
-      val left = h.select(col("media_id").as("a"), col("kind"),
-        col("histogram16").as("ha"),
-        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("probe"))
-      val right = h.select(col("media_id").as("b"), col("kind"),
-        col("histogram16").as("hb"), col("bkt").as("probe"))
-      left.join(right, Seq("kind", "probe"))
-        .where(col("a") < col("b"))
-        .select(col("a").as("media_id_a"), col("b").as("media_id_b"),
-          graft.functions.VectorFunctions.l1(col("ha"), col("hb")).as("l1"))
-        .where(col("l1") <= L1NearDupT)
+      val f = mediaBandFeatures(docs(s, d))
+      mediaNearDupProbeOf(f, f)
+        .where(col("new_id") < col("corpus_id"))
+        .select(col("new_id").as("media_id_a"), col("corpus_id").as("media_id_b"),
+          col("l1"))
     }),
 
     // MEDIA-EMBEDDING ANN (m7, r15; VERDICT r14 missing #4 — cross-modal
@@ -136,6 +127,42 @@ object MultimodalQueries {
         transform(col("histogram16"), _.cast("double")).as("mv"))
       .withColumn("nrm", sqrt(V.dot(col("mv"), col("mv"))))
       .withColumn("bkt", V.lshBucket(col("mv"), MediaAnnPlanes, MediaAnnDim))
+  }
+
+  /** m6's FEATURE/BAND frame of any (doc_id, n_chars, text) documents
+    * frame: (media_id, kind, histogram16, bkt = n_bytes div 64) — the codec
+    * histogram plus the exact L1 blocking band (|sum(ha)-sum(hb)| <= L1, so
+    * a qualifying pair's sizes differ by <= T bytes and must land in the
+    * same or adjacent band). Per-row/stateless like [[mediaFeatureBuckets]],
+    * so the same code serves batch m6 and the streaming near-dup probe. */
+  private[graft] def mediaBandFeatures(documents: DataFrame): DataFrame = {
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(documents)
+    graft.multimodal.Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("histogram16"),
+        expr("n_bytes div 64").as("bkt"))
+  }
+
+  /** m6's near-dup rule as an ASYMMETRIC probe: `leftF` media checked
+    * against `rightF`'s feature index — same-kind rows whose histograms
+    * differ by L1 <= [[L1NearDupT]]. Blocking is the m6 exact band rule:
+    * the left side probes its band ±1, the right side keys on its own band,
+    * so every qualifying (left, right) pair is found EXACTLY once (the
+    * right row's band is unique) and candidate fan-out is 3× left rows into
+    * an equi-join, never all-pairs. Symmetric m6 is this with both sides
+    * the corpus + an id-order filter; the streaming twin
+    * ([[graft.streaming.Streams.mediaNearDupProbeStream]]) passes arriving
+    * media as `leftF` against the persisted corpus index — the online
+    * admission check a media ingest runs before accepting a file. */
+  private[graft] def mediaNearDupProbeOf(leftF: DataFrame, rightF: DataFrame): DataFrame = {
+    val l = leftF.select(col("media_id").as("new_id"), col("kind"),
+      col("histogram16").as("ha"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("probe"))
+    val r = rightF.select(col("media_id").as("corpus_id"), col("kind"),
+      col("histogram16").as("hb"), col("bkt").as("probe"))
+    l.join(r, Seq("kind", "probe"))
+      .select(col("new_id"), col("corpus_id"),
+        graft.functions.VectorFunctions.l1(col("ha"), col("hb")).as("l1"))
+      .where(col("l1") <= L1NearDupT)
   }
 
   /** The m7 pipeline on any (doc_id, text) frame — fixture/spec entry

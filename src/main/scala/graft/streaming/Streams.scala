@@ -609,6 +609,25 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** STREAMING MEDIA NEAR-DUP PROBE (r16 — the online DECISION on top of
+    * [[mediaIngestStream]]'s features): each arriving document's media is
+    * checked against the persisted corpus feature index with m6's exact
+    * L1-band rule, emitting (new_id, corpus_id, l1) for every corpus
+    * near-dup — the admission check a media ingest runs BEFORE accepting a
+    * file, the [[admissionStream]]/[[substringHitStream]] shape for the
+    * media modality. STATELESS: codec features and band assignment are
+    * per-row, the corpus participates as a static frame joined per
+    * micro-batch (band ∧ kind equi-join — broadcastable when the index is
+    * small, shuffle-keyed when not), so there is no state store, no
+    * watermark, and replays emit identically under any trigger layout.
+    * Corpus growth is the versioned-artifact story: re-create the stream
+    * from a re-resolved index to pick up newly admitted media (the
+    * [[substringArtifactsVersioned]] protocol; segments via
+    * [[graft.sources.Manifests.appendSegment]]). */
+  def mediaNearDupProbeStream(documents: DataFrame, corpusFeatures: DataFrame): DataFrame =
+    graft.queries.MultimodalQueries.mediaNearDupProbeOf(
+      graft.queries.MultimodalQueries.mediaBandFeatures(documents), corpusFeatures)
+
   /** One kept doc of [[domainCapStream]]'s running per-domain cap; `n_seen`
     * is the domain's total docs seen so far — the final emission for a
     * domain is the one with its max n_seen (how the spec isolates the

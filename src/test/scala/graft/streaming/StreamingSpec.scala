@@ -605,6 +605,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select("kind").distinct().count() === 3)
   }
 
+  test("streaming media near-dup probe == batch m6 rule against the same corpus index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val M = graft.queries.MultimodalQueries
+    // corpus = even doc_ids of the sf docs plus a planted doc; arrivals
+    // stream in over TWO triggers and include an exact dup of the planted
+    // corpus doc (same kind: 1 ≡ 4 mod 3) — identical payload, identical
+    // histogram, L1 = 0, must emit; the long filler (> T bytes away from
+    // everything) must not.
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val corpusDocs = graft.sources.Tables.documents(spark, sf())
+      .where(col("doc_id") % 2 === 0)
+      .select("doc_id", "text", "n_chars")
+      .unionByName(df(Seq(4000000L -> "alpha beta gamma delta"))) // kind 1
+    val corpusIdx = M.mediaBandFeatures(corpusDocs)
+    val arrivals = Seq(
+      4000003L -> "alpha beta gamma delta", // kind 1: exact dup of the plant
+      4000009L -> ("x" * 400))              // kind 1, far from everything
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.mediaNearDupProbeStream(
+        input.toDF().toDF("doc_id", "text")
+          .withColumn("n_chars", length(col("text")).cast("long")), corpusIdx)
+      .writeStream.format("memory").queryName("media_probe_spec")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(arrivals.take(1)); q.processAllAvailable()
+      input.addData(arrivals.drop(1)); q.processAllAvailable()
+      // no state operator anywhere: the probe is a stateless stream-static join
+      assert(q.recentProgress.forall(_.stateOperators.isEmpty))
+    } finally q.stop()
+    val streamed = spark.table("media_probe_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = M.mediaNearDupProbeOf(M.mediaBandFeatures(df(arrivals)), corpusIdx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.contains((4000003L, 4000000L, 0L)),
+      s"the exact dup must emit with L1 = 0: $streamed")
+    assert(!streamed.exists(_._1 == 4000009L), "the far filler must not emit")
+  }
+
   test("sub-millisecond ordering: same-ms out-of-order events still match the batch twins") {
     // Two events ONE MILLISECOND apart is the granularity getTime() can see;
     // inside a millisecond only epoch-micros ordering works. Plant pairs in
