@@ -201,8 +201,9 @@ object EventQueries {
   )
 
   /** Strictly-ordered 3-stage funnel over an (user_id, ts, event_type)
-    * stream — parametric for the planted-fixture spec; see the e10 notes. */
-  private[queries] def funnelOf(e: DataFrame): DataFrame = {
+    * stream — parametric for the planted-fixture spec and the streaming
+    * property spec; see the e10 notes. */
+  private[graft] def funnelOf(e: DataFrame): DataFrame = {
     def firstAfter(etype: String, prev: DataFrame, prevTs: String, out: String) =
       e.where(col("event_type") === etype)
         .join(prev.select(col("user_id"), col(prevTs)), "user_id")

@@ -165,6 +165,21 @@ object MultimodalQueries {
       .where(col("l1") <= L1NearDupT)
   }
 
+  /** VERSIONED publish of admitted media's band features — the media
+    * modality's [[DedupQueries.appendBandIndexVersioned]]: each admitted
+    * batch writes an immutable segment and a [[graft.sources.Manifests]]
+    * pointer names the complete set, so the always-on probe stream
+    * ([[graft.streaming.Streams.mediaNearDupProbeStream]]) re-created from
+    * [[readMediaIndexVersioned]] sees whole versions only on every scheme.
+    * Single-appender contract per the Manifests scaladoc. */
+  def appendMediaIndexVersioned(admitted: DataFrame, root: String): Long =
+    graft.sources.Manifests.appendSegment(mediaBandFeatures(admitted), root)
+
+  /** The (media_id, kind, histogram16, bkt) corpus index under a versioned
+    * root — resolved once, driver-side; re-call to pick up later appends. */
+  def readMediaIndexVersioned(s: SparkSession, root: String): DataFrame =
+    graft.sources.Manifests.readSegments(s, root)
+
   /** The m7 pipeline on any (doc_id, text) frame — fixture/spec entry
     * point (the planted exact-dup spec: sf0.001 carries no exact dups, so
     * the rank-1 recall-floor property needs its own corpus). */

@@ -76,6 +76,33 @@ class MultimodalSpec extends SparkSpec {
       s"exact dup must surface at rank 1 cos ~ 1.0: ${pg.toSeq}")
   }
 
+  test("versioned media index: closed probe loop through published segments") {
+    import spark.implicits._
+    val M = graft.queries.MultimodalQueries
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val root = java.nio.file.Files.createTempDirectory("media-idx-v").toString
+    // all ids ≡ 0 mod 3 → one kind, so kind-blocking never hides a pair
+    val corpus0 = df(Seq(3L -> "alpha beta gamma delta"))
+    M.appendMediaIndexVersioned(corpus0, root) // day 1: initial publish
+    // batch 1 against the resolved index: the corpus dup is flagged, the
+    // novel doc (far band, L1 ≫ T) is not — it is admitted and appended
+    // AS A NEW VERSION
+    val b1 = df(Seq(6L -> "alpha beta gamma delta", 9L -> ("z " * 100)))
+    val hits1 = M.mediaNearDupProbeOf(
+        M.mediaBandFeatures(b1), M.readMediaIndexVersioned(spark, root))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits1 === Set((6L, 3L)), s"$hits1")
+    M.appendMediaIndexVersioned(df(Seq(9L -> ("z " * 100))), root)
+    // batch 2 duplicates ONLY batch 1's admission — visible solely through
+    // the re-resolved versioned index
+    val hits2 = M.mediaNearDupProbeOf(
+        M.mediaBandFeatures(df(Seq(12L -> ("z " * 100)))),
+        M.readMediaIndexVersioned(spark, root))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits2 === Set((12L, 9L)), s"$hits2")
+  }
+
   test("metadata summary never reads payload (column pruning)") {
     val summary = Multimodal.metadataSummary(media)
     assert(summary.collect().map(_.getLong(2)).sum === media.count())

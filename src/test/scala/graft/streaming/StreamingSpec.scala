@@ -605,6 +605,95 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select("kind").distinct().count() === 3)
   }
 
+  test("funnel property: random event streams over random trigger splits == batch e10") {
+    // Randomized multi-trigger replay of the eviction kernel: events drawn
+    // from a seeded RNG, time-sorted, split into random contiguous trigger
+    // chunks (the in-order-per-user replay contract). All timestamps sit
+    // inside ONE horizon so no abandonment timeout fires mid-stream — the
+    // property is EXACT upsert-max equality with batch e10, conversion
+    // eviction and in-batch re-entry journeys included.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(4242)
+    val types = Array("view", "click", "purchase", "error")
+    val base = 1704067200L * 1000000L
+    for (round <- 1 to 3) {
+      val n = 300 + rng.nextInt(200)
+      val events = (1 to n).map { i =>
+        Streams.Event(i.toLong, new java.sql.Timestamp((base + rng.nextInt(3600) * 1000000L) / 1000)
+          , rng.nextInt(25).toLong, types(rng.nextInt(4)), 1.0, "{}")
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+      val input = MemoryStream[Streams.Event]
+      val name = s"funnel_prop_$round"
+      val q = Streams.funnelStream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        var rest = events
+        while (rest.nonEmpty) {
+          val take = 1 + rng.nextInt(120)
+          input.addData(rest.take(take)); q.processAllAvailable()
+          rest = rest.drop(take)
+        }
+      } finally q.stop()
+      val streamed = spark.table(name)
+        .groupBy(col("user_id")).agg(max(col("stage_reached")).as("stage_reached"))
+        .where(col("stage_reached") >= 1)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = EventQueries.funnelOf(
+          events.toDF().select(col("user_id"), col("ts"), col("event_type")))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed === batch, s"round $round (n=$n)")
+    }
+  }
+
+  test("funnel re-entry trade: a post-timeout straggler counts against a FRESH journey") {
+    // The documented eviction trade, pinned explicitly: user A views+clicks,
+    // goes silent past the horizon (journey times out, final stage 2), then
+    // a purchase arrives — batch e10 on the full history says 3, but the
+    // stream (having evicted) counts the purchase against a fresh journey
+    // that never saw a view: no state, no emission, upsert stays 2. This
+    // divergence is the price of bounded state; this spec exists so a
+    // future change that silently alters it fails loudly.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1704067200L * 1000000L
+    val hr = 3600L * 1000000L
+    val H = Streams.FunnelHorizonUs
+    def ev(id: Long, us: Long, uid: Long, t: String) =
+      Streams.Event(id, new java.sql.Timestamp(us / 1000), uid, t, 1.0, "{}")
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_reentry_spec")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Seq(ev(1, base, 7L, "view"), ev(2, base + hr, 7L, "click")))
+      q.processAllAvailable()
+      // another user's event drives the watermark past 7's deadline → evict
+      input.addData(Seq(ev(3, base + H + 4 * hr, 8L, "error")))
+      q.processAllAvailable()
+      // the straggler purchase: against an evicted journey, starts nothing
+      input.addData(Seq(ev(4, base + H + 5 * hr, 7L, "purchase")))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_reentry_spec")
+        .where(col("user_id") === 7L)
+        .collect().map(r => (r.getInt(1), r.getBoolean(2))).toSet
+      assert(rows === Set((2, false), (2, true)),
+        s"timed-out journey emits (2, open) then (2, final); the straggler adds nothing: $rows")
+      // a FRESH view after eviction starts journey 2 from stage 1
+      input.addData(Seq(ev(5, base + H + 6 * hr, 7L, "view")))
+      q.processAllAvailable()
+      val after = spark.table("funnel_reentry_spec")
+        .where(col("user_id") === 7L && !col("is_final"))
+        .collect().map(_.getInt(1)).toSet
+      assert(after === Set(2, 1), s"re-entry restarts at stage 1: $after")
+    } finally q.stop()
+  }
+
   test("streaming media near-dup probe == batch m6 rule against the same corpus index") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
