@@ -148,6 +148,16 @@ object StreamRehearsal {
     val dSrc2 = spark.readStream.schema(dSchema)
       .option("maxFilesPerTrigger", "1").parquet(docsFeed)
     run("substring_probe", Streams.substringHitStream(dSrc2, posts, store))
+
+    // ---- the media near-dup probe: same docs replay vs the corpus band-
+    // feature index — the THIRD zero-state decision stream (admission,
+    // substring, media): codec features + band assignment per row, corpus
+    // static, so state_rows_max must be 0 at volume here too.
+    val mediaIdx = graft.Checkpoints.eager(
+      graft.queries.MultimodalQueries.mediaBandFeatures(corpus))
+    val dSrc3 = spark.readStream.schema(dSchema)
+      .option("maxFilesPerTrigger", "1").parquet(docsFeed)
+    run("media_probe", Streams.mediaNearDupProbeStream(dSrc3, mediaIdx))
     spark.stop()
   }
 }
