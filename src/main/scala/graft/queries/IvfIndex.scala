@@ -328,6 +328,31 @@ object IvfIndex {
     * the in-batch pass sub-splits a hot BATCH cell — so a skewed day's
     * ingest against a skewed corpus stays ~pop × cap per cell, never
     * pop². */
+  /** The d13 CORPUS-PROBE kernel as raw PAIRS: same-cell near-dup matches
+    * of a cell-assigned batch frame `b` ((cid, vec_id, v, nrm)) against a
+    * posting frame of the same shape — hot-cell-guarded on BOTH sides by
+    * the POSTING cell's population (a batch member masks with the same
+    * nsub as the corpus rows it probes; cells absent from the posting
+    * stats get scid 0 — inert). Shared by [[semanticDedupIncremental]]
+    * (distinct'd to a reject verdict) and the streaming vector probe
+    * ([[graft.streaming.Streams.vectorNearDupProbeStream]] — emitted as
+    * (vec_id, corpus_id, cos) hit rows); one kernel, so the online and
+    * daily paths can never disagree on what "duplicates the corpus"
+    * means. */
+  private[graft] def corpusHitPairsOf(b: DataFrame, posting: DataFrame,
+                                      threshold: Double,
+                                      cap: Int = DedupQueries.MaxCellPop): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dot _
+    val corpusPops = DedupQueries.cellPops(posting)
+    val pg = DedupQueries.withSubCells(posting, corpusPops, cap)
+    val bg = DedupQueries.withSubCells(b, corpusPops, cap)
+    bg.as("n").join(pg.as("o"),
+        col("n.cid") === col("o.cid") && col("n.scid") === col("o.scid"))
+      .where((dot(col("n.v"), col("o.v")) / (col("n.nrm") * col("o.nrm"))) >= threshold)
+      .select(col("n.vec_id").as("vec_id"), col("o.vec_id").as("corpus_id"),
+        (dot(col("n.v"), col("o.v")) / (col("n.nrm") * col("o.nrm"))).as("cos"))
+  }
+
   def semanticDedupIncremental(s: SparkSession, indexDir: String,
                                batch: DataFrame,
                                threshold: Double,
@@ -350,17 +375,8 @@ object IvfIndex {
     val touched = b.select("cid").distinct().collect().map(_.getLong(0))
     val posting = cells(s, indexDir).where(col("cid").isin(touched: _*))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    // hot-cell guard on the corpus probe: sub-split BOTH sides by the
-    // posting cell's population (a batch member masks with the same nsub
-    // as the corpus rows it probes; cells absent from the posting stats
-    // get scid 0 — inert)
-    val corpusPops = DedupQueries.cellPops(posting)
-    val pg = DedupQueries.withSubCells(posting, corpusPops, cap)
-    val bg = DedupQueries.withSubCells(b, corpusPops, cap)
-    val hitCorpus = bg.as("n").join(pg.as("o"),
-        col("n.cid") === col("o.cid") && col("n.scid") === col("o.scid"))
-      .where((dot(col("n.v"), col("o.v")) / (col("n.nrm") * col("o.nrm"))) >= threshold)
-      .select(col("n.vec_id")).distinct()
+    val hitCorpus = corpusHitPairsOf(b, posting, threshold, cap)
+      .select(col("vec_id")).distinct()
     // the in-batch keep rule runs over SURVIVORS of the corpus probe only
     // (anti-join): a member already rejected for duplicating the corpus must
     // not also evict its batch twin — otherwise one ingest could drop BOTH

@@ -253,7 +253,7 @@ object SimilarityQueries {
 
   /** Cell assignment: argmax cosine, ties to the smaller centroid id —
     * a broadcast join + map-side-combinable max over a (cos, -cid) struct. */
-  private[queries] def assignCells(en: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignCells(en: DataFrame, cents: DataFrame): DataFrame =
     en.join(broadcast(withCn(cents)))
       .select(col("vec_id"),
         struct((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cos"),

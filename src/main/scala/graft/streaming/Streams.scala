@@ -521,20 +521,58 @@ object Streams {
     * side — the same op order as the codegen DotProduct fold — so streamed
     * cosines are bit-identical to the batch path's. */
   def assignVectorsStream(vectors: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
-    require(cents.nonEmpty,
-      "assignVectorsStream: empty centroid set — train (or load) the quantizer " +
-        "before starting the ingest; an empty literal array would fail analysis " +
-        "with an unrelated-looking struct-field error")
-    val dot = graft.functions.VectorFunctions.dot _
     val v = col("embedding").cast("array<double>")
-    val nrm = sqrt(dot(v, v))
+    vectors.select(col("vec_id"),
+      argmaxCidExpr(cents, v, sqrt(graft.functions.VectorFunctions.dot(v, v))).as("cid"))
+  }
+
+  /** The literal-argmax cell id of a vector column against a bounded
+    * driver-collected centroid set — the row-local expression shared by
+    * [[assignVectorsStream]] and [[vectorNearDupProbeStream]]. Each
+    * centroid norm is a sequential left fold driver-side (the codegen
+    * DotProduct fold order), so cosines are bit-identical to the batch
+    * assignCells path's. */
+  private def argmaxCidExpr(cents: Seq[(Long, Seq[Double])],
+                            v: org.apache.spark.sql.Column,
+                            nrm: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    require(cents.nonEmpty,
+      "empty centroid set — train (or load) the quantizer before starting the " +
+        "ingest; an empty literal array would fail analysis with an " +
+        "unrelated-looking struct-field error")
+    val dot = graft.functions.VectorFunctions.dot _
     val scored = cents.map { case (cid, cv) =>
       val cn = cv.foldLeft(0.0)((a, x) => a + x * x)
       struct((dot(v, typedlit(cv)) / (nrm * lit(math.sqrt(cn)))).as("cos"),
         lit(-cid).as("ncid"))
     }
-    vectors.select(col("vec_id"),
-      (array_max(array(scored: _*))("ncid") * -1).as("cid"))
+    array_max(array(scored: _*))("ncid") * -1
+  }
+
+  /** STREAMING VECTOR NEAR-DUP PROBE (r16 — the fourth zero-state decision
+    * stream, beside admission / substring / media): each arriving embedding
+    * gets the d13 CORPUS-PROBE verdict online — literal-argmax cell
+    * assignment map-side (no shuffle), then the same hot-cell-guarded
+    * same-cell cosine kernel ([[graft.queries.IvfIndex.corpusHitPairsOf]])
+    * against the persisted posting lists as a stream-static join. Emits
+    * (vec_id, corpus_id, cos) for every corpus near-dup at `threshold` —
+    * the admission check a vector store runs before accepting an
+    * embedding. STATELESS: the corpus (posting lists + its ≤ k-row pop
+    * table) is static per stream instance; no state store, no watermark;
+    * re-create the stream from a re-resolved index to see later appends.
+    * SCOPE: this is d13's rule (a) only — the in-batch keep rule (pairs
+    * among same-day arrivals) needs cross-arrival memory, which is exactly
+    * what a stateless probe cannot hold; the daily batch path
+    * ([[graft.queries.IvfIndex.semanticDedupIncremental]]) owns it.
+    * `posting` must carry (cid, vec_id, v, nrm) — the
+    * [[graft.queries.IvfIndex.cells]] frame with the norm added. */
+  def vectorNearDupProbeStream(vectors: DataFrame, cents: Seq[(Long, Seq[Double])],
+                               posting: DataFrame, threshold: Double): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dot _
+    val v = col("embedding").cast("array<double>")
+    val b = vectors.select(col("vec_id"), v.as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("cid", argmaxCidExpr(cents, col("v"), col("nrm")))
+    graft.queries.IvfIndex.corpusHitPairsOf(b, posting, threshold)
   }
 
   /** Driver-side centroid collection for the literal argmax (k rows). */

@@ -580,6 +580,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming vector near-dup probe == the d13 corpus-probe kernel exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val S = graft.queries.SimilarityQueries
+    val dot = graft.functions.VectorFunctions.dot _
+    // persisted corpus: the even half of the embeddings, indexed under the
+    // shared trained quantizer (the d13 fixture shape)
+    val cents = S.trainCentroids(spark, sf(), S.KMeansIters)
+    val corpus = graft.sources.Tables.embeddings(spark, sf())
+      .where(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val posting = corpus
+      .join(S.assignCells(corpus.withColumn(
+        "nrm", sqrt(dot(col("v"), col("v")))), cents), "vec_id")
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select("cid", "vec_id", "v", "nrm")
+    // arrivals: an exact dup of corpus vector 0 (cos 1.0 — must hit it at
+    // rank of certainty) and its NEGATION (cos -1 to vec 0, far from all)
+    val v0 = corpus.where(col("vec_id") === 0L)
+      .collect().head.getSeq[Double](1)
+    val arrivals = Seq(900001L -> v0, 900002L -> v0.map(-_))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.vectorNearDupProbeStream(
+        input.toDF().toDF("vec_id", "embedding"),
+        Streams.collectCentroids(cents), posting, threshold = 0.95)
+      .writeStream.format("memory").queryName("vec_probe_spec")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(arrivals.take(1)); q.processAllAvailable()
+      input.addData(arrivals.drop(1)); q.processAllAvailable()
+      assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+        "the probe is a stateless stream-static join")
+    } finally q.stop()
+    val streamed = spark.table("vec_probe_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch twin: the SAME kernel over the broadcast-join argmax assignment
+    val bArr = arrivals.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val b = bArr.join(S.assignCells(bArr, cents), "vec_id")
+      .select("cid", "vec_id", "v", "nrm")
+    val batch = graft.queries.IvfIndex.corpusHitPairsOf(b, posting, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.exists(h => h._1 == 900001L && h._2 == 0L && h._3 > 0.999),
+      s"the exact dup must hit corpus vector 0 at cos ~1: $streamed")
+    assert(!streamed.exists(_._1 == 900002L), s"the negated vector must not hit: $streamed")
+  }
+
   test("streaming chunking equals the batch t10 exactly") {
     // stateless per-row generate: the stream needs no watermark and its
     // output set is bit-identical to the batch chunker on the same files
