@@ -150,7 +150,12 @@ object PipelineQueries {
     * FROZEN quality model + thresholds, and the KEPT corpus). Lazy vals keep
     * the dataflow identical to the original inline chain: each stage frame
     * materializes once, on first use, in stage order. */
-  private[queries] final class CorpusStages(documents0: DataFrame) {
+  /** `anchorStride` is [[cutDocsAnchored]]'s recall/shuffle dial (gram is an
+    * anchor iff hash % stride == 0; span-miss P ≈ (1-1/stride)^(L-K+1)) —
+    * the gated key runs the library default, a 100 TB deploy whose survivor
+    * set needs a coarser dial passes its own. */
+  private[queries] final class CorpusStages(documents0: DataFrame,
+      anchorStride: Int = DedupQueries.AnchorStride) {
     private val B = graft.functions.BloomFunctions
 
     // every checkpoint this instance materializes, so cache eviction can
@@ -303,7 +308,8 @@ object PipelineQueries {
       * for corpora whose SURVIVOR set is still too big for all-position
       * postings. */
     lazy val cutDocsAnchored: DataFrame = own(
-      cutRewrite(DedupQueries.anchorSpansFromRaw(s3, s3Grams)).eagerCheckpoint())
+      cutRewrite(DedupQueries.anchorSpansFromRaw(s3, s3Grams, anchorStride))
+        .eagerCheckpoint())
 
     private def cutRewrite(spans: DataFrame): DataFrame = {
       val cut = DedupQueries.substringCutOf(s3, spans)
@@ -343,8 +349,11 @@ object PipelineQueries {
     * result into a session-local relation, and free the stages' checkpoint
     * blocks — no storage outlives the call. */
   private def materializedFreeing(documents0: DataFrame)
-                                 (f: CorpusStages => DataFrame): DataFrame = {
-    val st = new CorpusStages(documents0)
+                                 (f: CorpusStages => DataFrame): DataFrame =
+    materializedFreeingWith(new CorpusStages(documents0))(f)
+
+  private def materializedFreeingWith(st: CorpusStages)
+                                     (f: CorpusStages => DataFrame): DataFrame = {
     try {
       val out = f(st)
       out.sparkSession.createDataFrame(
@@ -448,6 +457,13 @@ object PipelineQueries {
   /** Fixture/spec entry point for the anchor-dial variant. */
   private[queries] def pipelineCutAnchoredOf(documents0: DataFrame): DataFrame =
     materializedFreeing(documents0)(pipelineCutAnchoredOf)
+
+  /** [[pipelineCutAnchoredOf]] at an explicit stride — the dial's spec
+    * handle: stride 1 makes every gram an anchor, so the variant must be
+    * IDENTICAL to exact-span p4 on any input (the identity the stride-1
+    * spec pins); larger strides trade recall per [[DedupQueries.AnchorStride]]. */
+  private[queries] def pipelineCutAnchoredOf(documents0: DataFrame, stride: Int): DataFrame =
+    materializedFreeingWith(new CorpusStages(documents0, stride))(pipelineCutAnchoredOf)
 
   private def flag(ids: DataFrame, name: String) =
     ids.select(col("doc_id")).withColumn(name, lit(true))

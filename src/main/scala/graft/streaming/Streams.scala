@@ -298,7 +298,9 @@ object Streams {
     * Same ordering caveat as [[sessionize]]: per-trigger events are sorted
     * here, cross-trigger order relies on the source replay /
     * watermark-bounded disorder. */
-  def funnelStream(events: Dataset[Event]): Dataset[FunnelOut] = {
+  def funnelStream(events: Dataset[Event],
+                   horizonUs: Long = FunnelHorizonUs): Dataset[FunnelOut] = {
+    require(horizonUs > 0, s"funnelStream: conversion horizon must be positive, got $horizonUs")
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -342,7 +344,7 @@ object Streams {
               // watermark snapshot outran an old journey's deadline)
               val lastAdvanceUs = st.t2.getOrElse(st.t1.get)
               state.setTimeoutTimestamp(math.max(
-                (lastAdvanceUs + FunnelHorizonUs) / 1000,
+                (lastAdvanceUs + horizonUs) / 1000,
                 state.getCurrentWatermarkMs + 1))
               out += FunnelOut(userId, stage(st), is_final = false)
             } else if (state.exists) state.remove()

@@ -203,6 +203,12 @@ class CurationPipelineSpec extends SparkSpec {
     val docs = graft.sources.Tables.documents(spark, sf())
     assert(rows(PipelineQueries.pipelineCutAnchoredOf(docs))
       === rows(PipelineQueries.pipelineCutOf(docs)))
+    // the dial's identity point: stride 1 = every gram is an anchor, so the
+    // anchored pipeline must equal exact-span p4 on ANY input — asserted on
+    // the fixture (the agreement above holds even where stride-4 could in
+    // principle miss; stride 1 can never miss)
+    assert(rows(PipelineQueries.pipelineCutAnchoredOf(fixture, stride = 1))
+      === rows(exactF))
   }
 
   test("p2 planted fixture: every admission outcome exercised, frozen-LOO bar exact") {
