@@ -28,7 +28,10 @@ object Bench {
     // stamping both the invoke-time and start-of-timing loadavg so a run
     // that had to proceed degraded is self-evidencing.
     val loadAvgInvoke = loadAvg()
-    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOADAVG", "3.0").toDouble
+    // Default 2.0 (VERDICT r16 #1, third strike on artifact noise): the 3.0
+    // default admitted a loadavg-2.84 window that recorded 2.5x phantom
+    // regressions on the two slowest keys vs a loadavg-0.83 run the same day.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOADAVG", "2.0").toDouble
     val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_WAIT_SEC", "300").toInt
     val waitDeadline = System.nanoTime() + maxWaitSec * 1000000000L
     while (loadAvg() > maxLoad && System.nanoTime() < waitDeadline) {
@@ -86,13 +89,14 @@ object Bench {
     // "shared_builds" line items; query_time + its_builds = old attribution.
     val best = scala.collection.mutable.Map.empty[String, Double]
     val bestBuilds = scala.collection.mutable.Map.empty[String, Double]
-    for (pass <- 1 to passes) {
+    val perPass = scala.collection.mutable.Map.empty[String, List[Double]]
+    def runPass(pass: String, keys: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]): Unit = {
       graft.queries.DedupQueries.clearCaches(spark)
       graft.queries.GraphQueries.clearCaches(spark)
       graft.queries.SimilarityQueries.clearCaches(spark)
       graft.queries.PipelineQueries.clearCaches(spark)
       graft.queries.SharedBuilds.reset()
-      for ((name, fn) <- qseq) {
+      for ((name, fn) <- qseq if keys.contains(name)) {
         val b0 = graft.queries.SharedBuilds.accruedSeconds
         val t0 = System.nanoTime()
         val ok =
@@ -107,6 +111,7 @@ object Bench {
         val builds = graft.queries.SharedBuilds.accruedSeconds - b0
         if (ok) {
           val net = math.max(0.0, dt - builds)
+          perPass(name) = net :: perPass.getOrElse(name, Nil)
           val prev = best.getOrElse(name, Double.MaxValue)
           best(name) = if (prev < 0) net else math.min(prev, net)
         } else if (!best.contains(name)) best(name) = -1.0 // every pass failed
@@ -115,6 +120,34 @@ object Bench {
       for ((b, t) <- graft.queries.SharedBuilds.snapshot)
         bestBuilds(b) = math.min(bestBuilds.getOrElse(b, Double.MaxValue), t)
     }
+    for (pass <- 1 to passes) runPass(pass.toString, selected)
+    // PASS-DELTA RERUN (VERDICT r16 #1, third strike on artifact noise):
+    // min-of-2 inside ONE loaded window cannot see host noise — but the two
+    // passes disagreeing CAN. A key whose passes differ >2x (above a 0.25 s
+    // floor so sub-100ms jitter doesn't trigger it) was hit by a contention
+    // blip on its faster pass's window or its slower one's — either way the
+    // recorded min is suspect, so re-time those keys in up to two dedicated
+    // extra passes (fresh cache state, same net-of-builds attribution) and
+    // keep the overall min. Noisy = the recorded min is UNCORROBORATED (the
+    // second-smallest pass is >2x the smallest) — a rerun landing near the
+    // min clears the flag; keys still uncorroborated after the reruns are
+    // stamped in the JSON under "noisy" so the artifact flags its own
+    // residual noise instead of sending the reader to BENCH_NOTES.
+    def noisyKeys: Seq[String] = perPass.collect {
+      case (name, ts) if ts.size >= 2 && {
+        val sorted = ts.sorted
+        sorted.head > 0.25 && sorted(1) / sorted.head > 2.0
+      } => name
+    }.toSeq.sorted
+    var reruns = 0
+    while (noisyKeys.nonEmpty && reruns < 2) {
+      reruns += 1
+      val noisy = noisyKeys
+      System.err.println(s"[bench] pass-delta >2x on ${noisy.mkString(",")} — " +
+        s"re-timing (extra pass $reruns of 2)")
+      runPass(s"rerun$reruns", selected.view.filterKeys(noisy.toSet).toMap)
+    }
+    val residualNoisy = noisyKeys
     val results = qseq.map { case (name, _) => name -> best(name) }
     def jmap(kvs: Seq[(String, Double)]) =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -123,8 +156,10 @@ object Bench {
     // deltas are attributable without forensics (r9→r10's 1.07× uniform drift
     // took a manual 46-key diff + heap experiments to pin on the box).
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val noisyJson = residualNoisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val env = f""""env":{"heap_gb":$heapGb%.1f,"cpus":"$cpus",""" +
-      s""""loadavg_invoke":$loadAvgInvoke,"loadavg_start":$loadAvgStart}"""
+      s""""loadavg_invoke":$loadAvgInvoke,"loadavg_start":$loadAvgStart,""" +
+      s""""noise_reruns":$reruns,"noisy":$noisyJson}"""
     val builds = bestBuilds.toSeq.sortBy(_._1)
     val buildTotal = builds.map(_._2).sum
     // headline total keeps its historical meaning (full suite wall cost):

@@ -346,11 +346,15 @@ object IvfIndex {
     val corpusPops = DedupQueries.cellPops(posting)
     val pg = DedupQueries.withSubCells(posting, corpusPops, cap)
     val bg = DedupQueries.withSubCells(b, corpusPops, cap)
+    // cos is projected ONCE before the filter (ADVICE r16): this runs per
+    // candidate pair on the hot path of both the daily incremental dedup and
+    // the streaming vector probe — a where+select pair on the raw expression
+    // would evaluate the O(dim) dot product twice per candidate.
     bg.as("n").join(pg.as("o"),
         col("n.cid") === col("o.cid") && col("n.scid") === col("o.scid"))
-      .where((dot(col("n.v"), col("o.v")) / (col("n.nrm") * col("o.nrm"))) >= threshold)
-      .select(col("n.vec_id").as("vec_id"), col("o.vec_id").as("corpus_id"),
-        (dot(col("n.v"), col("o.v")) / (col("n.nrm") * col("o.nrm"))).as("cos"))
+      .withColumn("cos", dot(col("n.v"), col("o.v")) / (col("n.nrm") * col("o.nrm")))
+      .where(col("cos") >= threshold)
+      .select(col("n.vec_id").as("vec_id"), col("o.vec_id").as("corpus_id"), col("cos"))
   }
 
   def semanticDedupIncremental(s: SparkSession, indexDir: String,

@@ -137,15 +137,24 @@ object Manifests {
     * complete manifest AT ALL (whether the root is empty or holds only
     * torn/in-flight claims) — the tolerant read [[appendSegment]]'s
     * crash-recovery needs; the public readers keep the loud distinction. */
-  private def completeLines(s: SparkSession, root: String): Option[Seq[String]] = {
+  private def completeLines(s: SparkSession, root: String): Option[Seq[String]] =
+    newestComplete(s, root).map(_._3)
+
+  /** The newest COMPLETE manifest resolved ONCE — (number, path, payload
+    * lines) — so callers that need both the payload and the object itself
+    * (e.g. [[vacuumSegments]]'s mtime cutoff) do one read instead of three
+    * (ADVICE r16). */
+  private def newestComplete(s: SparkSession, root: String)
+      : Option[(Long, org.apache.hadoop.fs.Path, Seq[String])] = {
     import org.apache.hadoop.fs.FileContext
-    manifests(s, root).sortBy(-_._1).iterator.map { case (_, p) =>
+    manifests(s, root).sortBy(-_._1).iterator.map { case (n, p) =>
       val fc = FileContext.getFileContext(p.toUri, s.sparkContext.hadoopConfiguration)
       val in = fc.open(p)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      body.split("\n", -1).toSeq
-    }.find(ls => ls.length >= 2 && ls.last == End).map(_.dropRight(1))
+      (n, p, body.split("\n", -1).toSeq)
+    }.find { case (_, _, ls) => ls.length >= 2 && ls.last == End }
+      .map { case (n, p, ls) => (n, p, ls.dropRight(1)) }
   }
 
   /** All (n, path) manifest objects under `root`, one LIST. */
@@ -206,8 +215,24 @@ object Manifests {
   /** Garbage-collect LEAKED segments: a crash between the segment write and
     * its manifest publish strands an unreferenced `seg-*` dir forever
     * (ADVICE r15). Deletes every seg-* dir absent from the newest COMPLETE
-    * manifest AND older (mtime) than that manifest — a segment younger than
-    * the manifest could be an append in flight, so it is never touched.
+    * manifest AND older than that manifest — a segment younger than the
+    * manifest could be an append in flight, so it is never touched.
+    *
+    * The cutoff mtime comes from the newest COMPLETE manifest — the SAME
+    * object the live set is read from (ADVICE r16: the first version took
+    * it from the newest manifest BY NUMBER, which may be a torn in-flight
+    * claim younger than the complete one, silently widening the deletion
+    * window past what this doc promises). One [[newestComplete]] read
+    * serves both the cutoff and the live set.
+    *
+    * A segment's age is the max of its directory mtime and its files'
+    * mtimes (ADVICE r16): object stores synthesize directory statuses with
+    * mtime 0, so the dir mtime alone would read an in-flight segment as
+    * infinitely old; the in-progress files inside it are real objects with
+    * real timestamps on every scheme. An unreferenced EMPTY dir keeps only
+    * its dir mtime — on stores where that reads 0 it is skipped (never
+    * deleted) rather than guessed at.
+    *
     * Run from the SINGLE APPENDER between appends (the [[appendSegment]]
     * discipline already serializes writers; concurrent readers are safe —
     * they only open manifest-listed dirs). Returns the deleted names. */
@@ -216,17 +241,22 @@ object Manifests {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Seq.empty
-    val newest = manifests(s, root).sortBy(-_._1).headOption
-      .filter(_ => completeLines(s, root).nonEmpty)
-    newest match {
+    newestComplete(s, root) match {
       case None => Seq.empty // nothing published — every segment may be in flight
-      case Some((_, mp)) =>
-        val live = completeLines(s, root).get.toSet
+      case Some((_, mp, lines)) =>
+        val live = lines.toSet
         val cutoff = fs.getFileStatus(mp).getModificationTime
+        def segAge(p: Path): Long = {
+          val files = try fs.listStatus(p).map(_.getModificationTime)
+          catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
+          (fs.getFileStatus(p).getModificationTime +: files.toSeq).max
+        }
         fs.listStatus(rootPath).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg-") &&
-            !live.contains(st.getPath.getName) &&
-            st.getModificationTime < cutoff)
+            !live.contains(st.getPath.getName) && {
+              val age = segAge(st.getPath)
+              age > 0L && age < cutoff
+            })
           .map { st =>
             System.err.println(s"[graft.manifests] $root: deleting leaked segment " +
               s"${st.getPath.getName} (unreferenced by the newest complete manifest " +

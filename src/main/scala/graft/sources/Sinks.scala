@@ -385,7 +385,7 @@ object Sinks {
               s"could not restore $base from legacy aside ${s.getPath}")
           } else sys.error(
             s"legacy aside ${s.getPath} exists alongside $base — refusing to " +
-              "compact: if the pre-upgrade swap completed ($base holds the " +
+              s"compact: if the pre-upgrade swap completed ($base holds the " +
               "compacted data), delete the aside; otherwise restore it manually")
         }
       val st = fs.listStatus(p).toSeq

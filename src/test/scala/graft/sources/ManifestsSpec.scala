@@ -94,19 +94,32 @@ class ManifestsSpec extends SparkSpec {
     Seq((99L, "x")).toDF("id", "v").write.parquet(leaked.toString)
     val newestManifest = new java.io.File(root).listFiles()
       .filter(_.getName.startsWith("MANIFEST-")).map(_.getName).max
-    java.nio.file.Files.setLastModifiedTime(leaked,
-      java.nio.file.attribute.FileTime.fromMillis(
-        java.nio.file.Path.of(root, newestManifest).toFile.lastModified() - 60000))
+    // backdate the dir AND its files: segment age is max(dir, file mtimes)
+    // since ADVICE r16 (object stores zero out dir mtimes), and a real crash
+    // remnant's files are all older than any later manifest
+    val backdate = java.nio.file.attribute.FileTime.fromMillis(
+      java.nio.file.Path.of(root, newestManifest).toFile.lastModified() - 60000)
+    leaked.toFile.listFiles().foreach(f =>
+      java.nio.file.Files.setLastModifiedTime(f.toPath, backdate))
+    java.nio.file.Files.setLastModifiedTime(leaked, backdate)
     // and an IN-FLIGHT one: unreferenced but YOUNGER than the manifest —
     // vacuum must never touch it (could be an append about to publish)
     val inflight = java.nio.file.Path.of(root, "seg-inflight")
     Seq((100L, "y")).toDF("id", "v").write.parquet(inflight.toString)
     java.nio.file.Files.setLastModifiedTime(inflight,
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    // object-store shape (ADVICE r16): dir mtime synthesized as 0 but the
+    // in-progress FILES inside are fresh — the file mtimes must protect it
+    val inflightS3 = java.nio.file.Path.of(root, "seg-inflight-objstore")
+    Seq((101L, "z")).toDF("id", "v").write.parquet(inflightS3.toString)
+    java.nio.file.Files.setLastModifiedTime(inflightS3,
+      java.nio.file.attribute.FileTime.fromMillis(0L))
     val reaped = Manifests.vacuumSegments(spark, root)
     assert(reaped === Seq("seg-leaked-from-crash"), reaped)
     assert(!java.nio.file.Files.exists(leaked))
     assert(java.nio.file.Files.exists(inflight), "younger unreferenced segment spared")
+    assert(java.nio.file.Files.exists(inflightS3),
+      "zero dir-mtime segment with fresh files spared (object-store shape)")
     // the published set still reads whole
     assert(Manifests.readSegments(spark, root).count() === 2)
     // vacuum on an unpublished root is a no-op (everything may be in flight)

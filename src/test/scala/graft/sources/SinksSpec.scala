@@ -148,6 +148,10 @@ class SinksSpec extends SparkSpec {
         targetBytes = 64L * 1024 * 1024)
     }
     assert(err.getMessage.contains("legacy aside"), err.getMessage)
+    // ADVICE r16: the message must name the REAL base path the operator has
+    // to adjudicate, not a literal '$base' from a missed interpolator
+    assert(!err.getMessage.contains("$base"), err.getMessage)
+    assert(err.getMessage.contains(leafName), err.getMessage)
     assert(fs.exists(leaf) && fs.exists(dup), "refusal must not touch either copy")
   }
 
