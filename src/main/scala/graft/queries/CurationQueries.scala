@@ -116,6 +116,56 @@ object CurationQueries {
       concat(col("lang"), lit("."), col("source")).as("domain"), col("doc_id"),
       (saltedHash("domcap", col("doc_id")).cast("double") / HashP).as("score"))
 
+  /** c10's cap as a reusable selection frame — (domain, rank, doc_id, score),
+    * AT MOST `cap` docs per domain from any (lang, source, doc_id)
+    * population — ONE definition shared by the gated standalone key (over
+    * the raw corpus, cap = [[DomainCap]]) and the composed pipeline's cap
+    * stage (p5, over the cut near-dup survivors at the pipeline dial).
+    * Selection is the bounded top-k aggregate: map-side combinable,
+    * O(domains x cap) shuffle rows, never a domain-wide window sort. */
+  private[queries] def domainCapRanked(pop: DataFrame, cap: Int = DomainCap): DataFrame =
+    domainScored(pop)
+      .groupBy("domain")
+      .agg(graft.functions.TopK.topK(col("score"), col("doc_id"), cap).as("tk"))
+      .select(col("domain"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("domain"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("doc_id"), col("e.score").as("score"))
+
+  /** c9's temperature-weighted selection as a reusable frame — (source,
+    * rank, doc_id, score): per-source targets k_s ∝ sqrt(n_s) of `target`
+    * total, EXACTLY k_s docs per source by salted-hash rank — shared by the
+    * gated standalone key (target = [[MixTarget]]) and the composed
+    * pipeline's mix stage (p5). The weight normalizer is an idx-ordered
+    * SortedTermSum fold (bit-identical to the oracle's list_reduce);
+    * selection is the bounded top-k aggregate capped at `target` per
+    * source — O(sources x target) shuffle rows, never a stratum-wide
+    * window sort. */
+  private[queries] def temperatureMixRanked(pop: DataFrame, target: Int = MixTarget): DataFrame = {
+    // unbounded substring (two-arg SQL form), textually identical to the
+    // oracle's `substring(source, 4)` — a bounded-length variant would
+    // order the normalizer fold differently for long source suffixes
+    val idx = expr("substring(source, 4)").cast("int")
+    val cnt = pop.groupBy(col("source"), idx.as("idx"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(graft.functions.VectorFunctions.sortedTermSum(
+      collect_list(struct(col("idx").cast("long").as("g"),
+        sqrt(col("n")).as("t")))).as("t"))
+    val kt = cnt.join(broadcast(tot))
+      .select(col("source"),
+        floor(lit(target) * sqrt(col("n")) / col("t")).cast("bigint").as("k"))
+    val ranked = pop
+      .select(col("source"), col("doc_id"),
+        (saltedHash("alpha", col("doc_id")).cast("double") / HashP).as("score"))
+      .groupBy("source")
+      .agg(graft.functions.TopK.topK(col("score"), col("doc_id"), target).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("doc_id"), col("e.score").as("score"))
+    ranked.join(broadcast(kt), "source")
+      .where(col("rank") <= col("k"))
+      .select(col("source"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** c5: PII patterns — identical dialect subset of Java regex (Spark) and
     * RE2 (DuckDB): character classes, +, bounded repeats only. */
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -192,31 +242,9 @@ object CurationQueries {
     // broadcast); selection is the map-side-combinable top-k aggregate
     // capped at MixTarget per source — O(sources x MixTarget) shuffle rows,
     // never a stratum-wide window sort.
-    "c9_temperature_mix" -> ((s, d) => {
-      // unbounded substring (two-arg SQL form), textually identical to the
-      // oracle's `substring(source, 4)` — a bounded-length variant would
-      // order the normalizer fold differently for long source suffixes
-      val idx = expr("substring(source, 4)").cast("int")
-      val cnt = docs(s, d).groupBy(col("source"), idx.as("idx"))
-        .agg(count(lit(1)).as("n"))
-      val tot = cnt.agg(graft.functions.VectorFunctions.sortedTermSum(
-        collect_list(struct(col("idx").cast("long").as("g"),
-          sqrt(col("n")).as("t")))).as("t"))
-      val kt = cnt.join(broadcast(tot))
-        .select(col("source"),
-          floor(lit(MixTarget) * sqrt(col("n")) / col("t")).cast("bigint").as("k"))
-      val ranked = docs(s, d)
-        .select(col("source"), col("doc_id"),
-          (saltedHash("alpha", col("doc_id")).cast("double") / HashP).as("score"))
-        .groupBy("source")
-        .agg(graft.functions.TopK.topK(col("score"), col("doc_id"), MixTarget).as("tk"))
-        .select(col("source"), posexplode(col("tk")).as(Seq("pos", "e")))
-        .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
-          col("e.id").as("doc_id"), col("e.score").as("score"))
-      ranked.join(broadcast(kt), "source")
-        .where(col("rank") <= col("k"))
-        .select(col("source"), col("rank"), col("doc_id"), col("score"))
-    }),
+    // Factored into [[temperatureMixRanked]] (r17) so the composed pipeline
+    // (p5) runs the SAME selection over its survivor set.
+    "c9_temperature_mix" -> ((s, d) => temperatureMixRanked(docs(s, d))),
 
     // PER-DOMAIN CAP (c10, r11): the Gopher/CCNet-style anti-domination
     // stage — derive a domain key from document metadata (lang.source here;
@@ -232,13 +260,8 @@ object CurationQueries {
     // sampling straggler c2's notes describe). Domain skew (one domain with
     // 10^9 docs) only grows the MAP-side work of that domain's partial
     // aggregates, not any single reducer's state.
-    "c10_domain_cap" -> ((s, d) =>
-      domainScored(docs(s, d))
-        .groupBy("domain")
-        .agg(graft.functions.TopK.topK(col("score"), col("doc_id"), DomainCap).as("tk"))
-        .select(col("domain"), posexplode(col("tk")).as(Seq("pos", "e")))
-        .select(col("domain"), (col("pos") + 1).cast("int").as("rank"),
-          col("e.id").as("doc_id"), col("e.score").as("score"))),
+    // Factored into [[domainCapRanked]] (r17) — same sharing rationale.
+    "c10_domain_cap" -> ((s, d) => domainCapRanked(docs(s, d))),
 
     // Benchmark decontamination: docs sharing too many distinct hashed
     // 8-gram shingles with a held-out benchmark set (here: doc_id % 20 == 0,
@@ -401,6 +424,54 @@ object CurationQueries {
   private[queries] def gram8Sql: String =
     polyHashSql((1 to 8).map(j => s"ws[i+$j]").mkString(" || ' ' || "))
 
+  /** c10's oracle CTE family over any (lang, source, doc_id) relation
+    * `src`, names prefixed `p` — `${p}dh` (scored) and `${p}dcap` (the
+    * kept rows: domain, doc_id, score, rank ≤ `cap`). ONE formula shared
+    * by the standalone c10 oracle (src = documents, p = "") and the p5
+    * pipeline oracle (re-anchored to the cut near-dup survivors at the
+    * pipeline dial) — the [[PipelineQueries]] spanCtesFor idiom. */
+  private[queries] def domainCapCtesFor(src: String, p: String,
+                                        cap: Int = DomainCap): String =
+    s"""${p}dh AS MATERIALIZED (
+       |  SELECT lang || '.' || source AS domain, doc_id,
+       |    CAST(${saltedHashSql("domcap", "doc_id")} AS DOUBLE) / $HashP AS score
+       |  FROM $src),
+       |${p}dcap AS MATERIALIZED (
+       |  SELECT domain, doc_id, score, rank FROM (
+       |    SELECT domain, doc_id, score,
+       |      ROW_NUMBER() OVER (PARTITION BY domain ORDER BY score DESC, doc_id ASC) AS rank
+       |    FROM ${p}dh)
+       |  WHERE rank <= $cap)""".stripMargin
+
+  /** c9's oracle CTE family over any (source, doc_id) relation `src`,
+    * names prefixed `p` — `${p}tcnt`/`${p}ttot`/`${p}tkt` (sqrt-weighted
+    * per-source targets of `target` total) and `${p}tmix` (the kept rows:
+    * source, rank, doc_id, score). Shared by the standalone c9 oracle and
+    * the p5 pipeline oracle, same contract as [[domainCapCtesFor]]. */
+  private[queries] def temperatureMixCtesFor(src: String, p: String,
+                                             target: Int = MixTarget): String =
+    s"""${p}tcnt AS MATERIALIZED (
+       |  SELECT source, CAST(substring(source, 4) AS INT) AS idx, COUNT(*) AS n
+       |  FROM $src GROUP BY 1, 2),
+       |${p}ttot AS MATERIALIZED (
+       |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(sqrt(CAST(n AS DOUBLE)) ORDER BY idx)), (a, x) -> a + x) AS t
+       |  FROM ${p}tcnt),
+       |${p}tkt AS MATERIALIZED (
+       |  SELECT source,
+       |         CAST(FLOOR($target * sqrt(CAST(n AS DOUBLE)) / ${p}ttot.t) AS BIGINT) AS k
+       |  FROM ${p}tcnt CROSS JOIN ${p}ttot),
+       |${p}tr AS MATERIALIZED (
+       |  SELECT source, doc_id,
+       |         CAST(${saltedHashSql("alpha", "doc_id")} AS DOUBLE) / $HashP AS score,
+       |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+       |           CAST(${saltedHashSql("alpha", "doc_id")} AS DOUBLE) / $HashP DESC,
+       |           doc_id ASC) AS rank
+       |  FROM $src),
+       |${p}tmix AS MATERIALIZED (
+       |  SELECT ${p}tr.source AS source, rank, doc_id, score
+       |  FROM ${p}tr JOIN ${p}tkt USING (source) WHERE rank <= k)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "c1_hash_sample" ->
       s"""SELECT doc_id, lang, source, n_chars
@@ -419,17 +490,11 @@ object CurationQueries {
          |WHERE rank <= $StratumK""".stripMargin,
 
     // Mirrors c10 exactly: same domain derivation, salted-hash scores,
-    // ROW_NUMBER twin of the bounded top-k aggregate.
+    // ROW_NUMBER twin of the bounded top-k aggregate — the CTE family is
+    // [[domainCapCtesFor]], shared verbatim with the p5 pipeline oracle.
     "c10_domain_cap" ->
-      s"""WITH h AS (
-         |  SELECT lang || '.' || source AS domain, doc_id,
-         |    CAST(${saltedHashSql("domcap", "doc_id")} AS DOUBLE) / $HashP AS score
-         |  FROM documents)
-         |SELECT domain, CAST(rank AS INT) AS rank, doc_id, score FROM (
-         |  SELECT domain, doc_id, score,
-         |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY score DESC, doc_id ASC) AS rank
-         |  FROM h)
-         |WHERE rank <= $DomainCap""".stripMargin,
+      s"""WITH ${domainCapCtesFor("documents", "")}
+         |SELECT domain, CAST(rank AS INT) AS rank, doc_id, score FROM dcap""".stripMargin,
 
     "c3_source_mixture" ->
       s"""SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
@@ -442,28 +507,12 @@ object CurationQueries {
          |GROUP BY source""".stripMargin,
 
     // Mirrors c9 exactly: same idx-ordered fold for the sqrt-weight
-    // normalizer, same exact-integer hash scores, same floor'd targets.
+    // normalizer, same exact-integer hash scores, same floor'd targets —
+    // the CTE family is [[temperatureMixCtesFor]], shared verbatim with
+    // the p5 pipeline oracle.
     "c9_temperature_mix" ->
-      s"""WITH cnt AS (
-         |  SELECT source, CAST(substring(source, 4) AS INT) AS idx, COUNT(*) AS n
-         |  FROM documents GROUP BY 1, 2),
-         |tot AS (
-         |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list(sqrt(CAST(n AS DOUBLE)) ORDER BY idx)), (a, x) -> a + x) AS t
-         |  FROM cnt),
-         |kt AS (
-         |  SELECT source,
-         |         CAST(FLOOR($MixTarget * sqrt(CAST(n AS DOUBLE)) / tot.t) AS BIGINT) AS k
-         |  FROM cnt CROSS JOIN tot),
-         |r AS (
-         |  SELECT source, doc_id,
-         |         CAST(${saltedHashSql("alpha", "doc_id")} AS DOUBLE) / $HashP AS score,
-         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY
-         |           CAST(${saltedHashSql("alpha", "doc_id")} AS DOUBLE) / $HashP DESC,
-         |           doc_id ASC) AS rank
-         |  FROM documents)
-         |SELECT r.source AS source, CAST(rank AS INT) AS rank, doc_id, score
-         |FROM r JOIN kt USING (source) WHERE rank <= k""".stripMargin,
+      s"""WITH ${temperatureMixCtesFor("documents", "")}
+         |SELECT source, CAST(rank AS INT) AS rank, doc_id, score FROM tmix""".stripMargin,
 
     "c4_decontam" ->
       s"""WITH tt AS (SELECT doc_id, $toks AS ws FROM documents),

@@ -53,6 +53,28 @@ object PipelineQueries {
   /** All stages passed — the trained-on set. */
   val KeptAll: Int = BitSampled | BitDecontam | BitQuality | BitNearDup | BitMixture
 
+  /** p5 kept_reason bits for the curated tail (the first four stages reuse
+    * p1/p4's bits): bit 16 = c10 domain cap passed, bit 32 = c9 temperature
+    * mix selected. Bit 16 deliberately shares p1's BitMixture POSITION —
+    * both are "the stage-5 selection" of their pipeline — but the p5 gate
+    * never mixes the two keys' bitmaps. */
+  val BitDomainCap = 16
+  val BitTempMix = 32
+  /** All p5 stages passed — the curated trained-on set. */
+  val KeptAllCurated: Int =
+    BitSampled | BitDecontam | BitQuality | BitNearDup | BitDomainCap | BitTempMix
+
+  /** p5's recipe dials, replayed verbatim in the oracle: the composed cap
+    * and mix run over the SURVIVOR set (a quality-gated, deduped fraction
+    * of the corpus), so the standalone keys' corpus-sized constants
+    * ([[CurationQueries.DomainCap]] 8 over ~all docs, MixTarget 200) would
+    * never bind there at gate scales — a cap that caps nothing gates
+    * nothing. 4-per-domain / 24-total bind from sf0.01 up (sf0.01: ~30
+    * survivors over ~10 sources → k_s ≈ 2). A 100 TB deploy sets its own
+    * targets; these are the gate's. */
+  val PipeDomainCap = 4
+  val PipeMixTarget = 24
+
   /** p2 admit_reason bits, in stage order (the batch has no sample stage —
     * arrival IS the selection — and no shard stage: admitted docs join the
     * corpus; shards are repacked by the periodic compaction, not per batch). */
@@ -82,7 +104,14 @@ object PipelineQueries {
     // the dial was documented but nothing could run the composition): the
     // cut consumes mod-sampled anchor spans built from the SAME staged
     // gram scan. See [[pipelineCutAnchoredOf]].
-    "p4_pipeline_cut_anchored" -> ((s, d) => pipelineCutAnchoredOf(stagesFor(s, d)))
+    "p4_pipeline_cut_anchored" -> ((s, d) => pipelineCutAnchoredOf(stagesFor(s, d))),
+    // The CURATED pipeline (p5, r17; VERDICT r16 "What's missing" #1 — the
+    // two gated curation operators a real Gopher/CCNet-style recipe runs
+    // between admission and packing, c10 domain cap and c9 temperature
+    // mix, were gated standalone but inexpressible in the p-family):
+    // quality → cut → near-dup → DOMAIN CAP → TEMPERATURE MIX → pack.
+    // See [[pipelineCuratedOf]].
+    "p5_pipeline_curated" -> ((s, d) => pipelineCuratedOf(stagesFor(s, d)))
   )
 
   /** The day-2 admission verdict memoized per (session, sfDir): p2 gates it
@@ -334,6 +363,28 @@ object PipelineQueries {
     lazy val s5c: DataFrame = own(s4c.where(CurationQueries.mixPred).eagerCheckpoint())
     /** stage 5' on the anchor-dial rewrite. */
     lazy val s5ca: DataFrame = own(s4ca.where(CurationQueries.mixPred).eagerCheckpoint())
+
+    // ---- p5's curated tail (VERDICT r16 missing #1): the anti-domination
+    // cap and the temperature mix BETWEEN admission and packing — the two
+    // stages whose composition changes downstream shard contents (a capped
+    // domain removes docs from the pack; the mix reweights sources).
+
+    /** stage 5'' — c10: at most [[PipeDomainCap]] docs per lang.source
+      * domain among the cut near-dup survivors, by salted-hash rank (the
+      * [[CurationQueries.domainCapRanked]] family at the pipeline dial).
+      * Checkpointed: feeds the mix stage AND the verdict flag join. */
+    lazy val s5cap: DataFrame = own(
+      s4c.join(CurationQueries.domainCapRanked(s4c, PipeDomainCap).select("doc_id"),
+        Seq("doc_id"), "left_semi").eagerCheckpoint())
+
+    /** stage 6'' — c9: sqrt-temperature mixture over the cap survivors
+      * ([[CurationQueries.temperatureMixRanked]] at [[PipeMixTarget]]) —
+      * per-source targets recomputed from the CAPPED populations, the
+      * composition order that makes the cap feed the mixture weights.
+      * Checkpointed: feeds the pack AND the verdict flag join. */
+    lazy val s5mix: DataFrame = own(
+      s5cap.join(CurationQueries.temperatureMixRanked(s5cap, PipeMixTarget).select("doc_id"),
+        Seq("doc_id"), "left_semi").eagerCheckpoint())
   }
 
   /** The composed pipeline on any (doc_id, lang, source, n_chars, text)
@@ -449,6 +500,59 @@ object PipelineQueries {
           bit("b4", BitNearDup) + bit("b5", BitMixture)).cast("int").as("kept_reason"),
         col("n_cut"), col("shard"))
   }
+
+  /** p5: the CURATED pipeline — p4's flow with the flat c3 mixture replaced
+    * by the two selection stages a real pretraining recipe runs between
+    * admission and packing:
+    *
+    *   c1 sample → c7 decontam → t12 quality → d14/d15 cut →
+    *   d3 near-dup admission on cut text → c10 DOMAIN CAP →
+    *   c9 TEMPERATURE MIX → c6 shard-pack on rewritten lengths
+    *
+    * The cap runs BEFORE the mix so the mixture's per-source targets are
+    * computed from the capped populations (capping after mixing would
+    * silently under-fill the sources the cap bites); both run AFTER
+    * admission so they select among text that actually ships. Each stage
+    * composed here is the SAME formula family its standalone gate proves
+    * (c10's domainCapRanked, c9's temperatureMixRanked) at the pipeline
+    * dials ([[PipeDomainCap]]/[[PipeMixTarget]] — see their scaladoc for
+    * why the corpus-sized standalone constants cannot bind over a survivor
+    * set).
+    *
+    * Output: one row per corpus doc — (doc_id, kept_reason, n_cut, shard);
+    * kept_reason bits 1/2/4/8 as p4, 16 = survived the cap, 32 = selected
+    * by the mix; shard packs the MIX SURVIVORS on cut-text lengths.
+    *
+    * 100 TB notes: both new stages are bounded top-k AGGREGATES over the
+    * survivor set — map-side combinable, O(domains x cap) and O(sources x
+    * target) shuffle rows, no window sorts; the weight normalizer is one
+    * tiny broadcast. Everything upstream is p4's audited shapes; nothing
+    * re-reads parquet (PlanSpec pins it). */
+  private[queries] def pipelineCuratedOf(st: CorpusStages): DataFrame = {
+    val packed = CurationQueries.shardPackOf(
+        st.s5mix.select(col("doc_id"), length(col("text")).as("n_chars")),
+        CurationQueries.ShardBudget)
+      .select(col("doc_id"), col("shard"))
+    st.documents.select("doc_id")
+      .join(flag(st.s1, "b1"), Seq("doc_id"), "left")
+      .join(flag(st.s2, "b2"), Seq("doc_id"), "left")
+      .join(flag(st.s3, "b3"), Seq("doc_id"), "left")
+      .join(flag(st.s4c, "b4"), Seq("doc_id"), "left")
+      .join(flag(st.s5cap, "b5"), Seq("doc_id"), "left")
+      .join(flag(st.s5mix, "b6"), Seq("doc_id"), "left")
+      .join(st.cutDocs.select(col("doc_id"), col("n_cut")), Seq("doc_id"), "left")
+      .join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (bit("b1", BitSampled) + bit("b2", BitDecontam) + bit("b3", BitQuality) +
+          bit("b4", BitNearDup) + bit("b5", BitDomainCap) + bit("b6", BitTempMix))
+          .cast("int").as("kept_reason"),
+        col("n_cut"), col("shard"))
+  }
+
+  /** Fixture/spec entry point for p5 (collect + free, the [[pipelineOf]]
+    * contract). */
+  private[queries] def pipelineCuratedOf(documents0: DataFrame): DataFrame =
+    materializedFreeing(documents0)(pipelineCuratedOf)
 
   /** Fixture/spec entry point (collect + free, the [[pipelineOf]] contract). */
   private[queries] def pipelineCutOf(documents0: DataFrame): DataFrame =
@@ -810,6 +914,36 @@ object PipelineQueries {
            |LEFT JOIN cd ON d.doc_id = cd.doc_id
            |LEFT JOIN cpacked ON d.doc_id = cpacked.doc_id""".stripMargin,
 
+      // p5: the corpus cascade to s3, the span/cut CTEs, the cut-admission
+      // prefix (cd/cs4 — shared verbatim with p4), then the curated tail:
+      // the STANDALONE c10/c9 oracle CTE families re-anchored to the
+      // survivor chain at the pipeline dials, and the pack over the mix
+      // survivors' rewritten lengths.
+      "p5_pipeline_curated" ->
+        s"""WITH $corpusCascadeSql,
+           |${DedupQueries.spanCtesFor("s3", "x")},
+           |${DedupQueries.cutCtesFor("s3", "x")},
+           |$cutAdmitSql,
+           |$curatedTailSql
+           |SELECT d.doc_id,
+           |  CAST(CASE WHEN b1.doc_id IS NOT NULL THEN $BitSampled ELSE 0 END
+           |     + CASE WHEN b2.doc_id IS NOT NULL THEN $BitDecontam ELSE 0 END
+           |     + CASE WHEN b3.doc_id IS NOT NULL THEN $BitQuality ELSE 0 END
+           |     + CASE WHEN b4.doc_id IS NOT NULL THEN $BitNearDup ELSE 0 END
+           |     + CASE WHEN b5.doc_id IS NOT NULL THEN $BitDomainCap ELSE 0 END
+           |     + CASE WHEN b6.doc_id IS NOT NULL THEN $BitTempMix ELSE 0 END AS INT) AS kept_reason,
+           |  cd.n_cut AS n_cut,
+           |  p5packed.shard AS shard
+           |FROM documents d
+           |LEFT JOIN (SELECT doc_id FROM s1) b1 ON d.doc_id = b1.doc_id
+           |LEFT JOIN (SELECT doc_id FROM s2) b2 ON d.doc_id = b2.doc_id
+           |LEFT JOIN (SELECT doc_id FROM s3) b3 ON d.doc_id = b3.doc_id
+           |LEFT JOIN (SELECT doc_id FROM cs4) b4 ON d.doc_id = b4.doc_id
+           |LEFT JOIN (SELECT doc_id FROM p5cap) b5 ON d.doc_id = b5.doc_id
+           |LEFT JOIN (SELECT doc_id FROM p5mix) b6 ON d.doc_id = b6.doc_id
+           |LEFT JOIN cd ON d.doc_id = cd.doc_id
+           |LEFT JOIN p5packed ON d.doc_id = p5packed.doc_id""".stripMargin,
+
       "p3_corpus_maintenance" ->
         s"""WITH RECURSIVE $corpusCascadeSql,
            |$batchCascadeSql,
@@ -833,14 +967,18 @@ object PipelineQueries {
     * `cd`, d3's banding family over the CUT text (csgl..crej — the same
     * formulas as the corpus cascade's sgl..rej, re-anchored), the mixture
     * cut, and the c6 pack formula over length(cut text). */
-  private lazy val cutCascadeSql: String = {
-    val toks = tokensSql("text")
-    import DedupQueries.{JaccardT, ShingleK}
+  /** The cut-admission prefix of [[cutCascadeSql]] — cut docs `cd` and the
+    * near-dup survivor set `cs4` — factored out (r17) because p5 shares it
+    * with p4 but runs the curated tail instead of the c3 mixture. */
+  private lazy val cutAdmitSql: String =
     s"""cd AS MATERIALIZED (
        |  SELECT s3.doc_id, s3.lang, s3.source, xc.n_cut, xc.text
        |  FROM s3 JOIN xcut xc ON s3.doc_id = xc.doc_id),
        |${bandingRejCtesFor("cd", "c")},
-       |cs4 AS MATERIALIZED (SELECT * FROM cd WHERE doc_id NOT IN (SELECT doc_id FROM crej)),
+       |cs4 AS MATERIALIZED (SELECT * FROM cd WHERE doc_id NOT IN (SELECT doc_id FROM crej))""".stripMargin
+
+  private lazy val cutCascadeSql: String =
+    s"""$cutAdmitSql,
        |cs5 AS MATERIALIZED (SELECT * FROM cs4
        |  WHERE ${CurationQueries.saltedHashSql("mix", "doc_id")} % 100 <
        |    [10, 25, 50, 100][CAST(CAST(substring(source, 4) AS INT) % 4 + 1 AS INT)]),
@@ -850,7 +988,24 @@ object PipelineQueries {
        |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY k, doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
        |    // ${CurationQueries.ShardBudget} AS shard FROM ch)""".stripMargin
-  }
+
+  /** The p5 curated tail, appended after [[cutAdmitSql]]: the c10 cap CTEs
+    * re-anchored to cs4 at [[PipeDomainCap]], the c9 mix CTEs re-anchored
+    * to the CAP SURVIVORS at [[PipeMixTarget]] (so the mixture weights are
+    * computed from capped populations, same composition order as the Spark
+    * flow), and p1's pack formula over length(cut text) of the mix
+    * survivors. */
+  private lazy val curatedTailSql: String =
+    s"""${CurationQueries.domainCapCtesFor("cs4", "p5", PipeDomainCap)},
+       |p5cap AS MATERIALIZED (SELECT cs4.* FROM cs4 JOIN p5dcap USING (doc_id)),
+       |${CurationQueries.temperatureMixCtesFor("p5cap", "p5", PipeMixTarget)},
+       |p5mix AS MATERIALIZED (SELECT p5cap.* FROM p5cap JOIN p5tmix USING (doc_id)),
+       |p5h AS MATERIALIZED (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |        ${CurationQueries.saltedHashSql("shard", "doc_id")} AS k FROM p5mix),
+       |p5packed AS MATERIALIZED (SELECT doc_id,
+       |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY k, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    // ${CurationQueries.ShardBudget} AS shard FROM p5h)""".stripMargin
 
   /** The day-2 batch cascade (p2's b0 → b4) as a reusable CTE chain,
     * appended after [[corpusCascadeSql]] (it references bench, cnt, pre,

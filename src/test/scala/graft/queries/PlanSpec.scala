@@ -161,6 +161,22 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin Build(Left|Right), Inner".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("p5 curated pipeline: checkpoint-fed verdict, no parquet re-read, no cartesian") {
+    // p4's contract with the curated tail in the flow: cap and mix derive
+    // from the s4c checkpoint, selections are bounded top-k AGGREGATES (no
+    // Window over doc rows), and the corpus parquet is never re-scanned by
+    // the assembled verdict plan. The one permitted broadcast nested-loop
+    // shape is c9's sqrt-weight normalizer join — a broadcast of ONE
+    // aggregated row against the per-source counts (O(sources) work), the
+    // same plan the gated standalone c9 runs.
+    val df = PipelineQueries.defs("p5_pipeline_curated")(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin Build(Left|Right), Inner".r
+      .findAllIn(p).size <= 1, p)
+  }
+
   test("d12/d13 incremental dedup: every join stays keyed — no nested-loop, no cartesian") {
     // the ingest-path keys: band-key / (cid, scid) equi-joins only — a
     // degradation here is the difference between O(batch) and O(corpus²)/day
