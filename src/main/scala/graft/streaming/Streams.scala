@@ -967,8 +967,10 @@ object Streams {
     *
     * 100 TB notes: state is ZERO; per-batch work is O(arrivals × bands)
     * join probes + O(colliding postings) verifies. The bkey map rides the
-    * same df-bound as the batch index (a pathological band bucket is a
-    * data-quality signal there too). At index sizes past broadcast range
+    * batch index's [[graft.queries.DedupQueries.MaxBandPop]] hot-band cap
+    * (applied in [[admissionPostings]] via the shared capBandIndex kernel),
+    * so each posting array is bounded at cap entries and a pathological
+    * band bucket cannot grow a probe. At index sizes past broadcast range
     * the joins degrade to per-batch shuffles — still stateless; bucket the
     * index by bkey to keep them co-located. */
   def admissionStream(docs: DataFrame, corpus: DataFrame): DataFrame =
@@ -977,10 +979,19 @@ object Streams {
   /** The bkey → postings-array map [[admissionStream]] probes, derived
     * from a corpus docs frame. Production materializes this next to the
     * persisted band index (one parquet write per corpus version) and
-    * passes the READ-BACK frame to [[admissionStreamAgainst]]. */
-  def admissionPostings(corpus: DataFrame): DataFrame = {
+    * passes the READ-BACK frame to [[admissionStreamAgainst]].
+    *
+    * The [[graft.queries.DedupQueries.MaxBandPop]] hot-band cap applies
+    * HERE, through the same [[graft.queries.DedupQueries.capBandIndex]]
+    * kernel the batch ingest runs (r17): a corpus-saturated band is
+    * excluded from the postings map at derivation, so the online verdict
+    * and the nightly d12/p2 batch verdict cannot diverge on what the cap
+    * traded away — and each posting array (the map's in-memory hot spot)
+    * is bounded at cap entries. */
+  def admissionPostings(corpus: DataFrame,
+                        maxBandPop: Int = graft.queries.DedupQueries.MaxBandPop): DataFrame = {
     val D = graft.queries.DedupQueries
-    D.lshBandIndex(corpus)
+    D.capBandIndex(D.lshBandIndex(corpus), maxBandPop)
       .join(D.shingleSetsOf(corpus), "doc_id")
       .groupBy("bkey")
       .agg(collect_list(struct(col("doc_id").as("cid"), col("sh").as("csh"))).as("posts"))

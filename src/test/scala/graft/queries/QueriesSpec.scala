@@ -312,6 +312,39 @@ class QueriesSpec extends SparkSpec {
     assert(DedupQueries.incrementalDedup(old, uniq).count() === 2)
   }
 
+  test("incremental dedup hot-band cap: planted hot band bounds candidates, dial trades recall") {
+    import spark.implicits._
+    def doc(prefix: String) = (0 until 12).map(i => s"$prefix$i").mkString(" ")
+    // plant a HOT band: 5 identical corpus docs — all 8 of their bands carry
+    // population 5 (identical shingle sets → identical signatures) — plus
+    // one cold doc whose bands have population 1
+    val old = ((1L to 5L).map(id => (id, doc("hot"))) :+ (6L, doc("cold")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, doc("hot")),   // duplicates the corpus-saturated boilerplate
+      (11L, doc("cold")),  // duplicates the cold doc
+      (12L, doc("z"))      // novel
+    ).toDF("doc_id", "text")
+    // BOUNDED CANDIDATE VOLUME, on the capped index directly: at cap 4 the
+    // hot band contributes ZERO postings to the candidate join (vs 5 per
+    // band uncapped — the fan-out that grows with corpus population), the
+    // cold bands pass whole, and no residual band exceeds the cap
+    val idx = DedupQueries.lshBandIndex(old)
+    val capped = DedupQueries.capBandIndex(idx, 4)
+    assert(capped.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(6L))
+    assert(capped.groupBy("bkey").count().agg(max("count")).head.getLong(0) <= 4L)
+    // default cap (1000) is inert here: both copies are caught
+    assert(DedupQueries.incrementalDedup(old, batch).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(12L))
+    // dialed under the planted population, the hot band is excluded: the
+    // boilerplate copy is ADMITTED (the documented MaxGramDf-style recall
+    // trade — corpus-saturated content is what a 100 TB recipe caps away),
+    // while the cold-band copy is still rejected
+    assert(DedupQueries.incrementalDedup(old, batch, maxBandPop = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(10L, 12L))
+  }
+
   test("incremental dedup: a cluster touching the corpus via ANY member is wholly rejected") {
     import spark.implicits._
     val ts = (0 until 18).map(i => s"t$i")
