@@ -158,6 +158,55 @@ object StreamRehearsal {
     val dSrc3 = spark.readStream.schema(dSchema)
       .option("maxFilesPerTrigger", "1").parquet(docsFeed)
     run("media_probe", Streams.mediaNearDupProbeStream(dSrc3, mediaIdx))
+
+    // ---- versioned-append cadence + vacuum (VERDICT r16 #6): the GC path
+    // against a LIVE daily-ingest cadence, not just the ManifestsSpec
+    // fixture. Four appendBandIndexVersioned appends (a day each of the
+    // odd-doc batch, the d12 ingest shape); after day 2, plant BOTH crash
+    // shapes — a LEAKED segment (written, never published, older than the
+    // newest manifest: the crash-between-write-and-publish remnant) and an
+    // IN-FLIGHT one (unreferenced but fresh: an append that has not
+    // published YET). vacuumSegments mid-cadence must reap exactly the
+    // leak, spare the in-flight plant, and leave the published set's reads
+    // byte-identical; the remaining appends then proceed over the vacuumed
+    // root.
+    {
+      val D = graft.queries.DedupQueries
+      val root = s"$work/band_index_versioned"
+      // four disjoint odd-doc_id day slices (doc_id % 8 ∈ {1,3,5,7})
+      val day = (c: Int) => docs.where(col("doc_id") % 8 === c)
+      D.appendBandIndexVersioned(day(1), root)
+      D.appendBandIndexVersioned(day(3), root)
+      val rowsBefore = D.readBandIndexVersioned(spark, root).count()
+      // crash plant 1: leaked remnant — written, unpublished, backdated
+      // (dir AND files — a real remnant's files all predate later manifests)
+      val leaked = java.nio.file.Paths.get(root, "seg-1-crash-leaked-remnant")
+      day(1).limit(50).write.parquet(leaked.toString)
+      val manifestMt = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("MANIFEST-")).map(_.lastModified()).max
+      val backdate = java.nio.file.attribute.FileTime.fromMillis(manifestMt - 60000)
+      leaked.toFile.listFiles().foreach(f =>
+        java.nio.file.Files.setLastModifiedTime(f.toPath, backdate))
+      java.nio.file.Files.setLastModifiedTime(leaked, backdate)
+      // crash plant 2: in-flight append — unreferenced, fresh mtimes
+      val inflight = java.nio.file.Paths.get(root, "seg-2-inflight-append")
+      day(1).limit(50).write.parquet(inflight.toString)
+      val reaped = graft.sources.Manifests.vacuumSegments(spark, root)
+      val rowsAfter = D.readBandIndexVersioned(spark, root).count()
+      D.appendBandIndexVersioned(day(5), root)
+      D.appendBandIndexVersioned(day(7), root)
+      val rowsFinal = D.readBandIndexVersioned(spark, root).count()
+      val ok = reaped == Seq("seg-1-crash-leaked-remnant") &&
+        !java.nio.file.Files.exists(leaked) &&
+        java.nio.file.Files.exists(inflight) &&
+        rowsAfter == rowsBefore
+      println(s"""{"rehearsal":"versioned_append_vacuum","appends":4,""" +
+        s""""reaped":[${reaped.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""inflight_spared":${java.nio.file.Files.exists(inflight)},""" +
+        s""""rows_before":$rowsBefore,"rows_after_vacuum":$rowsAfter,""" +
+        s""""rows_final":$rowsFinal,"ok":$ok}""")
+      require(ok, "versioned-append vacuum rehearsal failed — see JSON above")
+    }
     spark.stop()
   }
 }
