@@ -119,6 +119,12 @@ object StreamRehearsal {
     // not every user ever seen
     run("funnel", Streams.funnelStream(src), OutputMode.Update())
     run("rate_anomaly", Streams.rateAnomalyStream(src))
+    // heavy-hitter surveillance (r17): one MG-buffer state row per OPEN
+    // 6-hour window — state_rows_max must track the open-window count,
+    // never the distinct-token vocabulary flowing through
+    run("heavy_hitters", Streams.heavyHittersStream(
+      src.toDF().select(col("ts"), col("event_type").as("text")),
+      k = 50, windowDur = "6 hours", watermarkDelay = "2 hours"))
 
     // ---- the admission pipeline: documents replay, corpus static --------
     // Evidences the ZERO-state claim at volume: 16 doc chunks stream past

@@ -9,6 +9,35 @@ import org.apache.spark.sql.functions._
 class TopKSpec extends SparkSpec {
   import spark.implicits._
 
+  test("MisraGries: superset of exact heavy hitters + MG bounds, any partitioning") {
+    // skewed stream: 2 true heavy hitters, a warm word just under the bar,
+    // and a long rare tail — exactly the shape MG exists for
+    val words = Seq.fill(500)("hot") ++ Seq.fill(130)("warm2") ++
+      Seq.fill(90)("warm1") ++ (0 until 600).map(i => s"rare$i")
+    val total = words.size.toLong // 1320
+    val k = 9                     // bar = total / (k+1) = 132
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val heavy = exact.filter(_._2 > total / (k + 1.0)).keySet // {hot}
+    assert(heavy === Set("hot") && exact("warm2") <= total / (k + 1.0))
+    val rnd = new scala.util.Random(11)
+    for (parts <- Seq(1, 8)) {
+      val df = rnd.shuffle(words).toDF("word").repartition(parts)
+      val row = df.agg(MisraGries.mg(col("word"), k).as("s"))
+        .select(col("s.n_total"), col("s.cands")).head
+      assert(row.getLong(0) === total, s"parts=$parts: total must be exact")
+      val cands = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cands.size <= k, s"parts=$parts: state bound")
+      // the superset guarantee: no heavy hitter can be absent
+      assert(heavy.subsetOf(cands.keySet), s"parts=$parts: $cands")
+      // per-candidate MG bounds: true - total/(k+1) <= est <= true
+      for ((w, est) <- cands) {
+        assert(est <= exact(w), s"parts=$parts: $w over-estimated")
+        assert(est >= exact(w) - total / (k + 1.0), s"parts=$parts: $w under bound")
+      }
+    }
+  }
+
   test("topK == row_number window on (score desc, id asc), any partitioning") {
     val rnd = new scala.util.Random(7)
     val rows = Seq.tabulate(5000) { i =>

@@ -325,6 +325,61 @@ class StreamingSpec extends SparkSpec {
     assert(sorted(streamed.collect()) === sorted(batch.collect()))
   }
 
+  test("streaming heavy hitters: per-window superset of batch t8's bar, O(windows) state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${min}%02d:00")
+    val k = 5
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streams.heavyHittersStream(input.toDF().toDF("ts", "text"),
+        k = k, windowDur = "10 minutes", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("hh_spec")
+      .outputMode("append").start()
+    val fed = scala.collection.mutable.ArrayBuffer.empty[(java.sql.Timestamp, String)]
+    def feed(rows: (java.sql.Timestamp, String)*): Unit = {
+      fed ++= rows; input.addData(rows: _*); q.processAllAvailable()
+    }
+    try {
+      // window 1 [10:00,10:10): 'hh' x15 of 30 tokens (> 30/6 = 5, a true
+      // heavy hitter), 15 singletons — more distinct words than k
+      feed(t(1) -> Seq.fill(10)("hh").mkString(" "),
+           t(3) -> ("hh hh hh hh hh w1 w2 w3 w4 w5"))
+      feed(t(7) -> "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10",
+      // window 2 [10:10,10:20): x(3) and y(2) > 6/6 = 1; z is not. The
+      // 10:12 arrival also advances the watermark to 10:11, closing w1
+           t(12) -> "x x x y y z")
+      // close window 2 (watermark 10:30); [10:30,10:40) stays open
+      feed(t(31) -> "zz")
+      val got = spark.table("hh_spec").collect()
+        .map(r => (r.getTimestamp(0), (r.getLong(2), r.getString(4), r.getLong(5))))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      assert(got.keySet === Set(t(0), t(10)), got.keySet)
+      // the batch-t8 contract per closed window: exact total, candidates a
+      // SUPERSET of the true heavy hitters at the n/(k+1) bar, MG bounds
+      for ((ws, we) <- Seq(t(0) -> t(10), t(10) -> t(20))) {
+        val exact = fed.filter(r => !r._1.before(ws) && r._1.before(we))
+          .flatMap(_._2.split(" ")).groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val total = exact.values.sum
+        val heavy = exact.filter(_._2 > total / (k + 1.0)).keySet
+        val rows = got(ws)
+        assert(rows.forall(_._1 == total), s"$ws: n_total must be exact: $rows")
+        val cands = rows.map(r => r._2 -> r._3).toMap
+        assert(cands.size <= k, s"$ws: ${cands.size} candidates > k")
+        assert(heavy.subsetOf(cands.keySet), s"$ws: $heavy not in $cands")
+        for ((w, est) <- cands) {
+          assert(est <= exact(w) && est >= exact(w) - total / (k + 1.0), s"$ws/$w")
+        }
+      }
+      assert(got(t(0)).exists(_._2 == "hh") && got(t(10)).map(_._2).toSet.contains("x"))
+      // O(windows) state, not O(vocabulary): >20 distinct words flowed, at
+      // most 2 windows were ever open, and the state-store row count is the
+      // window count (each row holding one <= k-counter MG buffer)
+      val stateMax = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      assert(stateMax <= 3, s"state rows $stateMax must track open windows, not vocab")
+    } finally q.stop()
+  }
+
   test("band-key columns are byte-identical to the persisted index's bkey format") {
     // the streaming admission probe joins the SAME index a batch ingest
     // appends to — the row-local bandKeyCols and lshBandIndex's exploded
