@@ -346,10 +346,14 @@ object IvfIndex {
     val corpusPops = DedupQueries.cellPops(posting)
     val pg = DedupQueries.withSubCells(posting, corpusPops, cap)
     val bg = DedupQueries.withSubCells(b, corpusPops, cap)
-    // cos is projected ONCE before the filter (ADVICE r16): this runs per
-    // candidate pair on the hot path of both the daily incremental dedup and
-    // the streaming vector probe — a where+select pair on the raw expression
-    // would evaluate the O(dim) dot product twice per candidate.
+    // cos is projected once and the filter references the alias (ADVICE
+    // r16). Plan-checked: Catalyst still pushes the threshold into the join
+    // condition by re-inlining the expression, so the physical plan
+    // evaluates the O(dim) dot ONCE PER CANDIDATE in the join plus once per
+    // EMITTED HIT in the output project — the per-candidate hot path (the
+    // cost that scales with fan-out) pays exactly one evaluation; the
+    // per-hit recompute is O(matches) and cheaper than any materialization
+    // barrier that would prevent it.
     bg.as("n").join(pg.as("o"),
         col("n.cid") === col("o.cid") && col("n.scid") === col("o.scid"))
       .withColumn("cos", dot(col("n.v"), col("o.v")) / (col("n.nrm") * col("o.nrm")))
