@@ -183,8 +183,13 @@ object PipelineQueries {
     * anchor iff hash % stride == 0; span-miss P ≈ (1-1/stride)^(L-K+1)) —
     * the gated key runs the library default, a 100 TB deploy whose survivor
     * set needs a coarser dial passes its own. */
+  /** `domainCap`/`mixTarget` are p5's recipe dials (gated key runs the
+    * [[PipeDomainCap]]/[[PipeMixTarget]] defaults; a deploy passes its own —
+    * the anchorStride convention). */
   private[queries] final class CorpusStages(documents0: DataFrame,
-      anchorStride: Int = DedupQueries.AnchorStride) {
+      anchorStride: Int = DedupQueries.AnchorStride,
+      domainCap: Int = PipeDomainCap,
+      mixTarget: Int = PipeMixTarget) {
     private val B = graft.functions.BloomFunctions
 
     // every checkpoint this instance materializes, so cache eviction can
@@ -374,7 +379,7 @@ object PipelineQueries {
       * [[CurationQueries.domainCapRanked]] family at the pipeline dial).
       * Checkpointed: feeds the mix stage AND the verdict flag join. */
     lazy val s5cap: DataFrame = own(
-      s4c.join(CurationQueries.domainCapRanked(s4c, PipeDomainCap).select("doc_id"),
+      s4c.join(CurationQueries.domainCapRanked(s4c, domainCap).select("doc_id"),
         Seq("doc_id"), "left_semi").eagerCheckpoint())
 
     /** stage 6'' — c9: sqrt-temperature mixture over the cap survivors
@@ -383,7 +388,7 @@ object PipelineQueries {
       * composition order that makes the cap feed the mixture weights.
       * Checkpointed: feeds the pack AND the verdict flag join. */
     lazy val s5mix: DataFrame = own(
-      s5cap.join(CurationQueries.temperatureMixRanked(s5cap, PipeMixTarget).select("doc_id"),
+      s5cap.join(CurationQueries.temperatureMixRanked(s5cap, mixTarget).select("doc_id"),
         Seq("doc_id"), "left_semi").eagerCheckpoint())
   }
 
@@ -553,6 +558,16 @@ object PipelineQueries {
     * contract). */
   private[queries] def pipelineCuratedOf(documents0: DataFrame): DataFrame =
     materializedFreeing(documents0)(pipelineCuratedOf)
+
+  /** [[pipelineCuratedOf]] at explicit dials — the spec handle mirroring
+    * the anchored variant's stride overload: cap/target large enough never
+    * to bind must reproduce the cut flow's survivor set exactly (modulo the
+    * c3 stage p5 replaces), and tighter dials move membership only at the
+    * cap/mix stages. */
+  private[queries] def pipelineCuratedOf(documents0: DataFrame,
+                                         domainCap: Int, mixTarget: Int): DataFrame =
+    materializedFreeingWith(new CorpusStages(documents0,
+      DedupQueries.AnchorStride, domainCap, mixTarget))(pipelineCuratedOf)
 
   /** Fixture/spec entry point (collect + free, the [[pipelineOf]] contract). */
   private[queries] def pipelineCutOf(documents0: DataFrame): DataFrame =

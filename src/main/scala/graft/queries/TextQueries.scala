@@ -222,7 +222,7 @@ object TextQueries {
   /** t8: report tokens with frequency strictly above n/(K+1) — the classic
     * heavy-hitter threshold at which a K-counter Misra-Gries pass cannot
     * miss an item. */
-  private val HeavyK = 50
+  private[graft] val HeavyK = 50
 
   private val TfidfT = 0.5
 

@@ -911,7 +911,7 @@ object Streams {
     * nightly batch t8's recount step, same division of labor as the batch
     * operator's own freqItems-then-recount pass. */
   def heavyHittersStream(docs: DataFrame,
-                         k: Int = 50,
+                         k: Int = graft.queries.TextQueries.HeavyK,
                          windowDur: String = "1 hour",
                          watermarkDelay: String = "2 hours"): DataFrame =
     docs

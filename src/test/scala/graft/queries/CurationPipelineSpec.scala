@@ -285,6 +285,12 @@ class CurationPipelineSpec extends SparkSpec {
     val packWith = replay(kept :+ capDropped)
     assert(kept.exists(id => pack(id) != packWith(id)),
       s"the cap must move a shard boundary: $pack vs $packWith")
+    // dial identity point: cap/target too large to bind keep EVERY
+    // admission survivor — the curated tail reduces to a no-op and the
+    // pack covers the full survivor set (incl. the doc the gate dial cut)
+    val loose = PipelineQueries.pipelineCuratedOf(fixture, 1000, 100000)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (id <- src1Ids ++ src2Ids) assert(loose(id) === 63, s"doc $id at loose dials")
   }
 
   test("p2 planted fixture: every admission outcome exercised, frozen-LOO bar exact") {
