@@ -168,14 +168,14 @@ object CurationQueries {
 
   /** c5: PII patterns — identical dialect subset of Java regex (Spark) and
     * RE2 (DuckDB): character classes, +, bounded repeats only. */
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val PhoneRe = "555-[0-9]{4}"
+  private[queries] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[queries] val PhoneRe = "555-[0-9]{4}"
 
   /** c5: the synthetic corpus has no PII (lowercase word salad), so plant it
     * DETERMINISTICALLY from existing columns — both engines derive the same
     * augmented text, making the redaction output value-checkable. Every doc
     * gets one email + one phone; every third doc a second email. */
-  private def piiText(text: Column, docId: Column, source: Column): Column =
+  private[queries] def piiText(text: Column, docId: Column, source: Column): Column =
     concat(
       text,
       lit(" contact user"), docId.cast("string"),
@@ -183,7 +183,7 @@ object CurationQueries {
       lpad((docId % 10000).cast("string"), 4, "0"),
       when(docId % 3 === 0, lit(" and admin@corp.example.org")).otherwise(lit("")))
 
-  private def piiTextSql: String =
+  private[queries] def piiTextSql: String =
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source || " +
       "'.example.com or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
       "CASE WHEN doc_id % 3 = 0 THEN ' and admin@corp.example.org' ELSE '' END"

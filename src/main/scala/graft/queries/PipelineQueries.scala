@@ -111,7 +111,12 @@ object PipelineQueries {
     // mix, were gated standalone but inexpressible in the p-family):
     // quality → cut → near-dup → DOMAIN CAP → TEMPERATURE MIX → pack.
     // See [[pipelineCuratedOf]].
-    "p5_pipeline_curated" -> ((s, d) => pipelineCuratedOf(stagesFor(s, d)))
+    "p5_pipeline_curated" -> ((s, d) => pipelineCuratedOf(stagesFor(s, d))),
+    // The SHIPPED pipeline (p6, r17): p5 + c5 PII redaction between the
+    // mix and the pack — the artifact that actually leaves the building is
+    // the redacted one, and redaction rewrites text, so the shard pack must
+    // run on REDACTED lengths. See [[pipelineShippedOf]].
+    "p6_pipeline_shipped" -> ((s, d) => pipelineShippedOf(stagesFor(s, d)))
   )
 
   /** The day-2 admission verdict memoized per (session, sfDir): p2 gates it
@@ -390,6 +395,26 @@ object PipelineQueries {
     lazy val s5mix: DataFrame = own(
       s5cap.join(CurationQueries.temperatureMixRanked(s5cap, mixTarget).select("doc_id"),
         Seq("doc_id"), "left_semi").eagerCheckpoint())
+
+    /** stage 7'' — c5: the SHIPPED text (p6) — mix survivors with PII
+      * redacted, the rewrite a real flow runs last-before-ship. Row-local
+      * (codegen'd regexp, zero shuffle); the c5 plant convention applies —
+      * the synthetic corpus has no PII, so it is planted deterministically
+      * from existing columns to make the redaction value-checkable (a
+      * 100 TB deploy drops the plant and redacts the raw text). Output
+      * (doc_id, n_pii, text): text is the redacted cut text, n_pii the
+      * redaction count. Checkpointed: feeds the pack AND the verdict's
+      * n_pii column. */
+    lazy val s6ship: DataFrame = own {
+      val C = CurationQueries
+      val full = C.piiText(col("text"), col("doc_id"), col("source"))
+      val red = regexp_replace(
+        regexp_replace(full, C.EmailRe, "<EMAIL>"), C.PhoneRe, "<PHONE>")
+      s5mix.select(col("doc_id"),
+        (regexp_count(full, lit(C.EmailRe)) + regexp_count(full, lit(C.PhoneRe)))
+          .cast("int").as("n_pii"),
+        red.as("text")).eagerCheckpoint()
+    }
   }
 
   /** The composed pipeline on any (doc_id, lang, source, n_chars, text)
@@ -553,6 +578,53 @@ object PipelineQueries {
           .cast("int").as("kept_reason"),
         col("n_cut"), col("shard"))
   }
+
+  /** p6: the SHIPPED pipeline — p5's curated flow with c5's PII redaction
+    * between the mix and the pack:
+    *
+    *   ... → c10 domain cap → c9 temperature mix → c5 PII REDACTION →
+    *   c6 shard-pack ON THE REDACTED LENGTHS
+    *
+    * Redaction is the second REWRITING stage the family composes (the d15
+    * cut is the first), and it sits after selection because the shipped
+    * artifact is the redacted one: `<EMAIL>`/`<PHONE>` substitutions change
+    * document lengths, so the pack boundaries differ from packing the
+    * unredacted text — a training job reading p6's shards and a compliance
+    * audit reading n_pii see one consistent artifact. Redaction drops no
+    * documents, so kept_reason is exactly p5's bitmap.
+    *
+    * Output: one row per corpus doc — (doc_id, kept_reason, n_cut, n_pii,
+    * shard); n_pii counts the redacted matches for SHIPPED docs (NULL for
+    * docs that never reached the ship stage); shard packs redacted lengths.
+    *
+    * 100 TB notes: the added stage is a row-local codegen'd regexp pass
+    * over the mix survivors — zero shuffle beyond p5's audited shapes. */
+  private[queries] def pipelineShippedOf(st: CorpusStages): DataFrame = {
+    val packed = CurationQueries.shardPackOf(
+        st.s6ship.select(col("doc_id"), length(col("text")).as("n_chars")),
+        CurationQueries.ShardBudget)
+      .select(col("doc_id"), col("shard"))
+    st.documents.select("doc_id")
+      .join(flag(st.s1, "b1"), Seq("doc_id"), "left")
+      .join(flag(st.s2, "b2"), Seq("doc_id"), "left")
+      .join(flag(st.s3, "b3"), Seq("doc_id"), "left")
+      .join(flag(st.s4c, "b4"), Seq("doc_id"), "left")
+      .join(flag(st.s5cap, "b5"), Seq("doc_id"), "left")
+      .join(flag(st.s5mix, "b6"), Seq("doc_id"), "left")
+      .join(st.cutDocs.select(col("doc_id"), col("n_cut")), Seq("doc_id"), "left")
+      .join(st.s6ship.select(col("doc_id"), col("n_pii")), Seq("doc_id"), "left")
+      .join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (bit("b1", BitSampled) + bit("b2", BitDecontam) + bit("b3", BitQuality) +
+          bit("b4", BitNearDup) + bit("b5", BitDomainCap) + bit("b6", BitTempMix))
+          .cast("int").as("kept_reason"),
+        col("n_cut"), col("n_pii"), col("shard"))
+  }
+
+  /** Fixture/spec entry point for p6 (collect + free, the [[pipelineOf]]
+    * contract). */
+  private[queries] def pipelineShippedOf(documents0: DataFrame): DataFrame =
+    materializedFreeing(documents0)(pipelineShippedOf)
 
   /** Fixture/spec entry point for p5 (collect + free, the [[pipelineOf]]
     * contract). */
@@ -958,6 +1030,51 @@ object PipelineQueries {
            |LEFT JOIN (SELECT doc_id FROM p5mix) b6 ON d.doc_id = b6.doc_id
            |LEFT JOIN cd ON d.doc_id = cd.doc_id
            |LEFT JOIN p5packed ON d.doc_id = p5packed.doc_id""".stripMargin,
+
+      // p6: p5's chain up to the mix survivors, then c5's plant+redact
+      // formulas (shared: piiTextSql and the same dialect-safe regexes the
+      // standalone c5 gate proves) re-anchored to p5mix, and the pack over
+      // the REDACTED lengths.
+      "p6_pipeline_shipped" ->
+        s"""WITH $corpusCascadeSql,
+           |${DedupQueries.spanCtesFor("s3", "x")},
+           |${DedupQueries.cutCtesFor("s3", "x")},
+           |$cutAdmitSql,
+           |$curatedTailSql,
+           |p6aug AS MATERIALIZED (
+           |  SELECT doc_id, ${CurationQueries.piiTextSql} AS t FROM p5mix),
+           |p6red AS MATERIALIZED (SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '${CurationQueries.EmailRe}'))
+           |     + len(regexp_extract_all(t, '${CurationQueries.PhoneRe}')) AS INT) AS n_pii,
+           |  regexp_replace(regexp_replace(t, '${CurationQueries.EmailRe}', '<EMAIL>', 'g'),
+           |                 '${CurationQueries.PhoneRe}', '<PHONE>', 'g') AS r
+           |  FROM p6aug),
+           |p6h AS MATERIALIZED (SELECT doc_id, CAST(length(r) AS BIGINT) AS n_chars,
+           |        ${CurationQueries.saltedHashSql("shard", "doc_id")} AS k FROM p6red),
+           |p6packed AS MATERIALIZED (SELECT doc_id,
+           |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY k, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |    // ${CurationQueries.ShardBudget} AS shard FROM p6h)
+           |SELECT d.doc_id,
+           |  CAST(CASE WHEN b1.doc_id IS NOT NULL THEN $BitSampled ELSE 0 END
+           |     + CASE WHEN b2.doc_id IS NOT NULL THEN $BitDecontam ELSE 0 END
+           |     + CASE WHEN b3.doc_id IS NOT NULL THEN $BitQuality ELSE 0 END
+           |     + CASE WHEN b4.doc_id IS NOT NULL THEN $BitNearDup ELSE 0 END
+           |     + CASE WHEN b5.doc_id IS NOT NULL THEN $BitDomainCap ELSE 0 END
+           |     + CASE WHEN b6.doc_id IS NOT NULL THEN $BitTempMix ELSE 0 END AS INT) AS kept_reason,
+           |  cd.n_cut AS n_cut,
+           |  p6red.n_pii AS n_pii,
+           |  p6packed.shard AS shard
+           |FROM documents d
+           |LEFT JOIN (SELECT doc_id FROM s1) b1 ON d.doc_id = b1.doc_id
+           |LEFT JOIN (SELECT doc_id FROM s2) b2 ON d.doc_id = b2.doc_id
+           |LEFT JOIN (SELECT doc_id FROM s3) b3 ON d.doc_id = b3.doc_id
+           |LEFT JOIN (SELECT doc_id FROM cs4) b4 ON d.doc_id = b4.doc_id
+           |LEFT JOIN (SELECT doc_id FROM p5cap) b5 ON d.doc_id = b5.doc_id
+           |LEFT JOIN (SELECT doc_id FROM p5mix) b6 ON d.doc_id = b6.doc_id
+           |LEFT JOIN cd ON d.doc_id = cd.doc_id
+           |LEFT JOIN p6red ON d.doc_id = p6red.doc_id
+           |LEFT JOIN p6packed ON d.doc_id = p6packed.doc_id""".stripMargin,
 
       "p3_corpus_maintenance" ->
         s"""WITH RECURSIVE $corpusCascadeSql,

@@ -291,6 +291,37 @@ class CurationPipelineSpec extends SparkSpec {
     val loose = PipelineQueries.pipelineCuratedOf(fixture, 1000, 100000)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     for (id <- src1Ids ++ src2Ids) assert(loose(id) === 63, s"doc $id at loose dials")
+
+    // p6 (shipped): same bitmap (redaction drops nothing), n_pii exact per
+    // the c5 plant (2 matches, 3 when doc_id % 3 == 0 adds the second
+    // email), and the pack runs on REDACTED lengths — replayed in-spec by
+    // applying the same plant + Java-regex redaction to the kept texts
+    val sources = (src1Rows ++ src2Rows).map { case (id, _, src, _) => id -> src }.toMap
+    def shipText(id: Long): String = {
+      val full = texts(id) + s" contact user$id@${sources(id)}.example.com or call 555-" +
+        f"${id % 10000}%04d" + (if (id % 3 == 0) " and admin@corp.example.org" else "")
+      full.replaceAll(CurationQueries.EmailRe, "<EMAIL>")
+        .replaceAll(CurationQueries.PhoneRe, "<PHONE>")
+    }
+    val got6 = PipelineQueries.pipelineShippedOf(fixture)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.get(3)).map(_.asInstanceOf[Int]),
+         Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(got6.view.mapValues(_._1).toMap === expect, "p6 bitmap must equal p5's")
+    def replayShip(ids: Seq[Long]): Map[Long, Long] = {
+      var run = 0L
+      ids.sortBy(id => (keys(id)._3, id)).map { id =>
+        val sh = run / CurationQueries.ShardBudget
+        run += shipText(id).length; id -> sh
+      }.toMap
+    }
+    val shipPack = replayShip(kept)
+    for (id <- kept) {
+      assert(got6(id)._2 === Some(if (id % 3 == 0) 3 else 2), s"doc $id n_pii")
+      assert(got6(id)._3 === Some(shipPack(id)), s"doc $id shipped shard")
+    }
+    for (id <- (src2Ids.filterNot(mixKeptSrc2) :+ capDropped) :+ benchId)
+      assert(got6(id)._2 === None && got6(id)._3 === None, s"doc $id must not ship")
   }
 
   test("p2 planted fixture: every admission outcome exercised, frozen-LOO bar exact") {

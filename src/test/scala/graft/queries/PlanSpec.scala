@@ -177,6 +177,17 @@ class PlanSpec extends SparkSpec {
       .findAllIn(p).size <= 1, p)
   }
 
+  test("p6 shipped pipeline: redaction adds zero exchanges beyond p5's shapes") {
+    // the added stage is a row-local codegen'd regexp pass; same plan
+    // contract as p5 (the one permitted BNLJ is c9's one-row normalizer)
+    val df = PipelineQueries.defs("p6_pipeline_shipped")(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin Build(Left|Right), Inner".r
+      .findAllIn(p).size <= 1, p)
+  }
+
   test("d12/d13 incremental dedup: every join stays keyed — no nested-loop, no cartesian") {
     // the ingest-path keys: band-key / (cid, scid) equi-joins only — a
     // degradation here is the difference between O(batch) and O(corpus²)/day
