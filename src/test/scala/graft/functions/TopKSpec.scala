@@ -38,6 +38,39 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  // Property sweep (the CCFPropertySpec bounded-seed convention): on seeded
+  // random Zipf-ish streams at random k and partitioning, the MG guarantee
+  // must hold — exact total, |cands| <= k, every true heavy hitter present,
+  // and true - total/(k+1) <= est <= true for every candidate.
+  for (seed <- Seq(3, 17, 41)) {
+    test(s"MisraGries property: random Zipf stream honors the MG guarantee, seed=$seed") {
+      val rnd = new scala.util.Random(seed)
+      val vocab = 50 + rnd.nextInt(400)
+      val n = 2000 + rnd.nextInt(4000)
+      // Zipf-ish: word i drawn with weight ~ 1/(i+1)
+      val cum = (0 until vocab).map(i => 1.0 / (i + 1)).scanLeft(0.0)(_ + _).tail
+      val z = cum.last
+      val words = Seq.fill(n) {
+        val u = rnd.nextDouble() * z
+        s"w${cum.indexWhere(_ >= u)}"
+      }
+      val k = 3 + rnd.nextInt(20)
+      val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val total = n.toLong
+      val heavy = exact.filter(_._2 > total / (k + 1.0)).keySet
+      val row = words.toDF("word").repartition(1 + rnd.nextInt(12))
+        .agg(MisraGries.mg(col("word"), k).as("s"))
+        .select(col("s.n_total"), col("s.cands")).head
+      assert(row.getLong(0) === total)
+      val cands = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cands.size <= k)
+      assert(heavy.subsetOf(cands.keySet), s"k=$k heavy=$heavy cands=$cands")
+      for ((w, est) <- cands)
+        assert(est <= exact(w) && est >= exact(w) - total / (k + 1.0), s"k=$k $w")
+    }
+  }
+
   test("topK == row_number window on (score desc, id asc), any partitioning") {
     val rnd = new scala.util.Random(7)
     val rows = Seq.tabulate(5000) { i =>
