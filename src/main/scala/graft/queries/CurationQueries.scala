@@ -60,7 +60,7 @@ object CurationQueries {
     * index mod 4) — shared by the c3 def and the composed pipeline's
     * mixture stage. The unbounded two-arg substring form is oracle-parity
     * load-bearing (see the c3/c9 comments). */
-  private[queries] def mixPred: org.apache.spark.sql.Column = {
+  private[graft] def mixPred: org.apache.spark.sql.Column = {
     val idx = expr("substring(source, 4)").cast("int")
     val ratePct = element_at(array(lit(10), lit(25), lit(50), lit(100)),
       (idx % 4 + 1).cast("int"))

@@ -375,7 +375,7 @@ object TextQueries {
     * bigram hash, `pg` its unigram-prefix hash, one row per bigram
     * OCCURRENCE (counts, not distinct — the MLE numerator/denominator both
     * count instances). Docs with <2 tokens emit nothing. */
-  private[queries] def bigramInstancesOf(documents: DataFrame): DataFrame = {
+  private[graft] def bigramInstancesOf(documents: DataFrame): DataFrame = {
     val V = graft.functions.VectorFunctions
     val base = documents.select(col("doc_id"),
       V.shingleHashesAll(col("text"), 1, HashP).as("u"),

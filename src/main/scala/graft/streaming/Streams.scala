@@ -1070,16 +1070,27 @@ object Streams {
     * already-unique map pays one no-op-sized shuffle. Duplicate cids inside
     * a bucket (a crashed append re-appending) stay harmless: the verdict
     * dedups matches by cid in-row. */
-  def admissionStreamAgainst(docs: DataFrame, postings: DataFrame): DataFrame = {
+  def admissionStreamAgainst(docs: DataFrame, postings: DataFrame): DataFrame =
+    withCorpusDupCount(docs.select("doc_id", "text"), postings)
+      .select(col("doc_id"), col("n_corpus_dups"))
+      .withColumn("admitted", col("n_corpus_dups") === 0)
+
+  /** The per-arrival corpus near-dup probe factored out of
+    * [[admissionStreamAgainst]] (r17) so the composed day-2 verdict stream
+    * runs the SAME kernel: appends `n_corpus_dups` to `docs`' columns
+    * (which must include doc_id and text, and must not collide with the
+    * scratch names sh, sig, bkN, postsN, all_posts). Stateless: row-local
+    * shingles/signature/band keys (NULL when the doc has <K tokens — a
+    * NULL key misses every equi-join), NumBands stream-static left joins,
+    * and the Jaccard verify + per-cid dedup as array ops inside the row. */
+  private def withCorpusDupCount(docs: DataFrame, postings: DataFrame): DataFrame = {
     val D = graft.queries.DedupQueries
     val T = graft.text.TextFunctions
     val uniq = postings.groupBy("bkey").agg(flatten(collect_list(col("posts"))).as("posts"))
-    // stream side: row-local shingles, signature, band keys (NULL when the
-    // doc has <K tokens — a NULL key misses every equi-join)
-    val sh = docs.select(col("doc_id"),
-        graft.functions.VectorFunctions
-          .shingleHashes(col("text"), D.ShingleK, T.HashP).as("sh"))
-      .select(col("doc_id"), col("sh"), T.minhashSignature(col("sh")).as("sig"))
+    val sh = docs
+      .withColumn("sh", graft.functions.VectorFunctions
+        .shingleHashes(col("text"), D.ShingleK, T.HashP))
+      .withColumn("sig", T.minhashSignature(col("sh")))
     val keyed = D.bandKeyCols(col("sig"), col("sh")).zipWithIndex
       .foldLeft(sh) { case (df, (k, i)) => df.withColumn(s"bk$i", k) }
     val joined = (0 until T.NumBands).foldLeft(keyed) { (df, i) =>
@@ -1097,10 +1108,118 @@ object Streams {
          |  size(array_intersect(sh, o.csh)) / CAST(size(sh) + size(o.csh)
          |    - size(array_intersect(sh, o.csh)) AS DOUBLE) >= ${D.JaccardT}),
          |  o -> o.cid))""".stripMargin)
+    val scratch = Seq("sh", "sig", "all_posts") ++
+      (0 until T.NumBands).flatMap(i => Seq(s"bk$i", s"posts$i"))
     joined.withColumn("all_posts", allPosts)
-      .select(col("doc_id"),
-        size(matches).cast("int").as("n_corpus_dups"))
-      .withColumn("admitted", col("n_corpus_dups") === 0)
+      .withColumn("n_corpus_dups", size(matches).cast("int"))
+      .drop(scratch: _*)
+  }
+
+  /** Day-1 artifact bundle for the ONLINE day-2 admission verdict
+    * ([[day2AdmissionStream]]) — each a small static frame production
+    * persists once per corpus build (the [[admissionPostings]] convention)
+    * and the stream re-reads:
+    *  - `benchGrams`: ONE row, the benchmark's distinct 8-gram hash set as
+    *    a sorted array — benchmark corpora are tiny (eval suites), so the
+    *    whole set rides one broadcast row and the exact-overlap probe
+    *    needs no join;
+    *  - `model`: ONE row, the frozen day-1 bigram LM as two maps g→c and
+    *    pg→c1 — bounded by the MODEL vocabulary. The broadcast-map form
+    *    holds to ~10⁷ entries (the pruned n-gram tables real quality
+    *    gates ship); past that the nightly batch's semi-join-pruned
+    *    scoring is the scale path and an online gate would shard the maps;
+    *  - `thresholds`: the frozen per-lang leave-one-out p30 bar
+    *    ([[graft.queries.PipelineQueries]] thFrozen — one row per lang);
+    *  - `postings`: the [[admissionPostings]] bkey→posts map. */
+  final case class Day2Artifacts(benchGrams: DataFrame, model: DataFrame,
+                                 thresholds: DataFrame, postings: DataFrame)
+
+  /** Derive [[Day2Artifacts]] from the day-1 frames production already
+    * holds: the FULL corpus (bench membership is doc_id % 20 == 0 over all
+    * docs — the benchmark is external to the sample), the MODEL corpus
+    * (p2's contract: the post-decontam survivor set s2 the day-1 LM was
+    * trained on), the frozen per-lang thresholds, and the KEPT corpus (s5,
+    * what near-dup admission dedups against). Each frame is materialized
+    * once (eager checkpoint) — an unmaterialized derived artifact would
+    * re-derive per micro-batch re-plan. */
+  def day2Artifacts(corpus: DataFrame, modelCorpus: DataFrame,
+                    thresholds: DataFrame, keptCorpus: DataFrame): Day2Artifacts = {
+    val V = graft.functions.VectorFunctions
+    val T = graft.text.TextFunctions
+    val bench = corpus.where(col("doc_id") % 20 === 0)
+      .select(explode(V.shingleHashes(col("text"), 8, T.HashP)).as("g"))
+      .distinct()
+      .agg(sort_array(collect_list(col("g"))).as("bench_g"))
+    val inst = graft.queries.TextQueries.bigramInstancesOf(modelCorpus)
+    val cntM = inst.groupBy("g").agg(count(lit(1)).as("c"))
+      .agg(map_from_entries(collect_list(struct(col("g"), col("c")))).as("cnt_m"))
+    val preM = inst.groupBy("pg").agg(count(lit(1)).as("c1"))
+      .agg(map_from_entries(collect_list(struct(col("pg"), col("c1")))).as("pre_m"))
+    Day2Artifacts(
+      graft.Checkpoints.eager(bench),
+      graft.Checkpoints.eager(cntM.crossJoin(preM)),
+      graft.Checkpoints.eager(thresholds),
+      graft.Checkpoints.eager(admissionPostings(keptCorpus)))
+  }
+
+  /** p2's WHOLE day-2 admission as a PER-ARRIVAL verdict stream — the
+    * composed online twin of [[graft.queries.PipelineQueries
+    * .incrementalAdmissionOf]]: each arriving doc gets its
+    * (doc_id, admit_reason, admitted) row the moment its micro-batch runs,
+    * scored against the SAME frozen day-1 artifacts the nightly batch
+    * reads, with the same bit constants:
+    *
+    *  - bit 1 (Bit2Decontam): not a bench member and no 8-gram overlap
+    *    with the benchmark set — exact, via one broadcast row
+    *    (`arrays_overlap` over the row-local gram hashes);
+    *  - bit 2 (Bit2Quality): the FROZEN bigram-LM score vs the per-lang
+    *    LOO p30 bar — the batch's join-then-fold replayed row-locally:
+    *    per-instance p = c(g)/c1(pg) map lookups (absent → 0, the
+    *    harsh-OOV rule), summed by the SAME SortedTermSum expression the
+    *    batch aggregates with, so the fold order is bit-identical; a
+    *    no-bigram doc or a lang with no threshold fails (no model, no
+    *    admission);
+    *  - bit 3 (Bit2Admitted): zero corpus near-dups via the factored
+    *    [[withCorpusDupCount]] probe — the CORPUS-ONLY dupVsOld rule.
+    *    THE DOCUMENTED DIVERGENCE: in-batch cluster settlement (min-id
+    *    representatives among a day's arrivals, cluster-transitive
+    *    contamination) inherently needs the day's whole pair graph and
+    *    stays in the nightly batch — a stateless stream admits BOTH
+    *    members of an in-batch near-dup pair online and the nightly run
+    *    settles them (the [[admissionStream]] contract, now composed);
+    *  - bit 4 (Bit2Mixture): the row-local per-source keep rate.
+    *
+    * Bits are monotone by construction (a doc failing bit k has all later
+    * bits 0). Stateless end to end: broadcast-row cross joins, map
+    * lookups, stream-static left joins — no streaming aggregation, no
+    * state store rows at any trigger. */
+  def day2AdmissionStream(docs: DataFrame, art: Day2Artifacts): DataFrame = {
+    val V = graft.functions.VectorFunctions
+    val T = graft.text.TextFunctions
+    val P = graft.queries.PipelineQueries
+    val scored = withCorpusDupCount(
+        docs.select("doc_id", "lang", "source", "text"), art.postings)
+      .crossJoin(art.benchGrams)
+      .crossJoin(art.model)
+      .join(broadcast(art.thresholds), Seq("lang"), "left")
+      .withColumn("u", V.shingleHashesAll(col("text"), 1, T.HashP))
+      .withColumn("bg", V.shingleHashesAll(col("text"), 2, T.HashP))
+      .withColumn("avg_p",
+        V.sortedTermSum(expr(
+          """transform(bg, (x, i) -> struct(x AS g,
+            |  coalesce(CAST(element_at(cnt_m, x) AS DOUBLE)
+            |    / CAST(element_at(pre_m, u[i]) AS DOUBLE), 0.0D) AS t))""".stripMargin))
+          / size(col("bg")))
+    val k1 = (col("doc_id") % 20 =!= 0) &&
+      !arrays_overlap(V.shingleHashes(col("text"), 8, T.HashP), col("bench_g"))
+    val k2 = k1 && size(col("bg")) >= 1 && coalesce(col("avg_p") >= col("p30"), lit(false))
+    val k3 = k2 && col("n_corpus_dups") === 0
+    val k4 = k3 && graft.queries.CurationQueries.mixPred
+    scored.select(col("doc_id"),
+        (when(k1, P.Bit2Decontam).otherwise(0) + when(k2, P.Bit2Quality).otherwise(0) +
+          when(k3, P.Bit2Admitted).otherwise(0) + when(k4, P.Bit2Mixture).otherwise(0))
+          .cast("int").as("admit_reason"))
+      .withColumn("admitted", col("admit_reason") === P.AdmittedAll)
   }
 
   /** The persisted probe side of the STREAMING substring twin: the corpus's

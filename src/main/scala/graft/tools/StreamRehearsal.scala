@@ -165,6 +165,20 @@ object StreamRehearsal {
       .option("maxFilesPerTrigger", "1").parquet(docsFeed)
     run("media_probe", Streams.mediaNearDupProbeStream(dSrc3, mediaIdx))
 
+    // ---- the composed day-2 admission verdict (r17): the FIFTH zero-state
+    // decision stream — the full (decontam, frozen-quality, corpus-near-dup,
+    // mixture) bitmap per arrival against static day-1 artifacts. Rehearsal
+    // artifacts: the even-doc corpus doubles as model + index and the
+    // threshold floor passes all langs — the ZERO-STATE and throughput
+    // claims are what volume evidences here (every stage still computes:
+    // bench overlap, model-map scoring fold, band probes, mixture); the
+    // bit-exact batch-p2 contract is CurationPipelineSpec's.
+    val day2Art = Streams.day2Artifacts(docs, corpus,
+      docs.select(col("lang")).distinct().withColumn("p30", lit(0.0)), corpus)
+    val dSrc4 = spark.readStream.schema(dSchema)
+      .option("maxFilesPerTrigger", "1").parquet(docsFeed)
+    run("day2_admission", Streams.day2AdmissionStream(dSrc4, day2Art))
+
     // ---- versioned-append cadence + vacuum (VERDICT r16 #6): the GC path
     // against a LIVE daily-ingest cadence, not just the ManifestsSpec
     // fixture. Four appendBandIndexVersioned appends (a day each of the

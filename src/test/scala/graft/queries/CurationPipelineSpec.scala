@@ -324,7 +324,11 @@ class CurationPipelineSpec extends SparkSpec {
       assert(got6(id)._2 === None && got6(id)._3 === None, s"doc $id must not ship")
   }
 
-  test("p2 planted fixture: every admission outcome exercised, frozen-LOO bar exact") {
+  /** The p2 planted fixture (every admission outcome exercised), factored
+    * so the batch gate test and the r17 ONLINE day-2 stream test replay the
+    * SAME corpus: returns (fixture, expected admit_reason per batch doc,
+    * the in-batch twin that LOSES settlement). */
+  private def p2PlantedFixture(): (org.apache.spark.sql.DataFrame, Map[Long, Int], Long) = {
     import spark.implicits._
     // plant ids by evaluating the real salted predicates (as the p1 fixture
     // does), here over THREE independent coordinates: day-1 sample, day-2
@@ -383,14 +387,100 @@ class CurationPipelineSpec extends SparkSpec {
     )).map { case (id, t) =>
       (id, if (id == bLang) "xx" else "en", "src1", 100L, t)
     }.toDF("doc_id", "lang", "source", "n_chars", "text")
-    val got = PipelineQueries.incrementalAdmissionOf(fixture)
-      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
     val expect = Map(
       bBench -> 0, bContam -> 0, bLow -> 1, bDupC -> 3, bP2a -> 3,
       bMixF -> 7, bP1 -> 15, bSolo -> 15, bLang -> 1)
+    (fixture, expect, bP2a)
+  }
+
+  test("p2 planted fixture: every admission outcome exercised, frozen-LOO bar exact") {
+    val (fixture, expect, _) = p2PlantedFixture()
+    val got = PipelineQueries.incrementalAdmissionOf(fixture)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
     assert(got.view.mapValues(_._1).toMap === expect.view.mapValues(identity).toMap)
     for ((id, (kr, adm)) <- got)
       assert(adm === (kr == PipelineQueries.AdmittedAll), s"doc $id: $kr -> $adm")
+  }
+
+  test("online day-2 admission stream: == batch p2 except the settlement bit on planted twins; zero state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (fixture, expect, twinLoser) = p2PlantedFixture()
+    val st = new PipelineQueries.CorpusStages(fixture)
+    try {
+      val art = Streams.day2Artifacts(st.documents, st.s2, st.thFrozen, st.s5)
+      val arrivals = st.documents
+        .where(!CurationQueries.samplePred &&
+          CurationQueries.saltedHash("day2", col("doc_id")) % 100 < 10)
+        .select("doc_id", "lang", "source", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      assert(arrivals.map(_._1).toSet === expect.keySet)
+      val input = MemoryStream[(Long, String, String, String)]
+      val q = Streams.day2AdmissionStream(
+          input.toDF().toDF("doc_id", "lang", "source", "text"), art)
+        .writeStream.format("memory").queryName("day2_stream_spec")
+        .outputMode("append").start()
+      try {
+        // several triggers — each arrival's verdict lands in its own batch
+        arrivals.grouped(3).foreach { chunk =>
+          input.addData(chunk.toSeq: _*); q.processAllAvailable()
+        }
+        val got = spark.table("day2_stream_spec").collect()
+          .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+        assert(got.keySet === expect.keySet)
+        for ((id, (kr, adm)) <- got) {
+          if (id == twinLoser)
+            // THE documented divergence, pinned: a stateless stream admits
+            // BOTH in-batch twins online (the corpus-only dupVsOld rule —
+            // cross-arrival memory is what a stateless probe cannot hold);
+            // the nightly batch settles the pair to its min-id rep
+            assert(kr === PipelineQueries.AdmittedAll && expect(id) === 3, s"doc $id")
+          else assert(kr === expect(id), s"doc $id")
+          assert(adm === (kr == PipelineQueries.AdmittedAll), s"doc $id")
+        }
+        // stateless end to end: no state operator holds a row at any trigger
+        assert(q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+          .forall(_ == 0), "day-2 verdict stream must hold zero state")
+      } finally q.stop()
+    } finally st.free()
+  }
+
+  test("online day-2 admission stream == batch p2 on the corpus (no in-batch twins at this sf)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf())
+    val st = new PipelineQueries.CorpusStages(docs)
+    try {
+      val art = Streams.day2Artifacts(st.documents, st.s2, st.thFrozen, st.s5)
+      val batch = PipelineQueries.incrementalAdmissionOf(st)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val arrivals = st.documents
+        .where(!CurationQueries.samplePred &&
+          CurationQueries.saltedHash("day2", col("doc_id")) % 100 < 10)
+        .select("doc_id", "lang", "source", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      val input = MemoryStream[(Long, String, String, String)]
+      val q = Streams.day2AdmissionStream(
+          input.toDF().toDF("doc_id", "lang", "source", "text"), art)
+        .writeStream.format("memory").queryName("day2_corpus_spec")
+        .outputMode("append").start()
+      try {
+        arrivals.grouped(math.max(1, arrivals.length / 4)).foreach { chunk =>
+          input.addData(chunk.toSeq: _*); q.processAllAvailable()
+        }
+        val got = spark.table("day2_corpus_spec").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        // the corpus slice at this sf has no in-batch near-dup twins, so
+        // the online verdicts must equal the nightly batch EXACTLY — the
+        // frozen-model scoring fold included (bit-identical SortedTermSum)
+        assert(got === batch)
+        assert(got.nonEmpty && got.values.exists(_ == PipelineQueries.AdmittedAll))
+      } finally q.stop()
+    } finally st.free()
   }
 
   test("p2 on the corpus: batch disjoint from day-1 sample, bitmap monotone") {
