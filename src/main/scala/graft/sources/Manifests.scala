@@ -225,13 +225,17 @@ object Manifests {
     * window past what this doc promises). One [[newestComplete]] read
     * serves both the cutoff and the live set.
     *
-    * A segment's age is the max of its directory mtime and its files'
-    * mtimes (ADVICE r16): object stores synthesize directory statuses with
-    * mtime 0, so the dir mtime alone would read an in-flight segment as
-    * infinitely old; the in-progress files inside it are real objects with
-    * real timestamps on every scheme. An unreferenced EMPTY dir keeps only
-    * its dir mtime — on stores where that reads 0 it is skipped (never
-    * deleted) rather than guessed at.
+    * A segment's age is the max of its directory mtime and its contents'
+    * mtimes, descending ONE level into subdirectories (ADVICE r16 + r17):
+    * object stores synthesize directory statuses with mtime 0, so the dir
+    * mtime alone would read an in-flight segment as infinitely old — and a
+    * PARTITIONED segment (whose top level holds only `col=`-style subdirs)
+    * would read age 0 even with the flat-file check; the in-progress files
+    * one level down are real objects with real timestamps on every scheme.
+    * Deeper nesting than one partition level keeps the conservative skip
+    * (age 0 is never deleted, the safe direction). An unreferenced EMPTY
+    * dir keeps only its dir mtime — on stores where that reads 0 it is
+    * skipped (never deleted) rather than guessed at.
     *
     * Run from the SINGLE APPENDER between appends (the [[appendSegment]]
     * discipline already serializes writers; concurrent readers are safe —
@@ -247,9 +251,14 @@ object Manifests {
         val live = lines.toSet
         val cutoff = fs.getFileStatus(mp).getModificationTime
         def segAge(p: Path): Long = {
-          val files = try fs.listStatus(p).map(_.getModificationTime)
-          catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
-          (fs.getFileStatus(p).getModificationTime +: files.toSeq).max
+          def ls(q: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+            try fs.listStatus(q).toSeq
+            catch { case _: java.io.FileNotFoundException => Seq.empty }
+          val top = ls(p)
+          // one level down covers partitioned parquet segments (ADVICE r17)
+          val nested = top.filter(_.isDirectory).flatMap(st => ls(st.getPath))
+          (fs.getFileStatus(p).getModificationTime +:
+            (top ++ nested).map(_.getModificationTime)).max
         }
         fs.listStatus(rootPath).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg-") &&

@@ -324,6 +324,111 @@ class CurationPipelineSpec extends SparkSpec {
       assert(got6(id)._2 === None && got6(id)._3 === None, s"doc $id must not ship")
   }
 
+  test("p7 planted fixture: an admitted arrival EVICTS a day-1 cap pick; repack on redacted lengths") {
+    import spark.implicits._
+    // plant over FOUR coordinates: day-1 sample, day-2 arrival, mixture,
+    // and the domcap rank (the arrival must outrank day-1's 4th pick)
+    val pool = spark.range(1, 8000).select(col("id").as("doc_id"))
+      .withColumn("source", lit("src1")) // arrivals are src1 — mix rate 25%
+      .withColumn("smp", CurationQueries.samplePred)
+      .withColumn("day2", CurationQueries.saltedHash("day2", col("doc_id")) % 100 < 10)
+      .withColumn("mix", CurationQueries.mixPred)
+      .withColumn("dc", CurationQueries.saltedHash("domcap", col("doc_id")))
+      .withColumn("al", CurationQueries.saltedHash("alpha", col("doc_id")))
+      .withColumn("sh", CurationQueries.saltedHash("shard", col("doc_id")))
+      .select("doc_id", "smp", "day2", "mix", "dc", "al", "sh")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val keys = pool.map(p => p._1 -> (p._5, p._6, p._7)).toMap
+    val benchId = pool.collectFirst {
+      case (id, false, false, _, _, _, _) if id % 20 == 0 => id }.get
+    val sampled = pool.collect {
+      case (id, true, _, _, _, _, _) if id % 20 != 0 => id }.sorted.toSeq
+    assert(sampled.length >= 30, "pool too small")
+    val src1Ids = sampled.take(5)      // en.src1: pop 5 > cap 4 already day-1
+    val src2Ids = sampled.slice(5, 30) // src2 over 7 langs (pops <= 4)
+    // day-1's en.src1 cap picks, by (domcap score desc, id asc)
+    val oldTop4 = src1Ids.sortBy(id => (-keys(id)._1, id)).take(4)
+    val bar = oldTop4.map(keys(_)._1).min
+    // THE arrival: day-2, not day-1-sampled, mixture-passing, non-bench,
+    // domcap-hashed STRICTLY above day-1's 4th pick — admission is earned
+    // through the full p2 cascade, the eviction through the re-cap
+    val arr = pool.collectFirst {
+      case (id, false, true, true, dc, _, _) if id % 20 != 0 && dc > bar => id }.get
+    // and a REJECTED arrival (bench 8-gram overlap → decontam-dropped):
+    // a non-admitted day-2 doc must never enter the re-selection pop
+    val rejArr = pool.collectFirst {
+      case (id, false, true, _, _, _, _) if id % 20 != 0 && id != arr => id }.get
+    def w(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val src1Rows = src1Ids.zipWithIndex.map { case (id, i) =>
+      (id, "en", "src1", w(s"p${('a' + i).toChar}", 500)) }
+    val src2Rows = src2Ids.zipWithIndex.map { case (id, i) =>
+      (id, s"l${i % 7}", "src2", w(s"m${('a' + i % 25).toChar}${i / 25}", 500)) }
+    // arrival bigrams are OOV vs the day-1 model → avg_p = 0; the frozen
+    // LOO bar is 0 here (every day-1 bigram is its doc's own), so quality
+    // passes — the p2 spec pins the non-trivial bar cases
+    val arrRow = (arr, "en", "src1", w("qq", 500))
+    val rejRow = (rejArr, "en", "src1", w("bz", 8) + " zz0")
+    val fixture = ((benchId, "en", "src1", w("bz", 8)) +:
+        (src1Rows ++ src2Rows :+ arrRow :+ rejRow)).toSeq
+      .map { case (id, lang, src, t) => (id, lang, src, t.length.toLong, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val texts = ((src1Rows ++ src2Rows) :+ arrRow)
+      .map { case (id, _, _, t) => id -> t }.toMap
+
+    // p5 on the same corpus: the arrival rows are not day-1-sampled, so
+    // day-1 selection is untouched — every oldTop4 doc is FULLY kept (the
+    // mix target covers all 4 src1 cap picks: k_src1 = 6)
+    val p5 = PipelineQueries.pipelineCuratedOf(fixture)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (id <- oldTop4) assert(p5(id) === 63, s"day-1 pick $id must be p5-kept")
+
+    // p7: re-cap over day-1 survivors ∪ the admitted arrival
+    val newTop4 = (src1Ids :+ arr).sortBy(id => (-keys(id)._1, id)).take(4)
+    assert(newTop4.contains(arr), "the arrival must rank inside the cap")
+    val evicted = oldTop4.filterNot(newTop4.contains)
+    assert(evicted.length === 1, s"exactly one day-1 pick must drop: $evicted")
+    val mixKeptSrc2 = src2Ids.sortBy(id => (-keys(id)._2, id)).take(17).toSet
+    val kept = newTop4 ++ src2Ids.filter(mixKeptSrc2)
+    val got = PipelineQueries.curatedMaintenanceOf(fixture)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), Option(r.get(3)).map(_.asInstanceOf[Int]),
+         Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    // pop = 30 day-1 survivors + the one admitted arrival; the rejected
+    // arrival and the bench doc never enter
+    assert(got.keySet === (src1Ids ++ src2Ids :+ arr).toSet)
+    assert(got(arr)._1 === "day2" && (src1Ids ++ src2Ids).forall(got(_)._1 == "day1"))
+    // THE FLIP: a doc p5 shipped yesterday loses the re-cap today, solely
+    // because the admitted arrival outranks it in its domain
+    assert(got(evicted.head)._2 === 0, s"evicted ${evicted.head}: ${got(evicted.head)}")
+    val expectSel = Map(arr -> 48) ++
+      src1Ids.map(id => id -> (if (newTop4.contains(id)) 48 else 0)) ++
+      src2Ids.map(id => id -> (if (mixKeptSrc2(id)) 48 else 16))
+    assert(got.view.mapValues(_._2).toMap === expectSel)
+    // shipped artifact: n_pii per the c5 plant; pack over REDACTED lengths
+    val sources = (src1Ids :+ arr).map(_ -> "src1").toMap ++ src2Ids.map(_ -> "src2")
+    def shipText(id: Long): String = {
+      val full = texts(id) + s" contact user$id@${sources(id)}.example.com or call 555-" +
+        f"${id % 10000}%04d" + (if (id % 3 == 0) " and admin@corp.example.org" else "")
+      full.replaceAll(CurationQueries.EmailRe, "<EMAIL>")
+        .replaceAll(CurationQueries.PhoneRe, "<PHONE>")
+    }
+    def replayShip(ids: Seq[Long]): Map[Long, Long] = {
+      var run = 0L
+      ids.sortBy(id => (keys(id)._3, id)).map { id =>
+        val sh = run / CurationQueries.ShardBudget
+        run += shipText(id).length; id -> sh
+      }.toMap
+    }
+    val pack = replayShip(kept)
+    for (id <- kept) {
+      assert(got(id)._3 === Some(if (id % 3 == 0) 3 else 2), s"doc $id n_pii")
+      assert(got(id)._4 === Some(pack(id)), s"doc $id shard")
+    }
+    for (id <- got.keySet if !kept.contains(id))
+      assert(got(id)._3 === None && got(id)._4 === None, s"doc $id must not ship")
+  }
+
   /** The p2 planted fixture (every admission outcome exercised), factored
     * so the batch gate test and the r17 ONLINE day-2 stream test replay the
     * SAME corpus: returns (fixture, expected admit_reason per batch doc,

