@@ -212,6 +212,56 @@ object Manifests {
     resolve(s, root).map(seg => s.read.parquet(s"$root/$seg"))
       .reduce(_.unionByName(_))
 
+  /** Retention for SNAPSHOT-protocol roots (each publish names a complete
+    * fresh artifact — the day-2 bundle shape — rather than appending to a
+    * cumulative set): delete payload directories referenced ONLY by
+    * manifests older than the newest `keepLast` COMPLETE ones. Superseded
+    * snapshots are deliberately retained for `keepLast` generations of
+    * reader grace — a stream resolved against bundle n keeps reading it
+    * after n+1 publishes, so retention is a policy dial, not a correctness
+    * rule; [[vacuumSegments]]'s unreferenced-means-leaked invariant is an
+    * APPEND-protocol property and must not be pointed at a snapshot root
+    * (it would reap every superseded snapshot immediately).
+    *
+    * Safety rails: only directories directly under `root` whose name some
+    * complete manifest's payload lists are candidates (never manifest
+    * objects, never dirs no payload mentions — those may be a publisher's
+    * in-flight staging); a dir still referenced by ANY kept manifest
+    * survives. On an append-maintained root the newest manifests' payloads
+    * are supersets of the older ones, so this is a safe no-op there.
+    * Single-writer discipline as everywhere. Returns the deleted names. */
+  def vacuumSnapshots(s: SparkSession, root: String, keepLast: Int = 2): Seq[String] = {
+    require(keepLast >= 1, "vacuumSnapshots: keepLast must be >= 1")
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val complete = manifests(s, root).sortBy(-_._1).flatMap { case (n, p) =>
+      import org.apache.hadoop.fs.FileContext
+      val fc = FileContext.getFileContext(p.toUri, s.sparkContext.hadoopConfiguration)
+      val in = fc.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val ls = body.split("\n", -1).toSeq
+      if (ls.length >= 2 && ls.last == End) Some(n -> ls.dropRight(1)) else None
+    }
+    val keep = complete.take(keepLast).flatMap(_._2).toSet
+    val stale = complete.drop(keepLast).flatMap(_._2).toSet -- keep
+    stale.toSeq.sorted.flatMap { name =>
+      val p = new Path(rootPath, name)
+      val exists = try fs.getFileStatus(p).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+      if (!exists) None
+      else {
+        System.err.println(s"[graft.manifests] $root: deleting superseded snapshot " +
+          s"$name (referenced only by manifests older than the newest $keepLast " +
+          "complete publishes)")
+        fs.delete(p, true)
+        Some(name)
+      }
+    }
+  }
+
   /** Garbage-collect LEAKED segments: a crash between the segment write and
     * its manifest publish strands an unreferenced `seg-*` dir forever
     * (ADVICE r15). Deletes every seg-* dir absent from the newest COMPLETE

@@ -1275,7 +1275,8 @@ object Streams {
     * root, which serves streams that track index growth WITHIN a corpus
     * version). Superseded bundle dirs stay on disk for reader grace — a
     * stream resolved against bundle n keeps reading it after n+1 publishes;
-    * reap them with a retention policy keyed on manifest history, not with
+    * reap them with [[graft.sources.Manifests.vacuumSnapshots]] (retention
+    * keyed on manifest history), never with
     * [[graft.sources.Manifests.vacuumSegments]] (whose
     * unreferenced-means-leaked rule is an APPEND-protocol invariant and
     * would delete every superseded snapshot immediately). Single publisher

@@ -126,6 +126,31 @@ object StreamRehearsal {
       src.toDF().select(col("ts"), col("event_type").as("text")),
       k = 50, windowDur = "6 hours", watermarkDelay = "2 hours"))
 
+    // the day-cycle composition at volume (r18): exact recount of the
+    // emitted candidates == direct per-window batch t8 over the same rows,
+    // restricted to the windows the stream closed
+    {
+      val T = graft.text.TextFunctions
+      val hhDocs = ev.toDF().select(col("ts"), col("event_type").as("text"))
+      val cands = spark.table("heavy_hitters")
+      val recounted = Streams.recountHeavyHitters(cands, hhDocs, 50, "6 hours")
+        .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+      val closed = cands.select("window_start").distinct()
+      val tok = hhDocs
+        .select(window(col("ts"), "6 hours").as("w"), explode(T.tokens(col("text"))).as("word"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"), col("word"))
+        .join(closed, Seq("window_start"), "left_semi")
+      val tot = tok.groupBy("window_start", "window_end").agg(count(lit(1)).as("n_total"))
+      val direct = tok.groupBy("window_start", "window_end", "word").agg(count(lit(1)).as("n"))
+        .join(tot, Seq("window_start", "window_end"))
+        .where(col("n") > col("n_total").cast("double") / 51.0)
+        .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+      val ok = recounted == direct
+      println(s"""{"rehearsal":"heavy_hitters_recount","closed_windows":${closed.count()},""" +
+        s""""recounted_rows":${recounted.size},"batch_rows":${direct.size},"ok":$ok}""")
+      require(ok, "heavy-hitter recount != per-window batch t8 — see JSON above")
+    }
+
     // ---- the admission pipeline: documents replay, corpus static --------
     // Evidences the ZERO-state claim at volume: 16 doc chunks stream past
     // the even-doc_id corpus's band index; the progress log must show NO
@@ -173,8 +198,15 @@ object StreamRehearsal {
     // claims are what volume evidences here (every stage still computes:
     // bench overlap, model-map scoring fold, band probes, mixture); the
     // bit-exact batch-p2 contract is CurationPipelineSpec's.
-    val day2Art = Streams.day2Artifacts(docs, corpus,
-      docs.select(col("lang")).distinct().withColumn("p30", lit(0.0)), corpus)
+    // The bundle rides its versioned publish/resolve path LIVE (r18): the
+    // rehearsal publishes day-1's artifacts once and the stream reads the
+    // RESOLVED bundle — the restart shape, where a fresh stream resolves
+    // the persisted state instead of re-deriving it from the corpus.
+    val day2Root = s"$work/day2_bundle"
+    Streams.publishDay2Artifacts(Streams.day2Artifacts(docs, corpus,
+      docs.select(col("lang")).distinct().withColumn("p30", lit(0.0)), corpus),
+      day2Root)
+    val day2Art = Streams.day2ArtifactsVersioned(spark, day2Root)
     val dSrc4 = spark.readStream.schema(dSchema)
       .option("maxFilesPerTrigger", "1").parquet(docsFeed)
     run("day2_admission", Streams.day2AdmissionStream(dSrc4, day2Art))

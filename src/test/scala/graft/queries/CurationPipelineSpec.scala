@@ -464,8 +464,8 @@ class CurationPipelineSpec extends SparkSpec {
     val batchIds = pool.collect { case (id, false, true, m) if id % 20 != 0 => (id, m) }
     val mixPass = batchIds.collect { case (id, true) => id }.sorted
     val mixFail = batchIds.collect { case (id, false) => id }.sorted
-    assert(mixPass.length >= 4 && mixFail.length >= 4, "pool too small")
-    val Array(bP1, bP2a, bSolo, bLang) = mixPass.take(4) // bP1 < bP2a
+    assert(mixPass.length >= 5 && mixFail.length >= 4, "pool too small")
+    val Array(bP1, bP2a, bSolo, bLang, bNull) = mixPass.take(5) // bP1 < bP2a
     val Array(bContam, bLow, bDupC, bMixF) = mixFail.take(4)
     val tA = w("ta", 5)
     val fixture = (Seq(
@@ -484,6 +484,9 @@ class CurationPipelineSpec extends SparkSpec {
                                         // in-batch twins: rep bP1 → 15, bP2a → 3
       bMixF -> "the qx2",               // p 0.5 passes, mixture fails → 7
       bSolo -> "the qx1",               // 2 tokens: no shingles, admitted → 15
+      bNull -> null,                    // NULL text (ADVICE r17): no grams →
+                                        // decontam passes; no bigrams →
+                                        // quality fails → 1, batch AND stream
       bLang -> tA                       // lang 'xx': no day-1 threshold → 1
                                         // even though its text would score 1.0
                                         // (no model, no admission — the gate
@@ -494,7 +497,7 @@ class CurationPipelineSpec extends SparkSpec {
     }.toDF("doc_id", "lang", "source", "n_chars", "text")
     val expect = Map(
       bBench -> 0, bContam -> 0, bLow -> 1, bDupC -> 3, bP2a -> 3,
-      bMixF -> 7, bP1 -> 15, bSolo -> 15, bLang -> 1)
+      bMixF -> 7, bP1 -> 15, bSolo -> 15, bLang -> 1, bNull -> 1)
     (fixture, expect, bP2a)
   }
 

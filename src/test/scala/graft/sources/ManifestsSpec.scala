@@ -128,6 +128,94 @@ class ManifestsSpec extends SparkSpec {
     assert(Manifests.vacuumSegments(spark, empty) === Seq.empty)
   }
 
+  test("vacuumSnapshots: superseded snapshot dirs reaped past keepLast, staging and kept spared (r18)") {
+    // the SNAPSHOT-protocol retention (the day-2 bundle shape): each
+    // publish names a complete fresh dir; reader grace keeps the newest
+    // keepLast generations, older payload dirs are reaped by name
+    import spark.implicits._
+    val root = freshRoot("snapshots-vacuum")
+    def publishSnap(name: String): Unit = {
+      Seq((1L, name)).toDF("id", "v").write.parquet(s"$root/$name")
+      Manifests.publish(spark, root, Seq(name))
+    }
+    publishSnap("bundle-a"); publishSnap("bundle-b"); publishSnap("bundle-c")
+    // a publisher's in-flight staging dir no payload mentions — never touched
+    val staging = java.nio.file.Path.of(root, "bundle-staging-in-flight")
+    Seq((9L, "s")).toDF("id", "v").write.parquet(staging.toString)
+    val reaped = Manifests.vacuumSnapshots(spark, root, keepLast = 2)
+    assert(reaped === Seq("bundle-a"), reaped)
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(root, "bundle-a")))
+    assert(java.nio.file.Files.exists(java.nio.file.Path.of(root, "bundle-b")),
+      "grace generation must survive")
+    assert(java.nio.file.Files.exists(staging), "unreferenced staging spared")
+    // the live snapshot still resolves and reads
+    assert(Manifests.resolve(spark, root) === Seq("bundle-c"))
+    assert(spark.read.parquet(s"$root/bundle-c").count() === 1)
+    // idempotent: nothing left to reap
+    assert(Manifests.vacuumSnapshots(spark, root, keepLast = 2) === Seq.empty)
+    // a dir re-referenced by a KEPT manifest survives even if an old
+    // manifest also names it (append-shaped payloads → safe no-op)
+    val root2 = freshRoot("snapshots-vacuum-append-shape")
+    Seq((1L, "x")).toDF("id", "v").write.parquet(s"$root2/seg-0")
+    Manifests.publish(spark, root2, Seq("seg-0"))
+    Seq((2L, "y")).toDF("id", "v").write.parquet(s"$root2/seg-1")
+    Manifests.publish(spark, root2, Seq("seg-0", "seg-1"))
+    Seq((3L, "z")).toDF("id", "v").write.parquet(s"$root2/seg-2")
+    Manifests.publish(spark, root2, Seq("seg-0", "seg-1", "seg-2"))
+    assert(Manifests.vacuumSnapshots(spark, root2, keepLast = 2) === Seq.empty)
+  }
+
+  test("vacuum ages PARTITIONED leaked segments through their one nesting level (r18)") {
+    // ADVICE r17: a partitioned parquet segment's top level holds only
+    // `col=`-subdirs; on an object store synthesizing dir mtimes as 0 the
+    // flat check read age 0 and the leak was skipped forever. The age scan
+    // now descends one level, so the nested files date the segment.
+    import spark.implicits._
+    val root = freshRoot("segments-vacuum-partitioned")
+    Manifests.appendSegment(Seq((1L, "a")).toDF("id", "v"), root)
+    val leaked = java.nio.file.Path.of(root, "seg-leaked-partitioned")
+    Seq((99L, "p0"), (98L, "p1")).toDF("id", "part")
+      .write.partitionBy("part").parquet(leaked.toString)
+    // drop the top-level _SUCCESS marker: the advice scenario is a top
+    // level holding ONLY subdirectories (a flat file would date the
+    // segment even without the one-level descent)
+    def dropTopFiles(p: java.nio.file.Path): Unit =
+      p.toFile.listFiles().filterNot(_.isDirectory)
+        .foreach(f => java.nio.file.Files.delete(f.toPath))
+    dropTopFiles(leaked)
+    val newestManifest = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("MANIFEST-")).map(_.getName).max
+    val backdate = java.nio.file.attribute.FileTime.fromMillis(
+      java.nio.file.Path.of(root, newestManifest).toFile.lastModified() - 60000)
+    // a real remnant: every object older than the later manifest; the
+    // object-store twist — ALL directory mtimes read (near) zero
+    def walk(p: java.nio.file.Path): Unit = {
+      val f = p.toFile
+      if (f.isDirectory) {
+        f.listFiles().foreach(c => walk(c.toPath))
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000L))
+      } else java.nio.file.Files.setLastModifiedTime(p, backdate)
+    }
+    walk(leaked)
+    // and the partitioned IN-FLIGHT shape: zeroed dirs, fresh nested files
+    val inflight = java.nio.file.Path.of(root, "seg-inflight-partitioned")
+    Seq((100L, "p0")).toDF("id", "part")
+      .write.partitionBy("part").parquet(inflight.toString)
+    dropTopFiles(inflight)
+    java.nio.file.Files.setLastModifiedTime(inflight,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    inflight.toFile.listFiles().filter(_.isDirectory).foreach(d =>
+      java.nio.file.Files.setLastModifiedTime(d.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(1000L)))
+    val reaped = Manifests.vacuumSegments(spark, root)
+    assert(reaped === Seq("seg-leaked-partitioned"), reaped)
+    assert(!java.nio.file.Files.exists(leaked))
+    assert(java.nio.file.Files.exists(inflight),
+      "fresh nested files must spare a zero-dir-mtime partitioned segment")
+    assert(Manifests.readSegments(spark, root).count() === 1)
+  }
+
   test("payload guard: newline-bearing or sentinel-valued lines are refused") {
     val root = freshRoot("manifests-guard")
     intercept[IllegalArgumentException] { Manifests.publish(spark, root, Seq("a\nb")) }
