@@ -211,6 +211,26 @@ object StreamRehearsal {
       .option("maxFilesPerTrigger", "1").parquet(docsFeed)
     run("day2_admission", Streams.day2AdmissionStream(dSrc4, day2Art))
 
+    // snapshot retention in the live cadence (r18): two later corpus
+    // publishes supersede the bundle the stream just used; vacuumSnapshots
+    // at the default keepLast=2 must reap exactly the oldest bundle while
+    // the newest still resolves and re-reads whole
+    {
+      val thr = docs.select(col("lang")).distinct().withColumn("p30", lit(0.0))
+      Streams.publishDay2Artifacts(Streams.day2Artifacts(docs, corpus, thr, corpus), day2Root)
+      val live = graft.sources.Manifests.resolve(spark, day2Root)
+      Streams.publishDay2Artifacts(Streams.day2Artifacts(docs, corpus, thr, corpus), day2Root)
+      val reaped = graft.sources.Manifests.vacuumSnapshots(spark, day2Root)
+      val resolvedOk = try {
+        Streams.day2ArtifactsVersioned(spark, day2Root).postings.count() >= 0
+      } catch { case _: Exception => false }
+      val ok = reaped.length == 1 && !reaped.contains(live.head) && resolvedOk
+      println(s"""{"rehearsal":"day2_bundle_retention","publishes":3,""" +
+        s""""reaped":[${reaped.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""newest_resolves":$resolvedOk,"ok":$ok}""")
+      require(ok, "day-2 bundle retention rehearsal failed — see JSON above")
+    }
+
     // ---- versioned-append cadence + vacuum (VERDICT r16 #6): the GC path
     // against a LIVE daily-ingest cadence, not just the ManifestsSpec
     // fixture. Four appendBandIndexVersioned appends (a day each of the

@@ -188,6 +188,30 @@ class PlanSpec extends SparkSpec {
       .findAllIn(p).size <= 1, p)
   }
 
+  test("p7 curated maintenance: checkpoint-fed verdict, no parquet re-read, keyed joins, no Window") {
+    // the gated def memoizes an eager checkpoint (the p2 convention), so
+    // plan the assembly directly: every stage frame (pop/capped/mixed/
+    // shipped) checkpoints into the stages' lifecycle and the assembled
+    // verdict is the spine + pack over those materializations — the corpus
+    // parquet is never re-scanned, every join is doc_id-keyed, and the
+    // only Window is the c6 pack's per-PARTITION offset ladder (one row
+    // per shuffle partition — O(32), never O(docs); the cap/mix aggregate
+    // shapes are pinned by the c10 standalone and p5 composed tests — p7
+    // runs the same shared frames over the union population)
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val st = new PipelineQueries.CorpusStages(docs)
+    try {
+      val verdict = PipelineQueries.incrementalAdmissionOf(st)
+      val df = PipelineQueries.curatedMaintenanceOf(st, verdict)
+      val p = plan(df)
+      assert(!p.contains("Scan parquet") && !p.contains("FileScan parquet"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert("BroadcastNestedLoopJoin Build(Left|Right), Inner".r.findFirstIn(p).isEmpty, p)
+      assert("Window".r.findAllIn(p).size <= 1, p)
+      assert(!p.contains("windowspecdefinition(doc_id"), p) // never doc-keyed
+    } finally st.free()
+  }
+
   test("d12/d13 incremental dedup: every join stays keyed — no nested-loop, no cartesian") {
     // the ingest-path keys: band-key / (cid, scid) equi-joins only — a
     // degradation here is the difference between O(batch) and O(corpus²)/day
