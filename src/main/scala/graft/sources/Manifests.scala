@@ -223,13 +223,23 @@ object Manifests {
     * APPEND-protocol property and must not be pointed at a snapshot root
     * (it would reap every superseded snapshot immediately).
     *
-    * Safety rails: only directories directly under `root` whose name some
-    * complete manifest's payload lists are candidates (never manifest
-    * objects, never dirs no payload mentions — those may be a publisher's
-    * in-flight staging); a dir still referenced by ANY kept manifest
-    * survives. On an append-maintained root the newest manifests' payloads
-    * are supersets of the older ones, so this is a safe no-op there.
-    * Single-writer discipline as everywhere. Returns the deleted names. */
+    * Two reap rules, each with its own safety rail:
+    *  - SUPERSEDED: directories some complete manifest's payload lists but
+    *    none of the newest `keepLast` complete ones do — deleted by name
+    *    (a dir still referenced by ANY kept manifest survives);
+    *  - ORPHANED (the crash-between-writes-and-publish remnant — a
+    *    snapshot publish writes its payload dirs first, so a crash before
+    *    the manifest lands strands them unreferenced forever, the
+    *    [[vacuumSegments]] leak class): directories NO complete manifest
+    *    mentions, deleted only when measurably OLDER than the newest
+    *    complete manifest (the segAge one-level rule — an unreferenced dir
+    *    younger than it, or with no readable age, may be a publish in
+    *    flight and is never touched).
+    * Manifest objects are never candidates. On an append-maintained root
+    * the newest manifests' payloads are supersets of the older ones and
+    * in-flight segments are younger than their publish, so both rules are
+    * safe no-ops there. Single-writer discipline as everywhere. Returns
+    * the deleted names. */
   def vacuumSnapshots(s: SparkSession, root: String, keepLast: Int = 2): Seq[String] = {
     require(keepLast >= 1, "vacuumSnapshots: keepLast must be >= 1")
     import org.apache.hadoop.fs.Path
@@ -245,9 +255,11 @@ object Manifests {
       val ls = body.split("\n", -1).toSeq
       if (ls.length >= 2 && ls.last == End) Some(n -> ls.dropRight(1)) else None
     }
+    if (complete.isEmpty) return Seq.empty // nothing published — all in flight
+    val referenced = complete.flatMap(_._2).toSet
     val keep = complete.take(keepLast).flatMap(_._2).toSet
-    val stale = complete.drop(keepLast).flatMap(_._2).toSet -- keep
-    stale.toSeq.sorted.flatMap { name =>
+    val superseded = complete.drop(keepLast).flatMap(_._2).toSet -- keep
+    val reapedSuperseded = superseded.toSeq.sorted.flatMap { name =>
       val p = new Path(rootPath, name)
       val exists = try fs.getFileStatus(p).isDirectory
       catch { case _: java.io.FileNotFoundException => false }
@@ -260,6 +272,41 @@ object Manifests {
         Some(name)
       }
     }
+    // orphan rule: the newest COMPLETE manifest's mtime is the cutoff, as
+    // in vacuumSegments — resolve it by number through the complete list
+    val newestN = complete.head._1
+    val cutoff = fs.getFileStatus(
+      manifests(s, root).find(_._1 == newestN).get._2).getModificationTime
+    val reapedOrphans = fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && !referenced.contains(st.getPath.getName) && {
+        val age = segAge(fs, st.getPath)
+        age > 0L && age < cutoff
+      })
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        System.err.println(s"[graft.manifests] $root: deleting orphaned snapshot dir " +
+          s"${st.getPath.getName} (unreferenced by any complete manifest and older " +
+          "than the newest one — a crashed publish's remnant)")
+        fs.delete(st.getPath, true)
+        st.getPath.getName
+      }
+    reapedSuperseded ++ reapedOrphans
+  }
+
+  /** A directory's age for vacuum cutoffs: max of its own mtime, its
+    * contents', and — one level down — its subdirectories' contents'
+    * (object stores synthesize dir mtimes as 0; partitioned parquet holds
+    * only subdirs at the top — ADVICE r16/r17). Age 0 means "no readable
+    * timestamp": callers must SKIP, never delete. */
+  private def segAge(fs: org.apache.hadoop.fs.FileSystem,
+                     p: org.apache.hadoop.fs.Path): Long = {
+    def ls(q: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      try fs.listStatus(q).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val top = ls(p)
+    val nested = top.filter(_.isDirectory).flatMap(st => ls(st.getPath))
+    (fs.getFileStatus(p).getModificationTime +:
+      (top ++ nested).map(_.getModificationTime)).max
   }
 
   /** Garbage-collect LEAKED segments: a crash between the segment write and
@@ -300,20 +347,10 @@ object Manifests {
       case Some((_, mp, lines)) =>
         val live = lines.toSet
         val cutoff = fs.getFileStatus(mp).getModificationTime
-        def segAge(p: Path): Long = {
-          def ls(q: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-            try fs.listStatus(q).toSeq
-            catch { case _: java.io.FileNotFoundException => Seq.empty }
-          val top = ls(p)
-          // one level down covers partitioned parquet segments (ADVICE r17)
-          val nested = top.filter(_.isDirectory).flatMap(st => ls(st.getPath))
-          (fs.getFileStatus(p).getModificationTime +:
-            (top ++ nested).map(_.getModificationTime)).max
-        }
         fs.listStatus(rootPath).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg-") &&
             !live.contains(st.getPath.getName) && {
-              val age = segAge(st.getPath)
+              val age = segAge(fs, st.getPath)
               age > 0L && age < cutoff
             })
           .map { st =>

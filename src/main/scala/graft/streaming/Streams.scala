@@ -1276,7 +1276,9 @@ object Streams {
     * version). Superseded bundle dirs stay on disk for reader grace — a
     * stream resolved against bundle n keeps reading it after n+1 publishes;
     * reap them with [[graft.sources.Manifests.vacuumSnapshots]] (retention
-    * keyed on manifest history), never with
+    * keyed on manifest history, which also reaps the crash remnant this
+    * multi-write publish can strand — a bundle written but never
+    * manifest-named, aged below the newest complete publish), never with
     * [[graft.sources.Manifests.vacuumSegments]] (whose
     * unreferenced-means-leaked rule is an APPEND-protocol invariant and
     * would delete every superseded snapshot immediately). Single publisher

@@ -139,15 +139,40 @@ class ManifestsSpec extends SparkSpec {
       Manifests.publish(spark, root, Seq(name))
     }
     publishSnap("bundle-a"); publishSnap("bundle-b"); publishSnap("bundle-c")
-    // a publisher's in-flight staging dir no payload mentions — never touched
+    // a publisher's FRESH in-flight staging dir no payload mentions —
+    // younger than the newest manifest, never touched
     val staging = java.nio.file.Path.of(root, "bundle-staging-in-flight")
     Seq((9L, "s")).toDF("id", "v").write.parquet(staging.toString)
+    // an ORPHANED remnant: written, never published (crash before the
+    // manifest landed), backdated below the newest manifest — reaped by
+    // the orphan age rule (the vacuumSegments leak class, snapshot shape)
+    val orphan = java.nio.file.Path.of(root, "bundle-crashed-publish")
+    Seq((8L, "o")).toDF("id", "v").write.parquet(orphan.toString)
+    val newestManifestMt = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("MANIFEST-")).map(_.lastModified()).max
+    val backdate = java.nio.file.attribute.FileTime.fromMillis(newestManifestMt - 60000)
+    orphan.toFile.listFiles().foreach(f =>
+      java.nio.file.Files.setLastModifiedTime(f.toPath, backdate))
+    java.nio.file.Files.setLastModifiedTime(orphan, backdate)
+    // and an unreadable-age orphan (all mtimes read ~0) — skipped, never
+    // guessed at
+    val zeroAge = java.nio.file.Path.of(root, "bundle-zero-mtimes")
+    Seq((7L, "z")).toDF("id", "v").write.parquet(zeroAge.toString)
+    def zeroOut(p: java.nio.file.Path): Unit = {
+      val f = p.toFile
+      if (f.isDirectory) f.listFiles().foreach(c => zeroOut(c.toPath))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(0L))
+    }
+    zeroOut(zeroAge)
     val reaped = Manifests.vacuumSnapshots(spark, root, keepLast = 2)
-    assert(reaped === Seq("bundle-a"), reaped)
+    assert(reaped.sorted === Seq("bundle-a", "bundle-crashed-publish"), reaped)
     assert(!java.nio.file.Files.exists(java.nio.file.Path.of(root, "bundle-a")))
+    assert(!java.nio.file.Files.exists(orphan), "backdated orphan reaped")
     assert(java.nio.file.Files.exists(java.nio.file.Path.of(root, "bundle-b")),
       "grace generation must survive")
-    assert(java.nio.file.Files.exists(staging), "unreferenced staging spared")
+    assert(java.nio.file.Files.exists(staging), "fresh unreferenced staging spared")
+    assert(java.nio.file.Files.exists(zeroAge), "unreadable-age orphan spared")
     // the live snapshot still resolves and reads
     assert(Manifests.resolve(spark, root) === Seq("bundle-c"))
     assert(spark.read.parquet(s"$root/bundle-c").count() === 1)
