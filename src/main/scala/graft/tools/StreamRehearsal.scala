@@ -211,6 +211,41 @@ object StreamRehearsal {
       .option("maxFilesPerTrigger", "1").parquet(docsFeed)
     run("day2_admission", Streams.day2AdmissionStream(dSrc4, day2Art))
 
+    // ---- the SHARDED (table-form) day-2 gate (r18): the same arrival
+    // replay through the past-broadcast scale path — published table
+    // bundle, foreachBatch per-trigger batch scoring — must emit verdict
+    // rows IDENTICAL to the broadcast stream's at volume, holding zero
+    // streaming state (foreachBatch has no state operators by
+    // construction; the progress log proves it live).
+    {
+      val shRoot = s"$work/day2_sharded"
+      Streams.publishDay2ShardedArtifacts(
+        Streams.day2ShardedArtifacts(docs, corpus,
+          docs.select(col("lang")).distinct().withColumn("p30", lit(0.0)),
+          corpus),
+        s"$shRoot/bundle")
+      val shArt = Streams.day2ShardedArtifactsVersioned(spark, s"$shRoot/bundle")
+      val dSrc5 = spark.readStream.schema(dSchema)
+        .option("maxFilesPerTrigger", "1").parquet(docsFeed)
+      val t0 = System.nanoTime()
+      val q = Streams.runDay2AdmissionShardedOnce(dSrc5, shArt,
+        s"$shRoot/verdicts", s"$shRoot/ckpt")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val stateRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+      val got = spark.read.parquet(s"$shRoot/verdicts")
+        .select("doc_id", "admit_reason", "admitted")
+      val bc = spark.table("day2_admission")
+      val diff = got.exceptAll(bc).count() + bc.exceptAll(got).count()
+      val ok = diff == 0 && progs.length > 1
+      println(s"""{"rehearsal":"day2_sharded","triggers":${progs.length},""" +
+        s""""input_rows":${progs.map(_.numInputRows).sum},""" +
+        s""""state_rows_max":$stateRows,"verdict_diff_vs_broadcast":$diff,""" +
+        s""""wall_sec":${math.round(wall * 100) / 100.0},"ok":$ok}""")
+      require(ok, "sharded day-2 gate rehearsal failed — see JSON above")
+    }
+
     // snapshot retention in the live cadence (r18): two later corpus
     // publishes supersede the bundle the stream just used; vacuumSnapshots
     // at the default keepLast=2 must reap exactly the oldest bundle while

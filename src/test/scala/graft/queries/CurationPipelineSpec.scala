@@ -591,6 +591,88 @@ class CurationPipelineSpec extends SparkSpec {
     } finally st.free()
   }
 
+  test("sharded day-2 gate: table-form verdicts == broadcast-stream semantics on the planted fixture") {
+    import graft.streaming.Streams
+    val (fixture, expect, twinLoser) = p2PlantedFixture()
+    val st = new PipelineQueries.CorpusStages(fixture)
+    try {
+      val sh = Streams.day2ShardedArtifacts(st.documents, st.s2, st.thFrozen, st.s5)
+      val arrivals = st.documents
+        .where(!CurationQueries.samplePred &&
+          CurationQueries.saltedHash("day2", col("doc_id")) % 100 < 10)
+        .select("doc_id", "lang", "source", "text")
+      val got = Streams.day2AdmissionShardedBatch(arrivals, sh)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+      assert(got.keySet === expect.keySet)
+      for ((id, (kr, adm)) <- got) {
+        // the per-batch scorer shares the stream's corpus-only probe, so it
+        // shares the stream's pinned divergence: both in-batch twins admit
+        if (id == twinLoser)
+          assert(kr === PipelineQueries.AdmittedAll && expect(id) === 3, s"doc $id")
+        else assert(kr === expect(id), s"doc $id")
+        assert(adm === (kr == PipelineQueries.AdmittedAll), s"doc $id")
+      }
+    } finally st.free()
+  }
+
+  test("sharded day-2 gate scores the vocabulary the broadcast fold refuses") {
+    import graft.streaming.Streams
+    val (fixture, expect, twinLoser) = p2PlantedFixture()
+    val st = new PipelineQueries.CorpusStages(fixture)
+    try {
+      val sh = Streams.day2ShardedArtifacts(st.documents, st.s2, st.thFrozen, st.s5)
+      // the broadcast fold REFUSES this vocabulary at a tightened bound...
+      val e = intercept[IllegalArgumentException] {
+        Streams.day2ArtifactsFrom(sh, maxModelEntries = 1)
+      }
+      assert(e.getMessage.contains("day2AdmissionShardedBatch"), e.getMessage)
+      // ...and the table-form gate scores it anyway, verdicts unchanged —
+      // the executable scale path past Day2MaxModelEntries
+      val arrivals = st.documents
+        .where(!CurationQueries.samplePred &&
+          CurationQueries.saltedHash("day2", col("doc_id")) % 100 < 10)
+        .select("doc_id", "lang", "source", "text")
+      val got = Streams.day2AdmissionShardedBatch(arrivals, sh)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === (expect + (twinLoser -> PipelineQueries.AdmittedAll)))
+    } finally st.free()
+  }
+
+  test("sharded online gate: published table bundle → foreachBatch triggers → verdicts equal, zero state") {
+    import graft.streaming.Streams
+    val (fixture, expect, twinLoser) = p2PlantedFixture()
+    val st = new PipelineQueries.CorpusStages(fixture)
+    try {
+      val root = java.nio.file.Files.createTempDirectory("d2sharded").toString
+      Streams.publishDay2ShardedArtifacts(
+        Streams.day2ShardedArtifacts(st.documents, st.s2, st.thFrozen, st.s5),
+        s"$root/bundle")
+      val sh = Streams.day2ShardedArtifactsVersioned(spark, s"$root/bundle")
+      // several arrival files → several foreachBatch triggers; the probe is
+      // corpus-only, so BOTH twins admit whether they share a trigger or not
+      val arrivals = st.documents
+        .where(!CurationQueries.samplePred &&
+          CurationQueries.saltedHash("day2", col("doc_id")) % 100 < 10)
+        .select("doc_id", "lang", "source", "text")
+      arrivals.repartition(4).write.parquet(s"$root/arrivals")
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/arrivals")
+      val q = Streams.runDay2AdmissionShardedOnce(
+        stream, sh, s"$root/verdicts", s"$root/ckpt")
+      val got = spark.read.parquet(s"$root/verdicts")
+        .select("doc_id", "admit_reason")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === (expect + (twinLoser -> PipelineQueries.AdmittedAll)))
+      // multiple triggers ran, and NONE held streaming state — foreachBatch
+      // per-trigger batch scoring is stateless between triggers
+      assert(q.recentProgress.length > 1, "expected several triggers")
+      assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+        "sharded online gate must hold zero streaming state")
+    } finally st.free()
+  }
+
   test("p2 on the corpus: batch disjoint from day-1 sample, bitmap monotone") {
     val docs = Tables.documents(spark, sf())
     val got = PipelineQueries.defs("p2_incremental_pipeline")(spark, sf())
