@@ -45,9 +45,31 @@ object Checkpoints {
     }
   }
 
+  /** Eager checkpoint that PRESERVES the plan's output partitioning in the
+    * resulting LogicalRDD (r18, guide §2.4). Under AQE, `localCheckpoint`
+    * records `UnknownPartitioning` — `AdaptiveSparkPlanExec`'s partitioning
+    * is not final at checkpoint time — so a build that ends in
+    * `repartition(key)` loses its layout and every consumer keyed the same
+    * way re-shuffles (measured: probe in BENCH_NOTES r18; with AQE off
+    * during the materialization the LogicalRDD keeps HashPartitioning and
+    * consumers planned WITH AQE elide their exchanges). Scopes
+    * `spark.sql.adaptive.enabled=false` around this one materialization;
+    * same session-scoping caveat as the CCF fixpoint loop (not thread-safe
+    * per session). Use for builds whose final operator establishes a
+    * partitioning that downstream plans are meant to reuse. */
+  def eagerKeepPartitioning(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val orig = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try eager(df) finally spark.conf.set(key, orig)
+  }
+
   /** Postfix syntax so call sites read like the `localCheckpoint` they
     * replace: `df.eagerCheckpoint()`. */
   implicit final class EagerOps(private val df: DataFrame) extends AnyVal {
     def eagerCheckpoint(): DataFrame = Checkpoints.eager(df)
+    def eagerCheckpointKeepPartitioning(): DataFrame =
+      Checkpoints.eagerKeepPartitioning(df)
   }
 }

@@ -60,9 +60,36 @@ object GraphQueries {
     val e = edges(s, dir)
     val deg = degrees(s, dir)
     outECache.getOrElseUpdate(s, dir)(SharedBuilds.timed("pagerank_outE")(
+      // r18 optimization (guide §2.4 "two operations keyed the same way can
+      // share one exchange"): hash-partition the out-edge stream by dst ONCE
+      // in the build. localCheckpoint preserves outputPartitioning, and every
+      // PageRank round's plan is [broadcast-join ranks → project → groupBy
+      // dst]: with the stream side already HashPartitioning(dst), the
+      // per-round aggregation exchange (the full contribution-row shuffle,
+      // the round's only Exchange) is elided — 5 rounds × 1 exchange → 0
+      // (plan-pinned in PlanSpec; the one-time repartition lands here in the
+      // build). deg is O(nodes) — broadcast it below the same node bound the
+      // per-round rank broadcast uses; past the bound the planner shuffles
+      // this one-time build join, never the rounds.
       CCF.bidirect(e)
-        .join(deg.select(col("node").as("src"), col("deg").as("outdeg")), "src")
-        .eagerCheckpoint()))
+        .join(hint(deg.select(col("node").as("src"), col("deg").as("outdeg")),
+          broadcastRanks(s, deg.count())), "src")
+        .repartition(col("dst"))
+        .eagerCheckpointKeepPartitioning()))
+  }
+
+  /** Memoized dst-partitioned bidirected edge set for g3 (r18, guide §2.4):
+    * every LPA round aggregates by (dst, label) then by dst, so with the
+    * edge stream hash-partitioned by dst once (checkpoint preserves
+    * outputPartitioning) and the O(nodes) label table broadcast, a round
+    * needs ZERO exchanges — 3 rounds × 2 aggregation exchanges → the one
+    * repartition paid here (plan-pinned in PlanSpec). */
+  private val biDstCache = new SessionCache[String]
+
+  private def bidirectByDst(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    biDstCache.getOrElseUpdate(s, dir)(SharedBuilds.timed("bidirect_by_dst")(
+      CCF.bidirect(e).repartition(col("dst")).eagerCheckpointKeepPartitioning()))
   }
 
   private def assignments(s: SparkSession, dir: String, variant: CCF.Variant = CCF.Basic): DataFrame = {
@@ -80,10 +107,12 @@ object GraphQueries {
     * services; one-shot Verify/Bench processes never need to call it). */
   def clearCaches(s: SparkSession): Unit = {
     asgnCache.clear(s); edgeCache.clear(s); degCache.clear(s); outECache.clear(s)
+    biDstCache.clear(s)
   }
 
   private[queries] def cachedEntryCount: Int =
-    asgnCache.size + edgeCache.size + degCache.size + outECache.size
+    asgnCache.size + edgeCache.size + degCache.size + outECache.size +
+      biDstCache.size
 
   /** Shared DuckDB CTE: canonical distinct co-purchase edges. Must stay in
     * lockstep with [[GraphBuilders.copurchaseEdges]]. */
@@ -208,8 +237,13 @@ object GraphQueries {
     // round count keeps it oracle-unrollable (the g2 technique) and
     // deterministic (synchronous LPA with a total tie order has no
     // run-to-run wobble, unlike the async variant).
+    // r18: rounds run over the memoized dst-partitioned edge stream with the
+    // O(nodes) label table broadcast (below the g2 node bound) — zero
+    // exchanges per round; see [[bidirectByDst]]. Identical output: the
+    // mode-vote is integer-exact under any partitioning.
     "g3_label_propagation" -> ((s, dir) =>
-      lpaOf(CCF.bidirect(edges(s, dir)), LpaIters))
+      lpaOf(bidirectByDst(s, dir), LpaIters,
+        bcastLabels = broadcastRanks(s, degrees(s, dir).count())))
   )
 
   /** g3 round count (communities stabilize on the planted fixture in 3;
@@ -224,7 +258,8 @@ object GraphQueries {
     * cut, same as the PageRank rank table). At 100 TB the label table
     * co-partitions with the edge list's src shuffle, so rounds reuse one
     * exchange layout. */
-  private[queries] def lpaOf(bi: DataFrame, iters: Int): DataFrame = {
+  private[queries] def lpaOf(bi: DataFrame, iters: Int,
+                             bcastLabels: Boolean = false): DataFrame = {
     require(iters >= 1, s"lpa needs >= 1 round, got $iters")
     // Round 1 fused (r11): labels start as identity, so round 1's src-keyed
     // label join maps label := src — a no-op worth one m-row shuffle join
@@ -233,7 +268,7 @@ object GraphQueries {
     // (identical output: every node appears as dst in a bidirected frame).
     var lab = lpaStep1(bi).eagerCheckpoint()
     for (_ <- 2 to iters) {
-      lab = lpaStep(bi, lab).eagerCheckpoint()
+      lab = lpaStep(bi, lab, bcastLabels).eagerCheckpoint()
     }
     lab
   }
@@ -293,9 +328,14 @@ object GraphQueries {
   }
 
   /** One synchronous LPA round (un-checkpointed — PlanSpec pins that both
-    * aggregate levels carry map-side partials). */
-  private[queries] def lpaStep(bi: DataFrame, lab: DataFrame): DataFrame =
-    bi.join(lab.select(col("node").as("src"), col("label")), "src")
+    * aggregate levels carry map-side partials on an unpartitioned edge
+    * frame, and that a dst-partitioned edge frame plans ZERO exchanges).
+    * `bcastLabels` hints the O(nodes) label side into a broadcast join so a
+    * dst-partitioned `bi` keeps its partitioning through the join (the g2
+    * rank-table move; callers gate it on the node bound). */
+  private[queries] def lpaStep(bi: DataFrame, lab: DataFrame,
+                               bcastLabels: Boolean = false): DataFrame =
+    bi.join(hint(lab.select(col("node").as("src"), col("label")), bcastLabels), "src")
       .groupBy(col("dst").as("node"), col("label"))
       .agg(count(lit(1)).as("c"))
       .groupBy("node")

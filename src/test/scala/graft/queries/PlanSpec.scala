@@ -493,6 +493,29 @@ class PlanSpec extends SparkSpec {
     assert(!p1.toLowerCase.contains("join"), p1)
   }
 
+  test("r18: g2/g3 rounds over dst-partitioned checkpoints plan zero exchanges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.Checkpoints.EagerOps
+    // the builds' shape: hash-partitioned by dst, checkpoint preserving it
+    val outE = Seq((1L, 2L, 2L), (2L, 1L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "outdeg")
+      .repartition(col("dst")).eagerCheckpointKeepPartitioning()
+    val ranks = Seq((1L, 0.5), (2L, 0.3), (3L, 0.2)).toDF("node", "rank")
+    // g2 round: broadcast-join ranks → groupBy dst; the stream side is
+    // already HashPartitioning(dst), so the contribution shuffle is elided
+    val g2p = finalPlan(GraphQueries.pagerankParityStep(outE, broadcast(ranks), 0.1))
+    assert(!g2p.contains("Exchange hashpartitioning"), g2p)
+    // g3 round: broadcast-join labels → groupBy (dst,label) → groupBy dst;
+    // HashPartitioning(dst) satisfies both clusterings — zero exchanges
+    val bi = graft.ccf.CCF.bidirect(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+      .repartition(col("dst")).eagerCheckpointKeepPartitioning()
+    val lab = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "label")
+    val g3p = finalPlan(GraphQueries.lpaStep(bi, lab, bcastLabels = true))
+    assert(!g3p.contains("Exchange hashpartitioning"), g3p)
+    val g3p1 = finalPlan(GraphQueries.lpaStep1(bi))
+    assert(!g3p1.contains("Exchange hashpartitioning"), g3p1)
+  }
+
   test("t10 chunking: map-side generate only — zero exchanges") {
     val p = plan(TextQueries.defs("t10_chunking")(spark, sf()))
     assert(!p.contains("Exchange"), p)
