@@ -177,10 +177,11 @@ object CCF {
    * counter rides that same materialization as an observed metric
    * (`Dataset.observe` — computed task-side during the checkpoint job,
    * delivered with its completion event), instead of a second count() job
-   * over the checkpoint. The CCF-Dedup `distinct` stays LAZY — it fuses into
-   * the next round's plan (its exchange pipelines with the next
-   * aggregation). Lineage depth stays O(1): at most one distinct on top of a
-   * checkpoint.
+   * over the checkpoint. The CCF-Dedup `distinct` is folded INTO the
+   * checkpoint job (r18; below the observe, so the counter still sees
+   * pre-dedup emits): dedup once per round, and the next round's bidirect
+   * reads the deduped blocks directly instead of re-aggregating the
+   * pre-dedup emit set in both union branches. Lineage depth stays O(1).
    *
    * NOT thread-safe per session: the fixpoint scopes
    * `spark.sql.shuffle.partitions` (and, for sub-100k-pair inputs, disables
@@ -357,12 +358,6 @@ object CCF {
     var iteration = 0
     var converged = false
     val history = scala.collection.mutable.ArrayBuffer.empty[Long]
-    // true iff the SecondarySort variant uses a streaming kernel for this key
-    // type (string/long/int) — the types whose between-round dedup can ride
-    // the kernel's sort shuffle instead of a separate distinct.
-    val ssStreams = Set("string", "long", "integer")
-      .contains(pairs.schema.fields(0).dataType.typeName)
-
     // Right-size the per-round shuffles: small graphs at the session default
     // (e.g. 32+) are task-scheduling-bound, ~1 s/fixpoint of pure overhead.
     // Target ~100k pairs/partition, clamped to [1, session default]; restored
@@ -417,17 +412,40 @@ object CCF {
         case SecondarySort => iterateSecondarySort(pairs, dedupAdjacent = iteration > 1)
       }
       val obs = Observation()
-      val emitted0 = tagged
+      val observed = tagged
         .observe(obs, coalesce(sum(when(col("isNew"), 1L)), lit(0L)).as("newPairs"),
           count(lit(1)).as("rows"))
+      // CCF-Dedup placement (r18, guide §2.4/§7.2): for the Basic kernel the
+      // distinct used to stay LAZY and fuse into the NEXT round's plan — but
+      // bidirect unions two branches over it, so the dedup's final
+      // HashAggregate executed TWICE per round over the full pre-dedup emit
+      // set (the exchange is reused, the aggregate above it is not; measured
+      // at sf0.1 co-purchase: round 3 re-aggregates round 2's 3.88M-row
+      // checkpoint in both branches). Folding the distinct INTO the
+      // checkpoint job dedups once, materializes the (often far smaller)
+      // deduped set with 2 columns instead of 3, and next round's bidirect
+      // reads materialized blocks directly. newPairs semantics unchanged:
+      // the observe sits BELOW the distinct, so it still counts pre-dedup
+      // per-occurrence emits exactly like the reference's reduce-side
+      // counter (iteration parity with the reference CSV is re-verified in
+      // the Experiments matrix). Applies to BOTH kernels: SecondarySort's
+      // within-group adjacent dedup (dedupAdjacent) masked duplicates from
+      // the emitted stream but still SHUFFLED the full pre-dedup set into
+      // every round's sort (measured at sf0.1 co-purchase: round 3 sorted
+      // 2x3.88M pre-dedup rows to emit 273k); deduping in the checkpoint
+      // shrinks the sort input to the distinct pair set instead.
+      val emitted0 = observed.select("src", "dst").distinct()
         .eagerCheckpoint() // materialize once, truncate lineage
       // the previous round's checkpoint is no longer referenced (this round's
-      // lazy distinct has been evaluated into `emitted`)
+      // emits have been evaluated into `emitted0`)
       if (olderCkpt != null) freeCheckpoint(olderCkpt)
       olderCkpt = prevCkpt
       prevCkpt = emitted0
+      // Fallback recomputes the round's TAGGED plan (pre-dedup) over the
+      // previous checkpoint — the checkpointed frame no longer carries
+      // isNew on the Basic path; loud + one extra job, like before.
       val ms = observedOrCount(obs, s"round $iteration")(Map(
-        "newPairs" -> emitted0.where(col("isNew")).count(), "rows" -> emitted0.count()))
+        "newPairs" -> tagged.where(col("isNew")).count(), "rows" -> tagged.count()))
       val newPairs = ms("newPairs")
       val rows = ms("rows")
       // observed row count → exact leaf stats (anti-compounding, see above)
@@ -446,17 +464,8 @@ object CCF {
       val resized = math.max(1L, math.min(origShuffle.toLong, rows / 32000L + 1L))
       if (resized != spark.conf.get(shuffleKey).toLong)
         spark.conf.set(shuffleKey, resized.toString)
-      // CCF-Dedup. Basic: a lazy distinct that fuses into the next round's
-      // plan. SecondarySort: the dedup RIDES the kernel's own sort shuffle —
-      // round-2+ emits are single-orientation (src > dst always), so after
-      // repartition-by-key + sort-within-partitions duplicates are adjacent
-      // and the streaming reducer skips them (dedupAdjacent above), which is
-      // exactly distinct-then-shuffle semantics minus one full shuffle per
-      // round. The final result is distinct-ed below.
-      pairs = variant match {
-        case SecondarySort if ssStreams => emitted.select("src", "dst")
-        case _ => emitted.select("src", "dst").distinct()
-      }
+      // CCF-Dedup: already materialized in the checkpoint above (r18).
+      pairs = emitted
       converged = newPairs == 0L
       if (trace) System.err.println(f"[ccf-trace] round $iteration%2d rows=$rows%9d " +
         f"newPairs=$newPairs%9d parts=$resized%3d ${(System.nanoTime() - t0) / 1e9}%6.3f s")
@@ -475,14 +484,9 @@ object CCF {
         Seq(prevCkpt, olderCkpt).filter(_ != null), iteration, history.toSeq))
     if (olderCkpt != null) freeCheckpoint(olderCkpt)
 
-    // SS's between-round pairs are pre-dedup (see above); the converged final
-    // emit set is one (key, min) row per key — already distinct — but dedup
-    // defensively for the maxIterations-without-convergence path.
-    val assignments = variant match {
-      case SecondarySort if ssStreams => pairs.distinct()
-      case _ => pairs
-    }
-    Left(CCFResult(assignments.toDF("node", "component"), iteration, converged, history.toSeq))
+    // Between-round pairs are globally deduped in the checkpoint (r18) for
+    // both kernels — no defensive final distinct needed.
+    Left(CCFResult(pairs.toDF("node", "component"), iteration, converged, history.toSeq))
   }
 
   /** One CCF-Iterate round, Basic kernel (paper Fig. 2; reference

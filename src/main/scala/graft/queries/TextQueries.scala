@@ -300,8 +300,17 @@ object TextQueries {
     def sortedSum(gCol: Column, term: Column): Column =
       graft.functions.VectorFunctions.sortedTermSum(
         collect_list(struct(gCol.as("g"), term.as("t"))))
-    val nrm = wts.groupBy("doc_id")
+    // Stage the norm table too (r18, guide §7.2 "duplicated subtrees"): nrm
+    // feeds FOUR consumers — both sides of the phase-1 prefilter's na/nb
+    // joins and both sides of the final na/nb joins — and unstaged, the
+    // plan recomputes the ObjectHashAggregate (collect_list + SortedTermSum
+    // over the full weight table) four times (measured: the 4 identical
+    // Scan→ObjectHashAggregate→Exchange→BroadcastExchange subtrees in
+    // plans/r18/t6_tfidf_pairs_before.txt ops 10-18/19-27/33-41/42-50).
+    // O(docs) rows checkpointed once; consumers broadcast the blocks.
+    val nrm0 = wts.groupBy("doc_id")
       .agg(sqrt(sortedSum(col("g"), col("wt") * col("wt"))).as("nrm"))
+    val nrm = if (stage) nrm0.eagerCheckpoint() else nrm0
     val joined0 = wts.as("a").join(wts.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("a.g").as("g"),
