@@ -50,6 +50,36 @@ import org.apache.spark.sql.functions._
  */
 object PointerJump {
 
+  /** Label tables up to this many nodes are BROADCAST into each round
+    * (r18, the g2/g3 move — guide §2.4/§3.1): with the static bidirected
+    * topology hash-partitioned by src once at build, a round is then
+    * [broadcast-join labels → groupBy src] + [broadcast-join the n-row jump
+    * table] — ZERO exchanges (plan-pinned in PlanSpec) instead of
+    * re-shuffling the full edge stream every round. 8M nodes × ~16 B/row
+    * ≈ 128 MB per round, the same bound and rationale as g2's rank table;
+    * past it the rounds keep the shuffled-join shape. */
+  private[ccf] val MaxBroadcastNodes = 8L * 1000 * 1000
+  private[ccf] val MaxBroadcastNodesKey = "spark.graft.pj.maxBroadcastNodes"
+
+  /** One broadcast-label round (r18): lab'(u) = least(lab(u), lab(lab(u)),
+    * min over N(u) of lab(t)) — the same update as the shuffled
+    * unioned-targets join, split into its neighbor-min and jump terms so
+    * the edge stream never shuffles: nm rides `biRounds`' src partitioning
+    * (zero exchanges when the build repartitioned by src — plan-pinned in
+    * PlanSpec), the jump is a row-local broadcast lookup. Inner joins stay
+    * total: every node appears as src in the bidirected frame, and every
+    * lab is a node id. */
+  private[graft] def bcastRound(biRounds: DataFrame, lbl: DataFrame,
+                              lt: DataFrame): DataFrame = {
+    val nm = biRounds.join(broadcast(lt), col("dst") === col("_t"))
+      .groupBy(col("src")).agg(min(col("_tl")).as("nm"))
+    val jumped = broadcast(lbl.join(broadcast(lt), col("lab") === col("_t"))
+      .select(col("node"), col("lab"), col("_tl").as("pl")))
+    nm.join(jumped, col("src") === col("node"))
+      .select(col("node"), col("lab"),
+        least(col("lab"), col("pl"), col("nm")).as("newlab"))
+  }
+
   def run(edges: DataFrame, maxIterations: Int = 100): CCF.CCFResult = {
     require(edges.columns.length == 2, s"edge list must have 2 columns, got ${edges.columns.length}")
     val spark = edges.sparkSession
@@ -98,23 +128,45 @@ object PointerJump {
     var converged = false
     val history = scala.collection.mutable.ArrayBuffer.empty[Long]
 
+    // r18 (guide §2.4): with the label table under the broadcast bound, the
+    // rounds' only distributed frame is the STATIC topology — partition it
+    // by src ONCE (checkpoint preserving the layout) and every round plans
+    // zero exchanges: the neighbor-min groupBy(src) rides the build
+    // partitioning, the label lookup and the n-row jump table are
+    // broadcasts. Past the bound the rounds keep the shuffled-join shape
+    // and bi keeps the distinct()'s layout (a src repartition would be a
+    // wasted extra shuffle there — the shuffled round joins by dst).
+    val bcastLbl = nNodes <= spark.conf.getOption(MaxBroadcastNodesKey)
+      .map(_.toLong).getOrElse(MaxBroadcastNodes)
+    val biRounds =
+      if (bcastLbl) {
+        val b = bi.repartition(col("src")).eagerCheckpointKeepPartitioning()
+        CCF.freeCheckpoint(bi0)
+        org.apache.spark.sql.graft.Bridge.withStats(b, nBi)
+      } else bi
+
     try {
       while (iteration < maxIterations && !converged) {
         iteration += 1
-        // ONE lookup join serves both steps: look up the labels of
-        // N(u) ∪ {lab(u)} — the neighbor-min AND the pointer jump
-        // (lab(lab(u))) — then take the running min. Fixpoint condition is
-        // identical to applying the two steps separately: lab(u) ≤ lab(v)
-        // for every neighbor v and lab(u) ≤ lab(lab(u)).
-        val targets = bi.unionAll(lbl.select(col("node").as("src"), col("lab").as("dst")))
         val lt = lbl.select(col("node").as("_t"), col("lab").as("_tl"))
-        // inner joins are total: every target is a node id, every node has a row
-        val looked = targets.join(lt, col("dst") === col("_t"))
-          .groupBy(col("src"))
-          .agg(min(col("_tl")).as("nm"))
         val obs = Observation()
-        val next0 = lbl.join(looked, col("node") === col("src"))
-          .select(col("node"), col("lab"), least(col("lab"), col("nm")).as("newlab"))
+        val next0 = (if (bcastLbl) {
+          bcastRound(biRounds, lbl, lt)
+        } else {
+          // ONE lookup join serves both steps: look up the labels of
+          // N(u) ∪ {lab(u)} — the neighbor-min AND the pointer jump
+          // (lab(lab(u))) — then take the running min. Fixpoint condition is
+          // identical to applying the two steps separately: lab(u) ≤ lab(v)
+          // for every neighbor v and lab(u) ≤ lab(lab(u)).
+          val targets = biRounds.unionAll(
+            lbl.select(col("node").as("src"), col("lab").as("dst")))
+          // inner joins are total: every target is a node id, every node has a row
+          val looked = targets.join(lt, col("dst") === col("_t"))
+            .groupBy(col("src"))
+            .agg(min(col("_tl")).as("nm"))
+          lbl.join(looked, col("node") === col("src"))
+            .select(col("node"), col("lab"), least(col("lab"), col("nm")).as("newlab"))
+        })
           .observe(obs, coalesce(sum(when(col("newlab") =!= col("lab"), 1L)), lit(0L)).as("changed"))
           .select(col("node"), col("newlab").as("lab"))
           .eagerCheckpoint()
@@ -137,6 +189,7 @@ object PointerJump {
     }
     if (olderCkpt != null) CCF.freeCheckpoint(olderCkpt)
     CCF.freeCheckpoint(bi)
+    CCF.freeCheckpoint(biRounds) // the src-partitioned copy (bcast path)
 
     val assignments = lbl.where(col("lab") =!= col("node"))
       .select(col("node"), col("lab").as("component"))

@@ -80,6 +80,19 @@ object DedupQueries {
         graft.functions.VectorFunctions.shingleHashes(col("text"), ShingleK, HashP).as("sh"))
       .where(size(col("sh")) > 0)
 
+  /** Memoized default-dial LSH band index over the staged shingle sets
+    * (r18, guide §2.4 — the persisted-signature-index production shape):
+    * band keys are per-doc and row-local, so EVERY default-dial consumer —
+    * d3's candidate self-join, d12's corpus/batch split (a doc_id filter of
+    * this index IS the split half's index) — reads one materialization
+    * instead of re-running the 32-hash minhash over the corpus per query.
+    * O(docs × bands) tiny rows. */
+  private val bandCache = new SessionCache[String]
+
+  private[queries] def bandIndex(s: SparkSession, d: String): DataFrame =
+    bandCache.getOrElseUpdate(s, d)(SharedBuilds.timed("band_index")(
+      lshBands(shingleSets(s, d)).eagerCheckpoint()))
+
   /** Memoized jaccard-qualified pair set per (session, dir): d2 defines it,
     * d6 clusters it — same engine-level reuse as the CCF assignments cache
     * (ADVICE r01). Eager checkpoint so reuse reads materialized blocks.
@@ -98,6 +111,7 @@ object DedupQueries {
   /** Evict this session's memoized checkpoints (long-lived services). */
   def clearCaches(s: SparkSession): Unit = {
     pairsCache.clear(s); shCache.clear(s); spansCache.clear(s); gramCache.clear(s)
+    bandCache.clear(s)
   }
 
   private[queries] def cachedEntryCount: Int = pairsCache.size
@@ -586,8 +600,18 @@ object DedupQueries {
     * `threshold`. The gated key runs the 8x4 default. */
   private[queries] def minhashLshOf(sh: DataFrame, bands: Int = NumBands,
                                     rowsPerBand: Int = RowsPerBand,
-                                    threshold: Double = JaccardT): DataFrame = {
-    val bk = lshBands(sh, bands, rowsPerBand)
+                                    threshold: Double = JaccardT): DataFrame =
+    minhashLshFrom(lshBands(sh, bands, rowsPerBand), sh, threshold)
+
+  /** d3 on a PRE-BUILT (doc_id, bkey) band index + its (doc_id, sh) shingle
+    * frame (r18, guide §2.4): callers holding a staged/persisted index —
+    * the session [[bandIndex]], a [[readBandIndexVersioned]] snapshot, or a
+    * doc_id-filtered slice of either (band keys are per-doc row-local, so a
+    * filtered index IS the index of the filtered corpus) — skip the
+    * signature recompute entirely. Caller contract: `bk` must be
+    * [[lshBands]]-shaped over exactly `sh`'s docs at the default dial. */
+  private[queries] def minhashLshFrom(bk: DataFrame, sh: DataFrame,
+                                      threshold: Double = JaccardT): DataFrame = {
     val cand = bk.as("a").join(bk.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -669,10 +693,26 @@ object DedupQueries {
     * (the shCache hazard above). */
   def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame,
                        oldIndex: Option[DataFrame] = None,
-                       maxBandPop: Int = MaxBandPop): DataFrame = {
-    val newSh = shingleSetsOf(newDocs).eagerCheckpoint()
-    val oldIdx = oldIndex.getOrElse(lshBandIndex(oldDocs))
-    val newBands = lshBands(newSh).eagerCheckpoint()
+                       maxBandPop: Int = MaxBandPop,
+                       oldShingles: Option[DataFrame] = None,
+                       newShingles: Option[DataFrame] = None,
+                       newBandIndex: Option[DataFrame] = None): DataFrame = {
+    // Staged-shingle fast path (r18): callers holding materialized
+    // (doc_id, sh) frames for either side — the session shingleSets
+    // checkpoint filtered to the split, or the day-1 corpus shingle stage —
+    // pass them here and the gate derives bands/candidate sets from the
+    // blocks instead of re-running the shingle-hash scan + 32-hash minhash
+    // over the text. Caller contract: a supplied frame must EQUAL
+    // shingleSetsOf(its side's docs) row for row (shingling is per-doc and
+    // deterministic, so any doc_id-filtered slice of a full-corpus shingle
+    // table qualifies); supplied frames are trusted to be staged and are
+    // not re-checkpointed.
+    val newSh = newShingles.getOrElse(shingleSetsOf(newDocs).eagerCheckpoint())
+    val oldIdx = oldIndex.getOrElse(
+      lshBands(oldShingles.getOrElse(shingleSetsOf(oldDocs))))
+    // newBandIndex: same staged-slice contract as oldIndex, for the batch
+    // side (must equal lshBands(shingleSetsOf(newDocs)) at the default dial)
+    val newBands = newBandIndex.getOrElse(lshBands(newSh).eagerCheckpoint())
     val cappedIdx = capBandIndex(oldIdx, maxBandPop)
     // candidate (new, old) pairs from band collisions — tiny; checkpointed
     // because it feeds both the semi-join below and the verify join
@@ -691,8 +731,12 @@ object DedupQueries {
       s"incrementalDedup: $missing band-index candidate doc_id(s) have no corpus " +
         "text in oldDocs — the index is stale or oldDocs is partial; refusing to " +
         "admit (near-duplicates of the missing corpus content could slip through)")
-    // shingle ONLY the candidate corpus docs (O(candidates), not O(corpus))
-    val oldCandSh = shingleSetsOf(oldDocs.join(candIds, "doc_id"))
+    // shingle ONLY the candidate corpus docs (O(candidates), not O(corpus));
+    // with a staged corpus shingle frame, read the candidates' sets from it
+    val oldCandSh = oldShingles match {
+      case Some(osh) => osh.join(candIds, "doc_id")
+      case None      => shingleSetsOf(oldDocs.join(candIds, "doc_id"))
+    }
     val dupVsOld = candOld
       .join(newSh.select(col("doc_id").as("doc_new"), col("sh").as("sn")), "doc_new")
       .join(oldCandSh.select(col("doc_id").as("doc_old"), col("sh").as("so")), "doc_old")
@@ -773,7 +817,9 @@ object DedupQueries {
     // Signature = one codegen'd pass (graft.functions.MinHashSignature)
     // updating 32 running minima per doc; staged in its own Project so the
     // band slices below reference the bound column, not 8 recomputations.
-    "d3_minhash_lsh" -> ((s, d) => minhashLshOf(shingleSets(s, d))),
+    // r18: candidates from the memoized session band index (one minhash
+    // materialization shared with d12) instead of re-signing per query
+    "d3_minhash_lsh" -> ((s, d) => minhashLshFrom(bandIndex(s, d), shingleSets(s, d))),
 
     // SimHash document fingerprint (32-bit): token-hash bit votes → sign bits.
     // On this shared-vocabulary synthetic corpus SimHash has poor precision
@@ -934,8 +980,19 @@ object DedupQueries {
     // hash-gated, not just its batch building blocks.
     "d12_incremental_dedup" -> ((s, d) => {
       val all = docs(s, d)
+      // r18: both halves' shingle sets and band keys are doc_id filters of
+      // the memoized session tables (per-doc row-local derivations commute
+      // with the split filter) — the gate re-shingles/re-signs nothing.
+      val sh = shingleSets(s, d)
+      val bk = bandIndex(s, d)
+      val even = col("doc_id") % 2 === 0
+      val odd = col("doc_id") % 2 === 1
       val admitted = incrementalDedup(
-          all.where(col("doc_id") % 2 === 0), all.where(col("doc_id") % 2 === 1))
+          all.where(even), all.where(odd),
+          oldIndex = Some(bk.where(even)),
+          oldShingles = Some(sh.where(even)),
+          newShingles = Some(sh.where(odd)),
+          newBandIndex = Some(bk.where(odd)))
         .select(col("doc_id")).withColumn("adm", lit(true))
       all.where(col("doc_id") % 2 === 1).select("doc_id")
         .join(admitted, Seq("doc_id"), "left")

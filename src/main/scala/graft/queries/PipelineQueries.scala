@@ -134,7 +134,12 @@ object PipelineQueries {
 
   private def admissionFor(s: SparkSession, d: String): DataFrame =
     admissionCache.getOrElseUpdate(s, d)(SharedBuilds.timed("pipeline_day2_admission")(
-      incrementalAdmissionOf(stagesFor(s, d)).eagerCheckpoint()))
+      // r18: the gated path hands the session-staged shingle/band tables
+      // (the blocks d3/d12 already read) to the dedup stage — the gate's
+      // shingle/minhash work then reduces to doc_id semi-joins
+      incrementalAdmissionOf(stagesFor(s, d),
+        stagedShingles = Some(DedupQueries.shingleSets(s, d)),
+        stagedBands = Some(DedupQueries.bandIndex(s, d))).eagerCheckpoint()))
 
   /** The day-3 curated-maintenance verdict memoized per (session, sfDir) —
     * the [[admissionFor]] convention: production runs the nightly
@@ -329,7 +334,11 @@ object PipelineQueries {
     // (d10's per-pair keep-rule family — admission, not clustering).
     // Checkpointed: the LSH reject pass over s3 is the chain's most
     // expensive stage, and s4 otherwise re-executes it for s5 AND the
-    // verdict's flag join.
+    // verdict's flag join. (r18 note: staging s3's shingles/bands as extra
+    // owned checkpoints here was tried and REVERTED — at bench scale the
+    // two materialization jobs + resident blocks cost more than the
+    // recompute they saved; the day-2 corpus index instead semi-joins the
+    // session-level staged tables, see [[incrementalAdmissionOf]].)
     lazy val s4: DataFrame = own {
       val rejected = DedupQueries.minhashLshOf(DedupQueries.shingleSetsOf(s3))
         .select(col("doc_b").as("doc_id")).distinct()
@@ -728,9 +737,11 @@ object PipelineQueries {
     * O(batch): the gate def's whole day-2 side fits one executor's worth of
     * work per 10 GB of arrivals. */
   private[queries] def incrementalAdmissionOf(documents0: DataFrame): DataFrame =
-    materializedFreeing(documents0)(incrementalAdmissionOf)
+    materializedFreeing(documents0)(st => incrementalAdmissionOf(st))
 
-  private[queries] def incrementalAdmissionOf(st: CorpusStages): DataFrame = {
+  private[queries] def incrementalAdmissionOf(st: CorpusStages,
+      stagedShingles: Option[DataFrame] = None,
+      stagedBands: Option[DataFrame] = None): DataFrame = {
     val day2 = CurationQueries.saltedHash("day2", col("doc_id")) % 100 < 10
     val batch0 = st.documents
       .where(!CurationQueries.samplePred && day2)
@@ -767,8 +778,25 @@ object PipelineQueries {
       .where(col("avg_p") >= col("p30")).select("doc_id")
     val b2 = b1.join(passQ, Seq("doc_id")).eagerCheckpoint() // feeds dedup + verdict
 
-    // stage 3 — near-dup admission vs the kept corpus + in-batch clusters
-    val b3 = DedupQueries.incrementalDedup(st.s5, b2)
+    // stage 3 — near-dup admission vs the kept corpus + in-batch clusters.
+    // r18: when the caller holds the session-staged full-docs shingle/band
+    // tables (the gated path does — the same blocks d3/d12 read), both
+    // sides participate through doc_id semi-joins of those tables (every
+    // CorpusStages doc in the flat flow carries unrewritten text, so
+    // per-doc shingles/bands commute with any doc_id filter) — the day-2
+    // build re-shingles and re-signs NOTHING. Fixture callers pass None
+    // and derive per-side, the self-contained shape.
+    val b3 = (stagedShingles, stagedBands) match {
+      case (Some(shAll), Some(bkAll)) =>
+        val s5ids = st.s5.select("doc_id")
+        val b2ids = b2.select("doc_id")
+        DedupQueries.incrementalDedup(st.s5, b2,
+          oldIndex = Some(bkAll.join(s5ids, Seq("doc_id"), "left_semi")),
+          oldShingles = Some(shAll.join(s5ids, Seq("doc_id"), "left_semi")),
+          newShingles = Some(shAll.join(b2ids, Seq("doc_id"), "left_semi")),
+          newBandIndex = Some(bkAll.join(b2ids, Seq("doc_id"), "left_semi")))
+      case _ => DedupQueries.incrementalDedup(st.s5, b2)
+    }
 
     // stage 4 — mixture keep-rates by source
     val b4 = b3.where(CurationQueries.mixPred)

@@ -155,7 +155,15 @@ object Profile18 {
         b2 = b1.join(passQ, Seq("doc_id")).eagerCheckpoint()
       }
       timeIt("b3 incrementalDedup (vs kept corpus)") {
-        b3 = DedupQueries.incrementalDedup(st.s5, b2).eagerCheckpoint()
+        val shAll = DedupQueries.shingleSets(spark, sfDir)
+        val bkAll = DedupQueries.bandIndex(spark, sfDir)
+        val s5ids = st.s5.select("doc_id")
+        val b2ids = b2.select("doc_id")
+        b3 = DedupQueries.incrementalDedup(st.s5, b2,
+          oldIndex = Some(bkAll.join(s5ids, Seq("doc_id"), "left_semi")),
+          oldShingles = Some(shAll.join(s5ids, Seq("doc_id"), "left_semi")),
+          newShingles = Some(shAll.join(b2ids, Seq("doc_id"), "left_semi")),
+          newBandIndex = Some(bkAll.join(b2ids, Seq("doc_id"), "left_semi"))).eagerCheckpoint()
       }
       timeIt("verdict assembly + noop") {
         val b4 = b3.where(CurationQueries.mixPred)

@@ -516,6 +516,18 @@ class PlanSpec extends SparkSpec {
     assert(!g3p1.contains("Exchange hashpartitioning"), g3p1)
   }
 
+  test("r18: pj broadcast-label round over a src-partitioned topology plans zero exchanges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.Checkpoints.EagerOps
+    val bi = graft.ccf.CCF.bidirect(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+      .distinct().repartition(col("src")).eagerCheckpointKeepPartitioning()
+    val lbl = Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("node", "lab")
+    val lt = lbl.select(col("node").as("_t"), col("lab").as("_tl"))
+    val p = finalPlan(graft.ccf.PointerJump.bcastRound(bi, lbl, lt))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("t10 chunking: map-side generate only — zero exchanges") {
     val p = plan(TextQueries.defs("t10_chunking")(spark, sf()))
     assert(!p.contains("Exchange"), p)
