@@ -1049,7 +1049,7 @@ object DedupQueries {
     * verdict join, and unstaged the corpus argmax (a vec_id-keyed shuffle)
     * would re-execute per branch. */
   private[queries] def centroidCosinesOf(s: SparkSession, d: String): DataFrame = {
-    val en = SimilarityQueries.enOf(SimilarityQueries.edOf(s, d))
+    val en = SimilarityQueries.enStaged(s, d) // r18: staged once
     val cents = SimilarityQueries.trainCentroids(s, d, SimilarityQueries.KMeansIters)
     val asgn = SimilarityQueries.assignCells(en, cents)
     en.join(asgn, "vec_id")

@@ -204,14 +204,21 @@ object EventQueries {
     * stream — parametric for the planted-fixture spec and the streaming
     * property spec; see the e10 notes. */
   private[graft] def funnelOf(e: DataFrame): DataFrame = {
+    import graft.Checkpoints.EagerOps
     def firstAfter(etype: String, prev: DataFrame, prevTs: String, out: String) =
       e.where(col("event_type") === etype)
         .join(prev.select(col("user_id"), col(prevTs)), "user_id")
         .where(col("ts") > col(prevTs))
         .groupBy("user_id").agg(min("ts").as(out))
+    // r18 (guide §7.2): v and c each feed TWO consumers (the next stage's
+    // join and the final stage_reached assembly) — unstaged, the funnel
+    // tree embedded SIX event scans (each stage's subtree re-contains its
+    // predecessors'); staged, the events table is scanned exactly once per
+    // stage filter (3 scans) and the per-user stage tables are block reads.
     val v = e.where(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("t1"))
-    val c = firstAfter("click", v, "t1", "t2")
+      .eagerCheckpoint()
+    val c = firstAfter("click", v, "t1", "t2").eagerCheckpoint()
     val p = firstAfter("purchase", c, "t2", "t3")
     v.join(c.select("user_id", "t2"), Seq("user_id"), "left")
       .join(p.select("user_id", "t3"), Seq("user_id"), "left")

@@ -44,7 +44,7 @@ object IvfIndex {
     val cents = SimilarityQueries.trainCentroids(s, sfDir, iters)
     cents.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/centroids.parquet")
-    val en = SimilarityQueries.enOf(SimilarityQueries.edOf(s, sfDir))
+    val en = SimilarityQueries.enStaged(s, sfDir) // r18: staged once
     appendVectors(s, indexDir, en.select(col("vec_id"), col("v")), SaveMode.Overwrite)
   }
 
@@ -381,8 +381,19 @@ object IvfIndex {
       .eagerCheckpoint()
     // bounded driver action: the batch touches ≤ k distinct cells
     val touched = b.select("cid").distinct().collect().map(_.getLong(0))
+    // r18 (guide §7.2, measured: the before-plan embedded FIFTY parquet
+    // scans / 30 exchanges — the posting subtree appears in the pop
+    // aggregate and the probe side, hitCorpus in the anti-join and the
+    // verdict union, and the self-join SQUARES whatever its input embeds):
+    // stage the pruned posting read and the survivor frame once each — the
+    // persisted index is now read exactly once per ingest. (hitCorpus
+    // itself is deliberately NOT checkpointed: a LogicalRDD leaf under the
+    // rejected-union trips Spark 4.1's Union constraint rewrite, and the
+    // survivors checkpoint already absorbs its subtree — the union's one
+    // recompute is a single keyed join over staged blocks.)
     val posting = cells(s, indexDir).where(col("cid").isin(touched: _*))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .eagerCheckpoint()
     val hitCorpus = corpusHitPairsOf(b, posting, threshold, cap)
       .select(col("vec_id")).distinct()
     // the in-batch keep rule runs over SURVIVORS of the corpus probe only
@@ -392,6 +403,7 @@ object IvfIndex {
     // hits the corpus or another surviving batch member itself. Hot-cell
     // guard keyed by the BATCH cell populations here.
     val survivors = b.join(hitCorpus, Seq("vec_id"), "left_anti")
+      .eagerCheckpoint()
     val sg = DedupQueries.withSubCells(survivors, DedupQueries.cellPops(survivors), cap)
     val loseBatch = sg.as("a").join(sg.as("b2"),
         col("a.cid") === col("b2.cid") && col("a.scid") === col("b2.scid") &&

@@ -114,7 +114,11 @@ object TextQueries {
     // output contract, spec pins approx tracks exact.
     "t12_lm_quality" -> ((s, d) => {
       val scored = defs("t9_bigram_lm")(s, d)
+      // r18 (guide §7.2): sl feeds the per-lang percentile AND the gate
+      // join — unstaged, the whole t9 LM subtree executed twice (the
+      // pipeline's CorpusStages.sl checkpoints for the same reason)
       val sl = scored.join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        .eagerCheckpoint()
       val th = sl.groupBy("lang").agg(expr("percentile(avg_p, 0.3)").as("p30"))
       sl.join(broadcast(th), "lang")
         .where(col("avg_p") >= col("p30"))
@@ -402,7 +406,12 @@ object TextQueries {
     * order-deterministic fold (bit-identical in the oracle). Output:
     * (doc_id, n_bigrams, avg_p); docs with <2 tokens are out of scope. */
   private[queries] def bigramLmScoresOf(documents: DataFrame): DataFrame =
-    bigramLmScoresFromInstances(bigramInstancesOf(documents))
+    // r18 (guide §7.2 duplicated subtrees): stage the instance stream — the
+    // LM build consumes it three times (the c and c1 counts and the p join
+    // each embed the tokenize+explode subtree when it is lazy; the pipeline
+    // call sites pass an already-checkpointed corpusInst for exactly this
+    // reason, this aligns the standalone t9/t12 path)
+    bigramLmScoresFromInstances(bigramInstancesOf(documents).eagerCheckpoint())
 
   /** The scoring chain from an ALREADY-EXTRACTED instance table — so a
     * caller that needs the instances for other model tables too (the
