@@ -434,7 +434,16 @@ object CCF {
       // every round's sort (measured at sf0.1 co-purchase: round 3 sorted
       // 2x3.88M pre-dedup rows to emit 273k); deduping in the checkpoint
       // shrinks the sort input to the distinct pair set instead.
+      // r19 (ADVICE r18, medium): a second observation ON TOP of the
+      // distinct rides the same checkpoint job and yields the DEDUPED row
+      // count — the one the materialized checkpoint actually holds. Stamping
+      // the checkpoint with the pre-dedup count (up to ~14x larger on
+      // blowup rounds) broke the "exact leaf stats" invariant and inflated
+      // next-round join-size estimates. Pre-dedup `rows` still feeds
+      // newPairs/blowup/shuffle sizing below, unchanged.
+      val dedupObs = Observation()
       val emitted0 = observed.select("src", "dst").distinct()
+        .observe(dedupObs, count(lit(1)).as("rows"))
         .eagerCheckpoint() // materialize once, truncate lineage
       // the previous round's checkpoint is no longer referenced (this round's
       // emits have been evaluated into `emitted0`)
@@ -448,8 +457,11 @@ object CCF {
         "newPairs" -> tagged.where(col("isNew")).count(), "rows" -> tagged.count()))
       val newPairs = ms("newPairs")
       val rows = ms("rows")
-      // observed row count → exact leaf stats (anti-compounding, see above)
-      val emitted = org.apache.spark.sql.graft.Bridge.withStats(emitted0, rows)
+      // observed DEDUPED row count → exact leaf stats (anti-compounding);
+      // fallback counts the materialized checkpoint blocks directly
+      val dedupRows = observedOrCount(dedupObs, s"round $iteration dedup")(
+        Map("rows" -> emitted0.count()))("rows")
+      val emitted = org.apache.spark.sql.graft.Bridge.withStats(emitted0, dedupRows)
       history += newPairs
       if (blowupFactor > 0L && rows > blowupFactor * math.max(1L, nInput)) {
         consecutiveBlowups += 1

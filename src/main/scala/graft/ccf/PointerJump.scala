@@ -66,18 +66,30 @@ object PointerJump {
     * unioned-targets join, split into its neighbor-min and jump terms so
     * the edge stream never shuffles: nm rides `biRounds`' src partitioning
     * (zero exchanges when the build repartitioned by src — plan-pinned in
-    * PlanSpec), the jump is a row-local broadcast lookup. Inner joins stay
+    * PlanSpec), and both the lab(u) and lab(lab(u)) terms are row-local
+    * broadcast lookups INTO the same n-row label table. Inner joins stay
     * total: every node appears as src in the bidirected frame, and every
-    * lab is a node id. */
-  private[graft] def bcastRound(biRounds: DataFrame, lbl: DataFrame,
-                              lt: DataFrame): DataFrame = {
+    * lab is a node id.
+    *
+    * r19 (ADVICE r18): the round previously also broadcast a JOINED n-row
+    * "jumped" table — a distributed pre-job plus an extra n-row driver
+    * collect+broadcast every round, several hundred MB through the driver
+    * near the 8M-node bound. Now the only broadcast payload per round is
+    * the label table itself (three renamed projections of `lt`; the jump
+    * is a second lookup, not a second table), and lab(u) is read from the
+    * same lookup — identical update values. Driver-memory sizing note: one
+    * n-row table per round still transits the driver; the
+    * [[MaxBroadcastNodesKey]] bound (~128 MB at 8M nodes) is sized for
+    * that, so a conf override inherits this warning. */
+  private[graft] def bcastRound(biRounds: DataFrame, lt: DataFrame): DataFrame = {
     val nm = biRounds.join(broadcast(lt), col("dst") === col("_t"))
       .groupBy(col("src")).agg(min(col("_tl")).as("nm"))
-    val jumped = broadcast(lbl.join(broadcast(lt), col("lab") === col("_t"))
-      .select(col("node"), col("lab"), col("_tl").as("pl")))
-    nm.join(jumped, col("src") === col("node"))
-      .select(col("node"), col("lab"),
-        least(col("lab"), col("pl"), col("nm")).as("newlab"))
+    val lt1 = lt.select(col("_t").as("_t1"), col("_tl").as("_tl1"))
+    val lt2 = lt.select(col("_t").as("_t2"), col("_tl").as("_tl2"))
+    nm.join(broadcast(lt1), col("src") === col("_t1")) // _tl1 = lab(u)
+      .join(broadcast(lt2), col("_tl1") === col("_t2")) // _tl2 = lab(lab(u))
+      .select(col("src").as("node"), col("_tl1").as("lab"),
+        least(col("_tl1"), col("_tl2"), col("nm")).as("newlab"))
   }
 
   def run(edges: DataFrame, maxIterations: Int = 100): CCF.CCFResult = {
@@ -151,7 +163,7 @@ object PointerJump {
         val lt = lbl.select(col("node").as("_t"), col("lab").as("_tl"))
         val obs = Observation()
         val next0 = (if (bcastLbl) {
-          bcastRound(biRounds, lbl, lt)
+          bcastRound(biRounds, lt)
         } else {
           // ONE lookup join serves both steps: look up the labels of
           // N(u) ∪ {lab(u)} — the neighbor-min AND the pointer jump
@@ -188,8 +200,11 @@ object PointerJump {
       spark.conf.set(codegenKey, origCodegen)
     }
     if (olderCkpt != null) CCF.freeCheckpoint(olderCkpt)
-    CCF.freeCheckpoint(bi)
-    CCF.freeCheckpoint(biRounds) // the src-partitioned copy (bcast path)
+    // r19 (ADVICE r18): free exactly the live topology checkpoint — on the
+    // bcast path bi0 was already freed when the src-partitioned copy was
+    // made, so freeing `bi` again would be a misleading re-free; on the
+    // non-bcast path biRounds IS bi, one free suffices.
+    if (biRounds ne bi) CCF.freeCheckpoint(biRounds) else CCF.freeCheckpoint(bi)
 
     val assignments = lbl.where(col("lab") =!= col("node"))
       .select(col("node"), col("lab").as("component"))

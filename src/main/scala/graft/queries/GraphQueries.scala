@@ -59,24 +59,39 @@ object GraphQueries {
   private def pagerankOutE(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir)
     val deg = degrees(s, dir)
-    outECache.getOrElseUpdate(s, dir)(SharedBuilds.timed("pagerank_outE")(
-      // r18 optimization (guide §2.4 "two operations keyed the same way can
-      // share one exchange"): hash-partition the out-edge stream by dst ONCE
-      // in the build. localCheckpoint preserves outputPartitioning, and every
-      // PageRank round's plan is [broadcast-join ranks → project → groupBy
-      // dst]: with the stream side already HashPartitioning(dst), the
-      // per-round aggregation exchange (the full contribution-row shuffle,
-      // the round's only Exchange) is elided — 5 rounds × 1 exchange → 0
-      // (plan-pinned in PlanSpec; the one-time repartition lands here in the
-      // build). deg is O(nodes) — broadcast it below the same node bound the
+    outECache.getOrElseUpdate(s, dir)(SharedBuilds.timed("pagerank_outE")({
+      // deg is O(nodes) — broadcast it below the same node bound the
       // per-round rank broadcast uses; past the bound the planner shuffles
       // this one-time build join, never the rounds.
-      CCF.bidirect(e)
+      val joined = CCF.bidirect(e)
         .join(hint(deg.select(col("node").as("src"), col("deg").as("outdeg")),
           broadcastRanks(s, deg.count())), "src")
-        .repartition(col("dst"))
-        .eagerCheckpointKeepPartitioning()))
+      // r19 (VERDICT r18 #1, driver-measured): the r18 "zero-exchange" g2
+      // rounds — outE hash-partitioned by dst once in the build so each
+      // round's collect_list aggregation rides the fixed layout with NO
+      // exchange — REGRESSED 5x at local[32] in the driver's environment
+      // (g2 2.80 → 14.02 s; the SAME code read 2.27 s at 8 cores, scaling
+      // ratio 0.16). Removing the exchange also removes partial aggregation
+      // and pins the complete-mode ObjectHashAggregate (collect_list +
+      // sortedTermSum — object mode, no codegen, unlike g3's integer
+      // HashAggregate where the same move is a driver-confirmed 2.3x WIN)
+      // to a fixed partition layout AQE can neither coalesce nor skew-split
+      // (guide §2.5: AQE only helps across an exchange). Default is
+      // therefore the r17 shape: plain checkpoint, rounds plan
+      // [broadcast-join ranks → partial collect_list → one Exchange(dst) →
+      // final], AQE free to coalesce — driver-measured 2.80 s at 32 cores.
+      // The zero-exchange build stays available behind this conf for
+      // low-parallelism deployments where it measured faster.
+      if (s.conf.getOption(RideDstPartitioningKey).exists(_.toBoolean))
+        joined.repartition(col("dst")).eagerCheckpointKeepPartitioning()
+      else joined.eagerCheckpoint()
+    }))
   }
+
+  /** Opt-in: build [[pagerankOutE]] hash-partitioned by dst so parity
+    * rounds plan zero exchanges (the r18 shape). Off by default — see the
+    * build-site comment for the driver's 32-core measurement. */
+  private[queries] val RideDstPartitioningKey = "spark.graft.g2.rideBuildPartitioning"
 
   /** Memoized dst-partitioned bidirected edge set for g3 (r18, guide §2.4):
     * every LPA round aggregates by (dst, label) then by dst, so with the

@@ -39,9 +39,51 @@ object Profile18 {
     what match {
       case "t6" => profileT6(spark, sfDir)
       case "day2" => profileDay2(spark, sfDir)
+      case "g2" => profileG2(spark, sfDir)
       case x => System.err.println(s"unknown target $x")
     }
     spark.stop()
+  }
+
+  /** r19: per-round timing of the g2 PageRank shapes — the r18 verdict's #1
+    * (zero-exchange rounds regressed 5x at 32 cores in the driver's env).
+    * Variants, all broadcast-rank (the bound=0 full-shuffle A/B already
+    * measured far worse): A = r18 zero-exchange (dst-partitioned outE,
+    * complete-mode agg); B = r17 shape (plain-checkpointed outE, per-round
+    * partial agg + exchange). Each round timed through its checkpoint. */
+  private def profileG2(spark: SparkSession, sfDir: String): Unit = {
+    import graft.Checkpoints.EagerOps
+    import graft.ccf.CCF
+    val spark2 = spark
+    for (round <- 1 to 2) {
+      System.err.println(s"--- g2 round $round ---")
+      val e = graft.graph.GraphBuilders.copurchaseEdges(spark2, sfDir).eagerCheckpoint()
+      val deg = CCF.bidirect(e).groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg")).eagerCheckpoint()
+      val degO = deg.select(col("node").as("src"), col("deg").as("outdeg"))
+      val n = degO.count()
+      def rounds(tag: String, outE: DataFrame): Unit = {
+        var ranks = degO.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+        for (i <- 1 to GraphQueries.PagerankIters) {
+          timeIt(s"$tag round $i") {
+            ranks = GraphQueries.pagerankParityStep(outE, broadcast(ranks), 0.15 / n)
+              .eagerCheckpoint()
+          }
+        }
+        timeIt(s"$tag final count") { ranks.count() }
+      }
+      var outEA: DataFrame = null
+      timeIt("A build (repartition dst, keepPart)") {
+        outEA = CCF.bidirect(e).join(broadcast(degO), "src")
+          .repartition(col("dst")).eagerCheckpointKeepPartitioning()
+      }
+      rounds("A zero-exchange", outEA)
+      var outEB: DataFrame = null
+      timeIt("B build (plain ckpt)") {
+        outEB = CCF.bidirect(e).join(broadcast(degO), "src").eagerCheckpoint()
+      }
+      rounds("B r17 agg-exchange", outEB)
+    }
   }
 
   private def profileT6(spark: SparkSession, sfDir: String): Unit = {

@@ -524,7 +524,7 @@ class PlanSpec extends SparkSpec {
       .distinct().repartition(col("src")).eagerCheckpointKeepPartitioning()
     val lbl = Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("node", "lab")
     val lt = lbl.select(col("node").as("_t"), col("lab").as("_tl"))
-    val p = finalPlan(graft.ccf.PointerJump.bcastRound(bi, lbl, lt))
+    val p = finalPlan(graft.ccf.PointerJump.bcastRound(bi, lt))
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
