@@ -385,12 +385,12 @@ object IvfIndex {
     // scans / 30 exchanges — the posting subtree appears in the pop
     // aggregate and the probe side, hitCorpus in the anti-join and the
     // verdict union, and the self-join SQUARES whatever its input embeds):
-    // stage the pruned posting read and the survivor frame once each — the
-    // persisted index is now read exactly once per ingest. (hitCorpus
-    // itself is deliberately NOT checkpointed: a LogicalRDD leaf under the
-    // rejected-union trips Spark 4.1's Union constraint rewrite, and the
-    // survivors checkpoint already absorbs its subtree — the union's one
-    // recompute is a single keyed join over staged blocks.)
+    // stage the pruned posting read once — the persisted index is read
+    // exactly once per ingest; every downstream recompute is then a keyed
+    // join over staged blocks. (hitCorpus itself is deliberately NOT
+    // checkpointed: a LogicalRDD leaf under the rejected-union trips Spark
+    // 4.1's Union constraint rewrite; and the survivor frame is NOT
+    // checkpointed either — see the r19 note below.)
     val posting = cells(s, indexDir).where(col("cid").isin(touched: _*))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .eagerCheckpoint()
@@ -402,8 +402,16 @@ object IvfIndex {
     // members of a batch pair (ADVICE r10). The twin is admitted unless it
     // hits the corpus or another surviving batch member itself. Hot-cell
     // guard keyed by the BATCH cell populations here.
+    // r19 (VERDICT r18 #2, measured): the r18 eagerCheckpoint HERE was the
+    // d13 regression — a same-window 4-way conf A/B read (both ckpts 1.82 s,
+    // survivors-only 1.97, posting-only 1.14, neither 1.11; control key
+    // stable), i.e. materializing the survivor frame costs more than the
+    // recomputes it saves: with `b` and `posting` staged, each survivor
+    // recompute (self-join sides + cellPops) is one keyed join over
+    // materialized blocks. The posting checkpoint above stays — it is what
+    // makes those recomputes cheap and keeps the persisted index read once
+    // per ingest.
     val survivors = b.join(hitCorpus, Seq("vec_id"), "left_anti")
-      .eagerCheckpoint()
     val sg = DedupQueries.withSubCells(survivors, DedupQueries.cellPops(survivors), cap)
     val loseBatch = sg.as("a").join(sg.as("b2"),
         col("a.cid") === col("b2.cid") && col("a.scid") === col("b2.scid") &&

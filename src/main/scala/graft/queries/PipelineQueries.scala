@@ -134,12 +134,10 @@ object PipelineQueries {
 
   private def admissionFor(s: SparkSession, d: String): DataFrame =
     admissionCache.getOrElseUpdate(s, d)(SharedBuilds.timed("pipeline_day2_admission")(
-      // r18: the gated path hands the session-staged shingle/band tables
-      // (the blocks d3/d12 already read) to the dedup stage — the gate's
-      // shingle/minhash work then reduces to doc_id semi-joins
-      incrementalAdmissionOf(stagesFor(s, d),
-        stagedShingles = Some(DedupQueries.shingleSets(s, d)),
-        stagedBands = Some(DedupQueries.bandIndex(s, d))).eagerCheckpoint()))
+      // r19: self-contained dedup stage — the r18 staged-slice plumbing was
+      // measured slower on both the driver and here; see the note in
+      // [[incrementalAdmissionOf]]'s stage 3.
+      incrementalAdmissionOf(stagesFor(s, d)).eagerCheckpoint()))
 
   /** The day-3 curated-maintenance verdict memoized per (session, sfDir) —
     * the [[admissionFor]] convention: production runs the nightly
@@ -337,8 +335,9 @@ object PipelineQueries {
     // verdict's flag join. (r18 note: staging s3's shingles/bands as extra
     // owned checkpoints here was tried and REVERTED — at bench scale the
     // two materialization jobs + resident blocks cost more than the
-    // recompute they saved; the day-2 corpus index instead semi-joins the
-    // session-level staged tables, see [[incrementalAdmissionOf]].)
+    // recompute they saved; r19 likewise reverted the day-2 gate's
+    // session-table semi-join slices to the self-contained shape, see
+    // [[incrementalAdmissionOf]] stage 3.)
     lazy val s4: DataFrame = own {
       val rejected = DedupQueries.minhashLshOf(DedupQueries.shingleSetsOf(s3))
         .select(col("doc_b").as("doc_id")).distinct()
@@ -739,9 +738,7 @@ object PipelineQueries {
   private[queries] def incrementalAdmissionOf(documents0: DataFrame): DataFrame =
     materializedFreeing(documents0)(st => incrementalAdmissionOf(st))
 
-  private[queries] def incrementalAdmissionOf(st: CorpusStages,
-      stagedShingles: Option[DataFrame] = None,
-      stagedBands: Option[DataFrame] = None): DataFrame = {
+  private[queries] def incrementalAdmissionOf(st: CorpusStages): DataFrame = {
     val day2 = CurationQueries.saltedHash("day2", col("doc_id")) % 100 < 10
     val batch0 = st.documents
       .where(!CurationQueries.samplePred && day2)
@@ -778,25 +775,22 @@ object PipelineQueries {
       .where(col("avg_p") >= col("p30")).select("doc_id")
     val b2 = b1.join(passQ, Seq("doc_id")).eagerCheckpoint() // feeds dedup + verdict
 
-    // stage 3 — near-dup admission vs the kept corpus + in-batch clusters.
-    // r18: when the caller holds the session-staged full-docs shingle/band
-    // tables (the gated path does — the same blocks d3/d12 read), both
-    // sides participate through doc_id semi-joins of those tables (every
-    // CorpusStages doc in the flat flow carries unrewritten text, so
-    // per-doc shingles/bands commute with any doc_id filter) — the day-2
-    // build re-shingles and re-signs NOTHING. Fixture callers pass None
-    // and derive per-side, the self-contained shape.
-    val b3 = (stagedShingles, stagedBands) match {
-      case (Some(shAll), Some(bkAll)) =>
-        val s5ids = st.s5.select("doc_id")
-        val b2ids = b2.select("doc_id")
-        DedupQueries.incrementalDedup(st.s5, b2,
-          oldIndex = Some(bkAll.join(s5ids, Seq("doc_id"), "left_semi")),
-          oldShingles = Some(shAll.join(s5ids, Seq("doc_id"), "left_semi")),
-          newShingles = Some(shAll.join(b2ids, Seq("doc_id"), "left_semi")),
-          newBandIndex = Some(bkAll.join(b2ids, Seq("doc_id"), "left_semi")))
-      case _ => DedupQueries.incrementalDedup(st.s5, b2)
-    }
+    // stage 3 — near-dup admission vs the kept corpus + in-batch clusters,
+    // self-contained: the stage shingles the day-2 batch itself (one small
+    // checkpoint) and the O(candidates) corpus slice.
+    // r19 (VERDICT r18 #3, measured): the r18 staged-slice path — handing
+    // doc_id semi-join slices of the session shingle/band tables to the
+    // dedup stage — LOST to this self-contained shape in both the driver's
+    // run (6.17 s vs r17's 5.38) and a same-window 3-leg conf A/B here
+    // (staged-lazy 8.48 s, staged-with-checkpointed-slices 8.31 s,
+    // self-contained 3.01 s as the pipeline_day2_admission build item).
+    // Mechanism: the staged tables hold EVERY corpus doc's shingle array /
+    // 32 band keys, and each consumer's semi-join deserializes all of them
+    // (3 consumers per side), while this shape re-shingles only the docs
+    // it needs. incrementalDedup's staged params remain for d12/d13, whose
+    // .where() parity slices of the same tables are driver-confirmed wins
+    // (1.89x on d12).
+    val b3 = DedupQueries.incrementalDedup(st.s5, b2)
 
     // stage 4 — mixture keep-rates by source
     val b4 = b3.where(CurationQueries.mixPred)
