@@ -91,6 +91,11 @@ object IvfIndex {
     import s.implicits._
     merged.toDF("cid", "n").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats.parquet")
+    // r19 (ADVICE r18): both consumers (posting write, stats fold) are done
+    // — free the assignment checkpoint's blocks now instead of leaving them
+    // to the GC-driven ContextCleaner (one leaked pair per ingest batch on
+    // a long-lived ingest loop).
+    graft.ccf.CCF.freeCheckpoint(asgn)
   }
 
   /** Per-cell population stats maintained by [[build]]/[[append]] — ≤ k
