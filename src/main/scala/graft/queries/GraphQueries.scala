@@ -444,8 +444,11 @@ object GraphQueries {
     // as one map-side pipeline (the only remaining exchange is the final
     // per-node count). Past the bound the self-join keeps the shuffled
     // equi-join shape, unchanged.
+    val bcastWedge = e.sparkSession.conf
+      .getOption(BroadcastWedgeKey).map(_.toBoolean).getOrElse(true)
     val wedgeBuild =
-      if (nEdges <= maxBroadcast) broadcast(oriented.as("b")) else oriented.as("b")
+      if (bcastWedge && nEdges <= maxBroadcast) broadcast(oriented.as("b"))
+      else oriented.as("b")
     val wedges = oriented.as("a").join(wedgeBuild,
         col("a.u") === col("b.u") && col("a.vkey") < col("b.vkey"))
       .select(col("a.u").as("u"), col("a.v").as("x"), col("b.v").as("y"))
@@ -637,6 +640,12 @@ object GraphQueries {
     * over). Override per session with [[MaxBroadcastEdgesKey]]. */
   private val MaxBroadcastEdges = 64L * 1000 * 1000
   private[queries] val MaxBroadcastEdgesKey = "spark.graft.g1.maxBroadcastEdges"
+
+  /** Separate opt-out for the wedge self-join's broadcast (r19): the
+    * closing join's broadcast is long-measured; the wedge broadcast shares
+    * its edge bound but can be disabled independently for A/Bs and for
+    * deployments where the shuffled self-join's AQE rebalancing wins. */
+  private[queries] val BroadcastWedgeKey = "spark.graft.g1.broadcastWedge"
 
   val oracles: Map[String, String] = Map(
     "ccf_components" ->
