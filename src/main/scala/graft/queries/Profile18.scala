@@ -40,9 +40,36 @@ object Profile18 {
       case "t6" => profileT6(spark, sfDir)
       case "day2" => profileDay2(spark, sfDir)
       case "g2" => profileG2(spark, sfDir)
+      case "p5" => profileP5(spark, sfDir)
       case x => System.err.println(s"unknown target $x")
     }
     spark.stop()
+  }
+
+  /** r19 (VERDICT r18 #6): stage-by-stage owner for p5/p4_anchored's time —
+    * times each CorpusStages lazy-val materialization of the cut/curated
+    * tail in dependency order, so every second has a named stage. */
+  private def profileP5(spark: SparkSession, sfDir: String): Unit = {
+    for (round <- 1 to 2) {
+      System.err.println(s"--- p5 round $round ---")
+      PipelineQueries.clearCaches(spark)
+      var st: PipelineQueries.CorpusStages = null
+      timeIt("day1 stages (s1-s5, bloom, thFrozen)") {
+        st = PipelineQueries.profilingStages(spark, sfDir)
+      }
+      timeIt("cutDocs (d14/d15 span cut over s4)") { st.cutDocs.count() }
+      timeIt("cutDocsAnchored (d16 dial)") { st.cutDocsAnchored.count() }
+      timeIt("s4c (re-admit cut, minhash LSH)") { st.s4c.count() }
+      timeIt("s4ca (re-admit anchored cut)") { st.s4ca.count() }
+      timeIt("s5cap (c10 domain cap)") { st.s5cap.count() }
+      timeIt("s5mix (c9 temperature mix)") { st.s5mix.count() }
+      timeIt("p5 assembly (flags + shard pack)") {
+        noop(PipelineQueries.pipelineCuratedOf(st))
+      }
+      timeIt("p4_anchored assembly") {
+        noop(PipelineQueries.pipelineCutAnchoredOf(st))
+      }
+    }
   }
 
   /** r19: per-round timing of the g2 PageRank shapes — the r18 verdict's #1
